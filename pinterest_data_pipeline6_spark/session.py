@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture: the same builder settings are what we would ship on a
+1000-executor cluster — AQE (runtime re-plan, skew-join splitting,
+partition coalescing) on, broadcast threshold explicit, shuffle
+partitions env-tunable (32 for local[32] tests; thousands on a real
+cluster), Arrow enabled for the few Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pinterest_data_pipeline6_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    Config rationale (each matters at 100 TB, not just locally):
+    - ``spark.sql.adaptive.enabled`` + skewJoin: runtime re-planning turns
+      skewed shuffle joins into split subjoins and coalesces tiny
+      post-shuffle partitions.
+    - ``spark.sql.autoBroadcastJoinThreshold``: dims (region/nation/
+      supplier-scale tables) broadcast instead of shuffling the fact side.
+    - ``spark.sql.files.maxPartitionBytes`` 128m: scan parallelism that
+      keeps per-task memory bounded on wide parquet.
+    - ``spark.sql.shuffle.partitions``: 32 locally; on a cluster this is
+      sized ~2-3x total cores (AQE coalesces down when partitions are small).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,79 @@
+"""Batch sources and table registry.
+
+Scans are declared with explicit schemas (no inference pass — the
+reference's ``inferSchema`` costs an extra full scan of the data,
+SURVEY.md §4 last row) so predicate pushdown and column pruning reach
+the parquet reader from the first job.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from pinterest_data_pipeline6_spark.functions.cleaning import clean_geo, clean_pin, clean_user
+from pinterest_data_pipeline6_spark.schemas import RAW_GEO_SCHEMA, RAW_PIN_SCHEMA, RAW_USER_SCHEMA
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+RAW_SCHEMAS: dict[str, StructType] = {
+    "pin": RAW_PIN_SCHEMA,
+    "geo": RAW_GEO_SCHEMA,
+    "user": RAW_USER_SCHEMA,
+}
+
+
+def read_raw_json(spark: SparkSession, entity: str, path: str) -> DataFrame:
+    """JSON directory scan with a declared schema (reference semantics:
+    one JSON object per record — BATCH:40-48, but schema-first)."""
+    return spark.read.schema(RAW_SCHEMAS[entity]).json(path)
+
+
+def read_raw_parquet(spark: SparkSession, entity: str, path: str) -> DataFrame:
+    """Parquet scan for a raw entity table. The schema is asserted (not
+    inferred) so drift fails fast instead of silently changing types."""
+    df = spark.read.parquet(path)
+    expected = {f.name for f in RAW_SCHEMAS[entity].fields}
+    missing = expected - set(df.columns)
+    if missing:
+        raise ValueError(f"raw {entity} at {path} missing columns: {sorted(missing)}")
+    return df
+
+
+def register_cleaned_views(
+    spark: SparkSession,
+    pin_path: str,
+    geo_path: str,
+    user_path: str,
+    deterministic: bool = True,
+    fmt: str = "parquet",
+) -> dict[str, DataFrame]:
+    """Read raw pin/geo/user, clean, and register the three analytics
+    views (``pin_table``/``geo_table``/``user_table`` — the tables the
+    8-query workload runs over, cf. BATCH:108-109,190)."""
+    reader = read_raw_parquet if fmt == "parquet" else read_raw_json
+    pin = clean_pin(reader(spark, "pin", pin_path), deterministic=deterministic)
+    geo = clean_geo(reader(spark, "geo", geo_path), deterministic=deterministic)
+    user = clean_user(reader(spark, "user", user_path), deterministic=deterministic)
+    pin.createOrReplaceTempView("pin_table")
+    geo.createOrReplaceTempView("geo_table")
+    user.createOrReplaceTempView("user_table")
+    return {"pin_table": pin, "geo_table": geo, "user_table": user}
+
+
+def load_testdata_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-provided TPC-H-ish parquet tables and register a
+    temp view per table (used by ``__spark_entry__.queries()``)."""
+    out = {}
+    for name in TESTDATA_TABLES:
+        p = Path(sf_dir) / f"{name}.parquet"
+        if p.exists():
+            df = spark.read.parquet(str(p))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
