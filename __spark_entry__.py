@@ -3,8 +3,13 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query registries live next to the operators they exercise:
+- ``operators/relational.py`` — SURVEY.md §2.12 Q1-Q8 retargets +
+  per-operator coverage entries (scans, cleaning rules, case buckets).
+- ``operators/events.py`` — windowed/sessionized event analytics
+  (batch twins of the streaming operators, SURVEY.md §2.9).
 """
 
 from __future__ import annotations
@@ -13,26 +18,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's Q1 (most popular category per
+    country — J1+A1+A5) retargeted onto the sf0.001 testdata tables."""
+    from pinterest_data_pipeline6_spark.operators.relational import q1_category_per_country
+
+    return q1_category_per_country(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pinterest_data_pipeline6_spark.operators import events, relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(events.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each ``queries()`` entry."""
+    from pinterest_data_pipeline6_spark.operators import events, relational
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE)
+    out.update(events.ORACLE)
+    return out

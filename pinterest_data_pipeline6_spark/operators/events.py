@@ -1,0 +1,158 @@
+"""Event-stream analytics over the ``events`` table (batch forms).
+
+These are the batch twins of the streaming operators (SURVEY.md §2.9):
+the tumbling-hour rollup is what the streaming job computes with
+``window()`` + watermark (streaming/jobs.py); sessionization is the
+stateful analog of session windows. Implemented as window functions and
+group-bys so the same logical plan runs identically over a bounded or
+(with watermarking) unbounded source.
+
+Determinism: every window order carries ``event_id`` as a unique
+tie-break; double sums route through DECIMAL; hour buckets are emitted
+as formatted strings so both engines hash the same value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """W-analog of lag/lead analytics: per-user value delta between
+    consecutive events, aggregated per event_type."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.round(F.col("value") - F.lag("value").over(w), 6)
+    return (
+        ev.withColumn("delta", delta.cast("decimal(18,6)"))
+        .groupBy("event_type")
+        .agg(
+            F.count("delta").alias("n_deltas"),
+            F.round(F.sum("delta").cast("double"), 4).alias("sum_delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful sessionization: a new session starts after a >30 min gap
+    per user (lag + cumulative sum over an ordered window — one shuffle
+    on user_id)."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def tumbling_hourly_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch twin of the streaming
+    windowed agg): count, distinct users, decimal-exact value sum."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+def topk_events(spark: SparkSession, sf: str) -> DataFrame:
+    """O4: global top-10 by value (TakeOrderedAndProject, no full sort)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(10)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+def timestamp_parts_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """F6/F7 analog: calendar decomposition as group-by dimensions."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").cast("int").alias("y"),
+            F.month("ts").cast("int").alias("m"),
+            F.dayofmonth("ts").cast("int").alias("d"),
+        )
+        .agg(F.count("*").alias("n_events"), F.count_distinct("user_id").alias("n_users"))
+        .orderBy("y", "m", "d")
+    )
+
+
+# ``CAST(ts AS TIMESTAMP)`` truncates DuckDB's timestamp_ns to microseconds —
+# the same truncation the Spark reader applies (readers._TS_NANO_COLS), so
+# window orderings and epoch arithmetic agree bit-for-bit across engines.
+ORACLE: dict[str, str] = {
+    "window_lag_delta": """
+        WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        SELECT event_type, COUNT(delta) AS n_deltas,
+               ROUND(CAST(SUM(delta) AS DOUBLE), 4) AS sum_delta
+        FROM (
+            SELECT event_type,
+                   CAST(ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+                        AS DECIMAL(18,6)) AS delta
+            FROM ev
+        )
+        GROUP BY event_type
+    """,
+    "sessionize_events": """
+        WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM ev)
+        )
+        GROUP BY user_id
+    """,
+    "tumbling_hourly_agg": """
+        SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
+               event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "topk_events": """
+        SELECT event_id, event_type, ROUND(value, 6) AS value
+        FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+    """,
+    "timestamp_parts_agg": """
+        SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+               CAST(day(ts) AS INT) AS d,
+               COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2, 3
+    """,
+}
+
+QUERIES = {
+    "window_lag_delta": window_lag_delta,
+    "sessionize_events": sessionize_events,
+    "tumbling_hourly_agg": tumbling_hourly_agg,
+    "topk_events": topk_events,
+    "timestamp_parts_agg": timestamp_parts_agg,
+}

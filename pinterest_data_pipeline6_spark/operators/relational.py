@@ -1,0 +1,439 @@
+"""Relational operator inventory (SURVEY.md §2) retargeted onto the
+driver's TPC-H-ish testdata tables, with DuckDB oracle SQL twins.
+
+Each reference query Q1-Q8 (SURVEY.md §2.12; "(Clone) Pinterest Data
+Cleaning and Queries.py" BATCH:111-322) is re-expressed over
+orders/customer/nation with the same operator combination:
+
+  pin      -> orders         (fact; category -> o_orderpriority)
+  geo      -> customer x nation (country -> n_name)
+  user     -> customer       (age bucket -> c_acctbal bucket)
+  follower_count -> c_acctbal / o_totalprice
+
+The domain-table (pin/geo/user) forms live in operators/analytics.py and
+are differentially tested against DuckDB in tests/test_analytics.py;
+these retargets are what the driver's oracle harness runs at sf0.01.
+
+Determinism contract (required for value-hash equality with DuckDB):
+- double SUMs go through DECIMAL(18,2) so partial-aggregation order
+  cannot change the result; final value is cast back to double;
+- medians use exact ``percentile``/``quantile_cont`` (both linear
+  interpolation), rounded to 4 decimals — cross-engine approx sketches
+  (Greenwald-Khanna vs t-digest) would never hash-match; the
+  reference-faithful ``percentile_approx`` form is exercised in the
+  domain queries (analytics.py) where both sides are Spark;
+- windows/top-k always carry a unique tie-break key;
+- YEAR()/size() results are cast to int on both sides.
+
+Scale notes: every groupBy here is partial+final hash agg; the
+customer⋈nation join broadcasts nation; orders⋈customer shuffles on the
+join key (AQE re-splits skew); ORDER BY..LIMIT k compiles to
+TakeOrderedAndProject. Verified via .explain in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+
+def _bucket(col: Column) -> Column:
+    """CASE bucketing of account balance (A6 analog of the reference's
+    age buckets, BATCH:196-201)."""
+    return (
+        F.when(col < 0, "neg")
+        .when(col < 3000, "low")
+        .when(col < 7000, "mid")
+        .otherwise("high")
+    )
+
+
+_BUCKET_SQL = """CASE WHEN c_acctbal < 0 THEN 'neg'
+                      WHEN c_acctbal < 3000 THEN 'low'
+                      WHEN c_acctbal < 7000 THEN 'mid'
+                      ELSE 'high' END"""
+
+
+def _dec_sum_as_double(col: str, alias: str, scale: int = 2) -> Column:
+    """Order-independent double sum: route through DECIMAL so the result
+    does not depend on partial-aggregation order across partitions."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), scale
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q8 retargets
+# ---------------------------------------------------------------------------
+
+
+def q1_category_per_country(spark: SparkSession, sf: str) -> DataFrame:
+    """J1+A1+A5 (BATCH:111-123): count per (country, category)."""
+    orders, customer, nation = (table(spark, sf, t) for t in ("orders", "customer", "nation"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("country"), F.col("o_orderpriority").alias("category"))
+        .agg(F.count("*").alias("category_count"))
+        .distinct()
+    )
+
+
+def q2_count_per_year(spark: SparkSession, sf: str) -> DataFrame:
+    """J1+P7+F7+A1+O1 (BATCH:130-145): count per (year, category), range-filtered."""
+    orders, customer, nation = (table(spark, sf, t) for t in ("orders", "customer", "nation"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .withColumn("post_year", F.year("o_orderdate").cast("int"))
+        .filter((F.col("post_year") >= 1996) & (F.col("post_year") <= 2000))
+        .groupBy("post_year", F.col("o_orderpriority").alias("category"))
+        .agg(F.count("*").alias("category_count"))
+        .orderBy("post_year")
+    )
+
+
+def q3a_top_account_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """W1+P8 (BATCH:151-174): per-group top-1 via row_number."""
+    customer, nation = (table(spark, sf, t) for t in ("customer", "nation"))
+    w = Window.partitionBy("country").orderBy(F.desc("top_acctbal"), F.asc("custkey"))
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("country"),
+            F.col("c_name").alias("top_customer"),
+            F.col("c_acctbal").alias("top_acctbal"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .withColumn("row_num", F.row_number().over(w))
+        .filter(F.col("row_num") == 1)
+        .select("country", "top_customer", "top_acctbal")
+    )
+
+
+def q3b_global_top_account(spark: SparkSession, sf: str) -> DataFrame:
+    """O4 (BATCH:176-185): global top-1 (TakeOrderedAndProject)."""
+    return (
+        q3a_top_account_per_nation(spark, sf)
+        .orderBy(F.desc("top_acctbal"), F.asc("country"))
+        .limit(1)
+        .select("country", "top_acctbal")
+    )
+
+
+def q4_distinct_pairs_per_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """A6+J2+A2+O2 (BATCH:192-222): multi-arg COUNT DISTINCT per bucket."""
+    orders, customer = (table(spark, sf, t) for t in ("orders", "customer"))
+    bucketed = customer.select("c_custkey", _bucket(F.col("c_acctbal")).alias("bucket"))
+    return (
+        bucketed.join(orders, bucketed.c_custkey == orders.o_custkey)
+        .groupBy("bucket", F.col("o_orderpriority").alias("category"))
+        .agg(F.count_distinct("c_custkey", "o_orderpriority").alias("category_count"))
+        .orderBy(F.asc("bucket"), F.desc("category_count"))
+    )
+
+
+def q5_median_price_per_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """A6+J2+A4 (BATCH:228-254): median order price per balance bucket.
+
+    Exact percentile (sort-based, deterministic) so the DuckDB oracle can
+    match; the sketch-based reference form (percentile_approx) is kept in
+    the domain workload where both compared engines are Spark."""
+    orders, customer = (table(spark, sf, t) for t in ("orders", "customer"))
+    bucketed = customer.select("c_custkey", _bucket(F.col("c_acctbal")).alias("bucket"))
+    return (
+        bucketed.join(orders, bucketed.c_custkey == orders.o_custkey)
+        .groupBy("bucket")
+        .agg(F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_total_price"))
+        .orderBy(F.desc("median_total_price"))
+    )
+
+
+def q6_customers_per_year(spark: SparkSession, sf: str) -> DataFrame:
+    """F7+A3+O3 (BATCH:259-270): distinct customers per order year."""
+    orders = table(spark, sf, "orders")
+    return (
+        orders.withColumn("post_year", F.year("o_orderdate").cast("int"))
+        .groupBy("post_year")
+        .agg(F.count_distinct("o_custkey").alias("number_customers"))
+        .orderBy(F.desc("post_year"))
+    )
+
+
+def q7_median_price_per_year(spark: SparkSession, sf: str) -> DataFrame:
+    """J3+F7+A4+O1 (BATCH:275-288): median price per year."""
+    orders, customer = (table(spark, sf, t) for t in ("orders", "customer"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .withColumn("post_year", F.year("o_orderdate").cast("int"))
+        .groupBy("post_year")
+        .agg(F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_total_price"))
+        .orderBy(F.asc("post_year"))
+    )
+
+
+def q8_median_price_bucket_year(spark: SparkSession, sf: str) -> DataFrame:
+    """A6+J4+F7+A4+O2 (BATCH:293-322): 3-way join, median per (bucket, year)."""
+    orders, customer = (table(spark, sf, t) for t in ("orders", "customer"))
+    buckets = customer.select(
+        F.col("c_custkey").alias("b_custkey"), _bucket(F.col("c_acctbal")).alias("bucket")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(buckets, F.col("c_custkey") == F.col("b_custkey"))
+        .withColumn("post_year", F.year("o_orderdate").cast("int"))
+        .groupBy("bucket", "post_year")
+        .agg(F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_total_price"))
+        .orderBy(F.desc("bucket"), F.desc("post_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operator-coverage entries
+# ---------------------------------------------------------------------------
+
+
+def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """S2+P1+P7 pushdown scan: year filter + tight projection; revenue is
+    a row-local double expression (deterministic)."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter((F.year("l_shipdate") == 1998) & (F.col("l_quantity") < 10))
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+def sentinel_null_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 (BATCH:61-65): sentinel->NULL across ALL string columns, then
+    null accounting per column."""
+    from pinterest_data_pipeline6_spark.functions.cleaning import normalize_sentinels
+
+    docs = table(spark, sf, "documents")
+    normed = normalize_sentinels(docs, ["en", "src3"])
+    return normed.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("lang")).alias("n_lang_null"),
+        (F.count("*") - F.count("source")).alias("n_source_null"),
+        (F.count("*") - F.count("text")).alias("n_text_null"),
+    )
+
+
+def follower_count_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """F1-F3 (BATCH:66-68): k/M magnitude rewrite + NULL-on-malformed
+    cast, on strings synthesized deterministically from customer keys."""
+    customer = table(spark, sf, "customer")
+    raw = (
+        F.when(F.col("c_custkey") % 4 == 0, (F.col("c_custkey") % 1000).cast("string"))
+        .when(F.col("c_custkey") % 4 == 1, F.concat((F.col("c_custkey") % 90 + 1).cast("string"), F.lit("k")))
+        .when(F.col("c_custkey") % 4 == 2, F.concat((F.col("c_custkey") % 9 + 1).cast("string"), F.lit("M")))
+        .otherwise(F.lit("User Info Error"))
+    )
+    parsed = F.regexp_replace(F.regexp_replace(raw, "k", "000"), "M", "000000").try_cast("int")
+    return (
+        customer.select((F.col("c_custkey") % 4).alias("variant"), parsed.alias("followers"))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("followers").alias("n_parsed"),
+            F.sum("followers").alias("total_followers"),
+        )
+    )
+
+
+def null_propagating_concat(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 (BATCH:96): concat propagates NULL through any NULL input."""
+    customer = table(spark, sf, "customer")
+    first = F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(F.col("c_name"))
+    named = customer.select(F.concat(first, F.lit(" "), F.col("c_mktsegment")).alias("user_name"))
+    return named.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("user_name")).alias("n_null_names"),
+        F.count_distinct("user_name").alias("n_distinct_names"),
+    )
+
+
+def array_pack_access(spark: SparkSession, sf: str) -> DataFrame:
+    """F8 (BATCH:83): pack columns into an array, then element access;
+    sums routed through DECIMAL for partition-order independence."""
+    li = table(spark, sf, "lineitem")
+    packed = li.select(
+        "l_returnflag", F.array("l_extendedprice", "l_discount").alias("price_disc")
+    )
+    return (
+        packed.select(
+            "l_returnflag",
+            F.col("price_disc").getItem(0).alias("price"),
+            F.col("price_disc").getItem(1).alias("disc"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            _dec_sum_as_double("price", "sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def distinct_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """A5/P9 (BATCH:112): SELECT DISTINCT over a projection."""
+    return table(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def case_bucket_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A6/F11 (BATCH:196-201): CASE bucketing as a group-by dimension."""
+    customer = table(spark, sf, "customer")
+    return (
+        customer.select(_bucket(F.col("c_acctbal")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q1_category_per_country": """
+        SELECT n_name AS country, o_orderpriority AS category, COUNT(*) AS category_count
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
+    "q2_count_per_year": """
+        SELECT CAST(year(o_orderdate) AS INT) AS post_year,
+               o_orderpriority AS category, COUNT(*) AS category_count
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) BETWEEN 1996 AND 2000
+        GROUP BY 1, 2
+    """,
+    "q3a_top_account_per_nation": """
+        SELECT country, top_customer, top_acctbal FROM (
+            SELECT n_name AS country, c_name AS top_customer, c_acctbal AS top_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rn = 1
+    """,
+    "q3b_global_top_account": """
+        SELECT country, top_acctbal FROM (
+            SELECT n_name AS country, c_acctbal AS top_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rn = 1
+        ORDER BY top_acctbal DESC, country ASC LIMIT 1
+    """,
+    "q4_distinct_pairs_per_bucket": f"""
+        SELECT bucket, category, COUNT(*) AS category_count FROM (
+            SELECT DISTINCT {_BUCKET_SQL} AS bucket,
+                   o_orderpriority AS category, c_custkey
+            FROM customer JOIN orders ON c_custkey = o_custkey
+        ) GROUP BY bucket, category
+    """,
+    "q5_median_price_per_bucket": f"""
+        SELECT {_BUCKET_SQL} AS bucket,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_total_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY bucket
+    """,
+    "q6_customers_per_year": """
+        SELECT CAST(year(o_orderdate) AS INT) AS post_year,
+               COUNT(DISTINCT o_custkey) AS number_customers
+        FROM orders GROUP BY 1
+    """,
+    "q7_median_price_per_year": """
+        SELECT CAST(year(o_orderdate) AS INT) AS post_year,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_total_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1
+    """,
+    "q8_median_price_bucket_year": f"""
+        WITH buckets AS (
+            SELECT c_custkey AS b_custkey, {_BUCKET_SQL} AS bucket FROM customer
+        )
+        SELECT bucket, CAST(year(o_orderdate) AS INT) AS post_year,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_total_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN buckets ON c_custkey = b_custkey
+        GROUP BY bucket, post_year
+    """,
+    "scan_filter_project": """
+        SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE year(l_shipdate) = 1998 AND l_quantity < 10
+    """,
+    "sentinel_null_normalize": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(CASE WHEN lang IN ('en','src3') THEN NULL ELSE lang END) AS n_lang_null,
+               COUNT(*) - COUNT(CASE WHEN source IN ('en','src3') THEN NULL ELSE source END) AS n_source_null,
+               COUNT(*) - COUNT(CASE WHEN text IN ('en','src3') THEN NULL ELSE text END) AS n_text_null
+        FROM documents
+    """,
+    "follower_count_rewrite": """
+        WITH raw AS (
+            SELECT c_custkey % 4 AS variant,
+                   CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey % 1000 AS VARCHAR)
+                        WHEN c_custkey % 4 = 1 THEN CAST(c_custkey % 90 + 1 AS VARCHAR) || 'k'
+                        WHEN c_custkey % 4 = 2 THEN CAST(c_custkey % 9 + 1 AS VARCHAR) || 'M'
+                        ELSE 'User Info Error' END AS s
+            FROM customer
+        )
+        SELECT variant, COUNT(*) AS n_rows, COUNT(followers) AS n_parsed,
+               CAST(SUM(followers) AS BIGINT) AS total_followers
+        FROM (SELECT variant,
+                     TRY_CAST(regexp_replace(regexp_replace(s, 'k', '000', 'g'),
+                                             'M', '000000', 'g') AS INT) AS followers
+              FROM raw)
+        GROUP BY variant
+    """,
+    "null_propagating_concat": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(user_name) AS n_null_names,
+               COUNT(DISTINCT user_name) AS n_distinct_names
+        FROM (SELECT (CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_name END)
+                     || ' ' || c_mktsegment AS user_name
+              FROM customer)
+    """,
+    "array_pack_access": """
+        SELECT l_returnflag,
+               ROUND(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+               COUNT(*) AS n_rows
+        FROM (SELECT l_returnflag,
+                     [l_extendedprice, l_discount][1] AS price
+              FROM lineitem)
+        GROUP BY l_returnflag
+    """,
+    "distinct_status_priority": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "case_bucket_counts": f"""
+        SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n_customers
+        FROM customer GROUP BY bucket
+    """,
+}
+
+QUERIES = {
+    "q1_category_per_country": q1_category_per_country,
+    "q2_count_per_year": q2_count_per_year,
+    "q3a_top_account_per_nation": q3a_top_account_per_nation,
+    "q3b_global_top_account": q3b_global_top_account,
+    "q4_distinct_pairs_per_bucket": q4_distinct_pairs_per_bucket,
+    "q5_median_price_per_bucket": q5_median_price_per_bucket,
+    "q6_customers_per_year": q6_customers_per_year,
+    "q7_median_price_per_year": q7_median_price_per_year,
+    "q8_median_price_bucket_year": q8_median_price_bucket_year,
+    "scan_filter_project": scan_filter_project,
+    "sentinel_null_normalize": sentinel_null_normalize,
+    "follower_count_rewrite": follower_count_rewrite,
+    "null_propagating_concat": null_propagating_concat,
+    "array_pack_access": array_pack_access,
+    "distinct_status_priority": distinct_status_priority,
+    "case_bucket_counts": case_bucket_counts,
+}

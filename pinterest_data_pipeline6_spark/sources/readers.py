@@ -73,7 +73,29 @@ def load_testdata_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
     for name in TESTDATA_TABLES:
         p = Path(sf_dir) / f"{name}.parquet"
         if p.exists():
-            df = spark.read.parquet(str(p))
+            df = table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+# Parquet TIMESTAMP(NANOS) columns: Spark has no nanosecond timestamp type
+# (PARQUET_TYPE_ILLEGAL on read), so these are read as raw nano longs via the
+# legacy conf and truncated to microsecond timestamps — the oracle SQL applies
+# the same truncation (CAST(ts AS TIMESTAMP) in DuckDB) so orderings agree.
+_TS_NANO_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided testdata table (explicit path, no catalog)."""
+    path = str(Path(sf_dir) / f"{name}.parquet")
+    nano_cols = _TS_NANO_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # integer DIV keeps full precision (ns values overflow double)
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df

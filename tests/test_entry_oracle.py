@@ -1,0 +1,88 @@
+"""Driver-contract differential: every ``__spark_entry__.queries()``
+entry must hash-match its ``oracle_sql()`` twin on DuckDB at sf0.01
+(row-count + schema column set + order-insensitive value hash) —
+a local mirror of the harness gate described in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(value):
+    """Canonical string for one cell (float tolerance via rounding)."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return f"{value:.6g}"
+    return str(value)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_oracle():
+    missing = [k for k in QUERIES if k not in ORACLES]
+    assert not missing, f"queries without oracle_sql: {missing}"
+
+
+def test_every_oracle_has_query():
+    extra = [k for k in ORACLES if k not in QUERIES]
+    assert not extra, f"oracle_sql without queries entry: {extra}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    rel = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    s_cols, s_rows = _canon_rows(spark_cols, spark_rows)
+    d_cols, d_rows = _canon_rows(duck_cols, duck_rows)
+
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ][:5]
+    assert not mismatches, f"{name}: value mismatches (first 5): {mismatches}"
