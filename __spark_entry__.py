@@ -31,19 +31,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from pinterest_data_pipeline6_spark.operators import events, relational
+    from pinterest_data_pipeline6_spark.operators import dedup, events, relational, similarity, textops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(events.QUERIES)
+    out.update(textops.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` entry."""
-    from pinterest_data_pipeline6_spark.operators import events, relational
+    from pinterest_data_pipeline6_spark.operators import dedup, events, relational, similarity, textops
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
     out.update(events.ORACLE)
+    out.update(textops.ORACLE)
+    out.update(dedup.ORACLE)
+    out.update(similarity.ORACLE)
     return out

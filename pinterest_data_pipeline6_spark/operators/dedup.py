@@ -1,0 +1,367 @@
+"""Deduplication operator family over ``documents`` / ``embeddings``:
+exact, MinHash+LSH banding, SimHash, n-gram Jaccard, embedding-cosine.
+
+These are the dedup primitives of a web-scale training-data pipeline,
+expressed Spark-first:
+
+- **exact**: hash-groupBy on normalized text — one shuffle, the shuffle
+  carries 16-byte digests, not documents;
+- **MinHash+LSH**: shingle → m=16 portable hashes → per-doc min
+  signature (ONE shuffle: partial+final min agg) → 4 bands x 4 rows →
+  band-key self-equijoin. At 100 TB the band join is the only pairwise
+  step and it only ever compares docs that share a band bucket — never
+  O(n²);
+- **SimHash**: per-token 60-bit hash, 32 signed bit-votes aggregated per
+  doc (partial+final sum agg), sign → 32-bit fingerprint. Hamming-ball
+  lookups then run on the compact fingerprint table;
+- **n-gram Jaccard**: exact verification on candidate blocks
+  ((lang, size-bucket) blocking here; band buckets in a full pipeline) —
+  the expensive exact measure runs only inside blocks;
+- **embedding cosine**: same-label blocked pairs, double-precision
+  left-fold dot product (bit-identical in DuckDB — see oracle).
+
+Every hash is the portable ``md5-hex → bigint`` primitive shared with
+the DuckDB oracles, so candidate pairs match across engines exactly.
+All heavy lifting is Catalyst-native (higher-order functions + hash
+aggregates + equijoins); no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline6_spark.operators.textops import H64_SQL, _h64_spark
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 32
+JACCARD_THRESHOLD = 0.2
+COSINE_FLAG = 0.3
+
+
+def _shingles(toks: Column) -> Column:
+    """Distinct word 3-gram shingles (guarded for < 3 tokens)."""
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+_SHINGLES_SQL = """list_distinct(list_transform(
+    generate_series(1, len(string_split(text,' ')) - 2),
+    i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))"""
+
+
+def dedup_exact_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup accounting per source: md5 over normalized text.
+    The distinct-count shuffle moves digests only."""
+    docs = table(spark, sf, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        docs.select("source", digest.alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("digest").alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+# Universal-hash family over one base md5 per shingle: h_i = (A_i * (h mod P)
+# + B_i) mod P with P = 2^31 - 1. A_i*(h mod P) < 2^5 * 2^31 < 2^63 — no
+# overflow in either engine (DuckDB errors on bigint overflow, Spark wraps,
+# so staying in range is a correctness requirement, not a nicety).
+MINHASH_P = 2_147_483_647
+_MINHASH_A = [2 * i + 3 for i in range(N_MINHASH)]   # 3,5,..,33 — all coprime with P
+_MINHASH_B = [7919 * (i + 1) for i in range(N_MINHASH)]
+
+
+def _minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, m_0..m_15): min universal hash per permutation. ONE md5
+    per shingle (the 16 permutations are cheap arithmetic on it), one
+    explode, one partial+final min aggregate."""
+    docs = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    exploded = docs.select(
+        "doc_id", F.explode(_shingles(toks)).alias("shingle")
+    )
+    base = (_h64_spark(F.col("shingle")) % MINHASH_P).alias("hb")
+    hashed = exploded.select("doc_id", base)
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("hb") * _MINHASH_A[i] + _MINHASH_B[i]) % MINHASH_P).alias(f"m_{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+
+
+def minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all 4 minhashes of any band.
+    The self-join keys on (band_idx, band_key) — only bucket-mates are
+    ever compared, which is what keeps this sub-O(n²) at scale."""
+    sig = _minhash_signature(spark, sf)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash per document: per-token hash, signed bit votes
+    (token multiplicity counts), sign of each vote sets the bit."""
+    docs = table(spark, sf, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    hashed = exploded.select("doc_id", _h64_spark(F.col("tok")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        [
+            F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ],
+        start=F.lit(0),
+    )
+    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard over blocked candidate pairs
+    ((lang, n_chars DIV 100) blocking); emits pairs >= 0.2.
+
+    Scalable inverted-index formulation: explode (doc, shingle-hash),
+    equi-join on the shingle hash within blocks, count matches per pair
+    → |A ∩ B|; then jaccard = inter / (|A| + |B| - inter). Pairs sharing
+    ZERO shingles are never materialized — unlike a pairwise
+    array_intersect nested loop, which evaluates every blocked pair and
+    is O(pairs x set-size). At 100 TB this is a shuffle on the shingle
+    hash (skew-prone frequent shingles are exactly what AQE skew-join
+    splits)."""
+    docs = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        # floor, not cast: DuckDB CAST(double AS INT) rounds, Spark truncates
+        F.floor(F.col("n_chars") / 100).cast("int").alias("sz"),
+        F.transform(_shingles(toks), lambda s: _h64_spark(s)).alias("sh"),
+    )
+    e = d.select(
+        "doc_id", "lang", "sz", F.size("sh").alias("n_sh"), F.explode("sh").alias("h")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    inter = F.count("*")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.sz") == F.col("b.sz"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(inter.alias("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Double-precision left-fold cosine — the fold order matches the
+    DuckDB oracle's list_reduce, so results are bit-identical."""
+
+    def dot(x: Column, y: Column) -> Column:
+        prods = F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_cosine_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup scan, label-blocked: per label the pair count,
+    max cosine, and count above the flag threshold. The pairwise stage
+    runs only within label blocks (the ANN-bucketed path in
+    similarity.py replaces labels with LSH buckets at scale)."""
+    emb = table(spark, sf, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.label").alias("label"), cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+            F.sum(F.when(F.col("cos") > COSINE_FLAG, 1).otherwise(0)).alias("n_flagged"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (SQL assembled with plain loops — the generated
+# text mirrors the Spark expression tree clause for clause)
+# ---------------------------------------------------------------------------
+
+_min_exprs = [
+    f"MIN((hb * {_MINHASH_A[_i]} + {_MINHASH_B[_i]}) % {MINHASH_P}) AS m_{_i}"
+    for _i in range(N_MINHASH)
+]
+
+_SIG_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(_min_exprs)
+    + f"""
+    FROM (
+        SELECT doc_id, {H64_SQL.format(expr="shingle")} % {MINHASH_P} AS hb
+        FROM (
+            SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+            FROM documents
+        )
+    )
+    GROUP BY doc_id"""
+)
+
+_band_selects = []
+for _b in range(N_BANDS):
+    _cols = " || ',' || ".join(
+        f"CAST(m_{_b * ROWS_PER_BAND + _r} AS VARCHAR)" for _r in range(ROWS_PER_BAND)
+    )
+    _band_selects.append(
+        f"SELECT doc_id, {_b} AS band_idx, md5({_cols}) AS band_key FROM sig"
+    )
+_BAND_SQL = "\nUNION ALL\n".join(_band_selects)
+
+_VOTE_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(SIMHASH_BITS)
+)
+# per-term BIGINT cast: a bare 2147483648 literal would overflow INT32
+_SIMHASH_SUM = " + ".join(
+    f"CASE WHEN v_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for j in range(SIMHASH_BITS)
+)
+
+_COS_SQL = """(
+    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+)"""
+
+ORACLE: dict[str, str] = {
+    "dedup_exact_text": """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique
+        FROM documents GROUP BY source
+    """,
+    "minhash_band_pairs": f"""
+        WITH sig AS ({_SIG_SQL}),
+        banded AS ({_BAND_SQL})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    "simhash_fingerprints": f"""
+        SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash
+        FROM (
+            SELECT doc_id, {_VOTE_SQL}
+            FROM (SELECT doc_id, {H64_SQL.format(expr="tok")} AS h
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents))
+            GROUP BY doc_id
+        )
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH d AS (
+            SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS sz,
+                   list_transform({_SHINGLES_SQL}, s -> {H64_SQL.format(expr="s")}) AS sh
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, lang, sz, len(sh) AS n_sh, unnest(sh) AS h FROM d
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+            FROM e a JOIN e b
+              ON a.h = b.h AND a.lang = b.lang AND a.sz = b.sz
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "embedding_cosine_stats": f"""
+        SELECT a.label AS label, COUNT(*) AS n_pairs,
+               ROUND(MAX({_COS_SQL}), 4) AS max_cos,
+               CAST(SUM(CASE WHEN {_COS_SQL} > {COSINE_FLAG} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY a.label
+    """,
+}
+
+QUERIES = {
+    "dedup_exact_text": dedup_exact_text,
+    "minhash_band_pairs": minhash_band_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_cosine_stats": embedding_cosine_stats,
+}

@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (array<float>):
+brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane LSH bucketed variant as the 100 TB scale path.
+
+Spark-first design:
+- the query set is tiny and the corpus is huge → the query side is
+  broadcast, so the top-k scan is ONE pass over the corpus with no
+  shuffle of the embedding column;
+- per-query top-k uses a row_number window over (query, cosine) — at
+  scale this is a partial top-k per partition via AQE, never a global
+  sort of the corpus;
+- the LSH variant assigns every vector a deterministic b-bit signature
+  (sign of dot(v, h_i) for pseudo-random hyperplanes h_i derived from
+  the portable md5 hash); search compares only bucket-mates — the same
+  sub-O(n²) shape as dedup.minhash_band_pairs.
+
+All arithmetic is double-precision left-fold (bit-identical to the
+DuckDB oracle); hyperplane components are integers in [-1000, 1000]
+derived from the portable hash, so both engines build the exact same
+hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pinterest_data_pipeline6_spark.operators.dedup import _cosine
+from pinterest_data_pipeline6_spark.operators.textops import H64_SQL, _h64_spark
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+LSH_BITS = 8
+DIM = 64
+
+
+def knn_brute_force(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 for each query vector (vec_id < 5), self
+    excluded. Broadcast the 5 queries; one corpus scan, one small
+    window."""
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _hyperplane(i: int) -> Column:
+    """Deterministic pseudo-random hyperplane i: component j is
+    h64('hp|i|j') % 2001 - 1000 (integer in [-1000, 1000], exactly
+    representable in double — identical in the DuckDB oracle)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda j: (
+            _h64_spark(F.concat(F.lit(f"hp|{i}|"), j.cast("string"))) % 2001 - 1000
+        ).cast("double"),
+    )
+
+
+def _signature(v: Column) -> Column:
+    """b-bit sign signature of v against the LSH_BITS hyperplanes."""
+    sig = F.lit(0)
+    for i in range(LSH_BITS):
+        dot = F.aggregate(
+            F.zip_with(v, _hyperplane(i), lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        sig = sig + F.when(dot > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket occupancy of the 8-bit hyperplane signature — the data
+    layout the bucketed search runs on (and a direct check that both
+    engines derive identical signatures for every vector)."""
+    emb = table(spark, sf, "embeddings")
+    return (
+        emb.select(_signature(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-10: candidates limited to the query's signature
+    bucket (single-probe). Recall < 1 by construction; at 100 TB the
+    bucket join replaces the full-corpus scan — candidates are
+    co-partitioned by signature, embeddings never shuffle globally."""
+    emb = table(spark, sf, "embeddings")
+    signed = emb.select("vec_id", "embedding", _signature(F.col("embedding")).alias("bucket"))
+    q = signed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(
+            signed,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def _cos_sql(a: str, b: str) -> str:
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (p, q) -> p + q)"
+        )
+
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+_SIG_TERMS = []
+for _i in range(LSH_BITS):
+    _dot_i = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"j -> CAST(embedding[j] AS DOUBLE) * CAST("
+        + H64_SQL.format(expr=f"'hp|{_i}|' || j")
+        + " % 2001 - 1000 AS DOUBLE)), (p, q) -> p + q)"
+    )
+    _SIG_TERMS.append(f"CASE WHEN {_dot_i} > 0 THEN {2**_i} ELSE 0 END")
+_SIG_SQL = "CAST(" + " + ".join(_SIG_TERMS) + " AS INT)"
+
+_KNN_BRUTE_SQL = f"""
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) DESC,
+                            c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+"""
+
+_KNN_LSH_SQL = f"""
+    WITH signed AS (
+        SELECT vec_id, embedding, {_SIG_SQL} AS bucket FROM embeddings
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) DESC,
+                            c.vec_id ASC) AS rank
+        FROM signed q JOIN signed c
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+"""
+
+ORACLE: dict[str, str] = {
+    "knn_brute_force": _KNN_BRUTE_SQL,
+    "lsh_bucket_histogram": f"""
+        SELECT {_SIG_SQL} AS bucket, COUNT(*) AS n_vectors
+        FROM embeddings GROUP BY bucket
+    """,
+    "knn_lsh_bucketed": _KNN_LSH_SQL,
+}
+
+QUERIES = {
+    "knn_brute_force": knn_brute_force,
+    "lsh_bucket_histogram": lsh_bucket_histogram,
+    "knn_lsh_bucketed": knn_lsh_bucketed,
+}

@@ -1,0 +1,228 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+heuristic language-ID, quality scoring, document fingerprinting.
+
+These extend the reference's capability surface (SURVEY.md §2.8 scalar
+functions) with the text operators a large-scale training-data pipeline
+needs. Everything is Catalyst-native (split / filter / transform /
+aggregate higher-order functions) — no Python UDFs — so the plans stay
+inside whole-stage codegen and scale linearly with a parquet scan: no
+shuffle at all for the per-document operators, one partial+final hash
+aggregate for the rollups.
+
+Cross-engine determinism: the only hash used is the portable
+``md5-hex → bigint`` primitive (first 15 hex chars = 60 bits, always
+positive, exactly representable both engines — see ``_h64_spark`` /
+``H64_SQL``); ratios are rounded to 4 decimals before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic toy lists — the operator contract (tokenize →
+# per-language evidence ratio → argmax with a stable tiebreak) is what
+# matters, not lexicon quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "fast", "slow"),
+    "es": ("el", "la", "de", "y", "valor", "tabla"),
+    "fr": ("le", "la", "de", "et", "valeur", "table"),
+    "de": ("der", "die", "das", "und", "wert", "tabelle"),
+    "zh": ("de", "he", "biao", "zhi", "hang", "lie"),
+}
+
+
+def _h64_spark(c: Column) -> Column:
+    """Portable 60-bit hash: bigint of the first 15 hex chars of md5.
+    Identical to ``H64_SQL`` in DuckDB (verified bit-for-bit)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+H64_SQL = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    return F.split(F.col(col), " ")
+
+
+def token_count_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language token statistics: docs, total/avg tokens, distinct
+    token ratio. One narrow scan + one hash aggregate."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens()
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_distinct") / F.col("n_tokens")), 4).alias("avg_distinct_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def lang_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language-ID (marker-token ratio, argmax with stable
+    alphabetical tiebreak) vs the labeled ``lang`` — emitted as a
+    confusion-matrix rollup. Per-document scoring is shuffle-free."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens()
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = docs.select("lang", *scores)
+    langs = sorted(LANG_MARKERS)  # alphabetical = stable tiebreak order
+    best = F.col(f"s_{langs[0]}")
+    pred = F.lit(langs[0])
+    for lg in langs[1:]:
+        cond = F.col(f"s_{lg}") > best
+        pred = F.when(cond, lg).otherwise(pred)
+        best = F.when(cond, F.col(f"s_{lg}")).otherwise(best)
+    return (
+        scored.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def quality_score_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score per doc (length score, mean word length,
+    distinct-token ratio), bucketed to a 0-9 decile-ish histogram.
+    Mirrors the length/stopword-ratio heuristics of web-scale corpus
+    filters; all row-local, then one aggregate."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    mean_wlen = (F.col("n_chars") - (n_tok - 1)) / n_tok  # chars minus spaces
+    wlen_score = F.least(mean_wlen / F.lit(6.0), F.lit(1.0))
+    score = F.round(
+        0.4 * len_score + 0.4 * diversity + 0.2 * wlen_score, 6
+    )
+    bucket = F.least(F.floor(score * 10), F.lit(9)).cast("int")
+    return (
+        docs.select(bucket.alias("q_bucket"))
+        .groupBy("q_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("q_bucket")
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document fingerprint: min/max portable hash over distinct word
+    3-gram shingles (the winnowing primitive used by near-dup pipelines).
+    Shingling via transform over an index sequence — no explode, no
+    shuffle; the document row count is preserved."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens()
+    # guard: Spark's sequence(0, n) DESCENDS when n < 0 (docs with < 3
+    # tokens), unlike DuckDB's generate_series which returns empty
+    shingles = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    hashes = F.transform(shingles, lambda s: _h64_spark(s))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(hashes).alias("n_shingles"),
+    )
+
+
+def _markers_sql(markers: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+
+
+_LANGS_SORTED = sorted(LANG_MARKERS)
+
+
+def _lang_pred_sql() -> str:
+    """DuckDB expression chain replicating the Spark argmax fold."""
+    score_defs = ",\n               ".join(
+        f"len(list_filter(toks, t -> list_contains({_markers_sql(LANG_MARKERS[lg])}, t))) AS s_{lg}"
+        for lg in _LANGS_SORTED
+    )
+    pred = f"'{_LANGS_SORTED[0]}'"
+    best = f"s_{_LANGS_SORTED[0]}"
+    for lg in _LANGS_SORTED[1:]:
+        pred = f"CASE WHEN s_{lg} > {best} THEN '{lg}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lg} > {best} THEN s_{lg} ELSE {best} END"
+    return f"""
+        SELECT lang, {pred} AS pred_lang
+        FROM (SELECT lang, {score_defs}
+              FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
+    """
+
+
+ORACLE: dict[str, str] = {
+    "token_count_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(AVG(n_tokens), 4) AS avg_tokens,
+               ROUND(AVG(CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS avg_distinct_ratio
+        FROM (SELECT lang,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct
+              FROM documents)
+        GROUP BY lang
+    """,
+    "lang_id_confusion": f"""
+        SELECT lang, pred_lang, COUNT(*) AS n_docs
+        FROM ({_lang_pred_sql()})
+        GROUP BY lang, pred_lang
+    """,
+    "quality_score_buckets": """
+        SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS q_bucket,
+               COUNT(*) AS n_docs
+        FROM (
+            SELECT ROUND(
+                0.4 * LEAST(n_chars / 400.0, 1.0)
+              + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+              + 0.2 * LEAST(((n_chars - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE)) / 6.0, 1.0),
+              6) AS score
+            FROM (SELECT n_chars, string_split(text, ' ') AS toks FROM documents)
+        )
+        GROUP BY q_bucket
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id,
+               list_min(hashes) AS fp_min,
+               list_max(hashes) AS fp_max,
+               CAST(len(hashes) AS INT) AS n_shingles
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_distinct(
+                           list_transform(generate_series(1, len(toks) - 2),
+                                          i -> array_to_string(toks[i:i+2], ' '))),
+                       s -> {H64_SQL.format(expr="s")}) AS hashes
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        )
+    """,
+}
+
+QUERIES = {
+    "token_count_stats": token_count_stats,
+    "lang_id_confusion": lang_id_confusion,
+    "quality_score_buckets": quality_score_buckets,
+    "doc_fingerprints": doc_fingerprints,
+}
