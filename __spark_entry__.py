@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from pinterest_data_pipeline6_spark.operators import dedup, events, relational, similarity, textops
+    from pinterest_data_pipeline6_spark.operators import dedup, events, multimodal, relational, similarity, textops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -39,12 +39,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textops.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` entry."""
-    from pinterest_data_pipeline6_spark.operators import dedup, events, relational, similarity, textops
+    from pinterest_data_pipeline6_spark.operators import dedup, events, multimodal, relational, similarity, textops
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
@@ -52,4 +53,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(textops.ORACLE)
     out.update(dedup.ORACLE)
     out.update(similarity.ORACLE)
+    out.update(multimodal.ORACLE)
     return out

@@ -175,3 +175,24 @@ def write_fixtures(out_dir: str | Path, n_rows: int = 1000, seed: int = 42, dedu
         pq.write_table(table, p)
         paths[name] = str(p)
     return paths
+
+
+def write_fixtures_jsonl(
+    out_dir: str | Path, n_rows: int = 1000, seed: int = 42, dedup_safe: bool = False
+) -> dict[str, str]:
+    """Write the three raw tables as JSON-line payload files (one dir per
+    entity, the wire shape the streaming source consumes — one JSON
+    object per record, cf. EMU:68-74). Returns entity -> dir path."""
+    import json
+
+    out = Path(out_dir)
+    paths = {}
+    for name, table in generate_raw_tables(n_rows, seed, dedup_safe).items():
+        entity = name.removeprefix("raw_")
+        d = out / entity
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / "part-0000.jsonl", "w") as f:
+            for row in table.to_pylist():
+                f.write(json.dumps(row, default=str) + "\n")
+        paths[entity] = str(d)
+    return paths

@@ -1,0 +1,236 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDF
+pipelines (``mapInPandas``).
+
+The decode step itself is STUBBED (this environment ships no
+image/audio codecs — see ``_decode_image``): real deployments swap the
+stub for PIL/torchaudio/ffmpeg calls without touching any Spark-side
+plumbing. Everything around the stub is real and tested: the schema
+contract, Arrow batch shapes, per-partition batching, the fan-out
+(frame sampling) iterator pattern, and the deterministic fake feature
+path used by tests and oracles.
+
+Scale notes:
+- payloads never pass through Python row-by-row — ``mapInPandas``
+  moves whole Arrow record batches; ``spark.sql.execution.arrow.
+  maxRecordsPerBatch`` bounds batch memory for fat binaries;
+- the feature extractor is a narrow map (no shuffle); downstream
+  similarity joins reuse operators/similarity.py on the emitted
+  vectors;
+- metadata filters (kind/width/duration) are plain Catalyst predicates
+  on the struct column — pushed to the scan, so decode only ever runs
+  on the selected subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic media table derived from ``documents``: the payload
+    is the utf-8 text bytes (a stand-in for real image/audio bytes with
+    a known generator), kind cycles image/audio/video, metadata is
+    derived from doc stats. Catalyst-native — no Python in this step."""
+    docs = table(spark, sf, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def _decode_image(payload: bytes) -> bytes:
+    """STUB — real image decode (PIL/libjpeg) is unavailable in this
+    environment. Deployments replace this function only; the Spark
+    plumbing around it is codec-agnostic."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "swap _decode_image for a real decoder (e.g. PIL.Image.open)"
+    )
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake feature vector: mean byte value of ``dim``
+    equal-width chunks, scaled to [0, 1]. Stands in for a real encoder
+    with the same signature (bytes -> fixed-dim vector)."""
+    if not payload:
+        return [0.0] * dim
+    n = len(payload)
+    step = max(n // dim, 1)
+    feats = []
+    for i in range(dim):
+        chunk = payload[i * step : (i + 1) * step] or payload[-step:]
+        feats.append(round(sum(chunk) / len(chunk) / 255.0, 6))
+    return feats
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads. The UDF
+    receives whole pandas batches (never Python rows); output rows map
+    1:1 to inputs, schema is declared up front."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": [_fake_features(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 4, frame_size: int = 32) -> DataFrame:
+    """Frame sampling for video payloads: chop the payload into
+    ``frame_size``-byte frames, keep every ``every``-th — the fan-out
+    (1 row -> N rows) mapInPandas iterator pattern a real video
+    frame-sampler uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = [
+                    payload[o : o + frame_size]
+                    for o in range(0, len(payload), frame_size)
+                ]
+                for i in range(0, len(frames), every):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_frames.append(frames[i])
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    video = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return video.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def media_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-kind payload accounting over the synthesized media table —
+    metadata/byte-length handling stays fully Catalyst-side (no decode
+    needed for this class of query)."""
+    media = synthesize_media(spark, sf)
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.col("meta.width")).alias("max_width"),
+            F.max(F.col("meta.duration_ms")).alias("max_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+def media_feature_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end multimodal pipeline: synthesize -> Arrow-batched
+    feature extraction (Pandas UDF) -> per-kind rollup of the first
+    feature component. Not SQL-expressible (the extractor is opaque
+    Python) — registered without an oracle; the driver records a
+    rows-only check and tests/test_multimodal.py pins exact values."""
+    feats = extract_features(synthesize_media(spark, sf))
+    return (
+        feats.select("kind", F.col("features").getItem(0).alias("f0"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.round(F.sum(F.col("f0").cast("decimal(18,6)")).cast("double"), 4).alias("sum_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "media_payload_stats": """
+        SELECT kind, COUNT(*) AS n_media,
+               CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+               MAX(width) AS max_width, MAX(duration_ms) AS max_duration_ms
+        FROM (
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   encode(text) AS payload,
+                   CAST(n_chars % 640 AS INT) AS width,
+                   CAST(n_chars * 10 AS INT) AS duration_ms
+            FROM documents
+        )
+        GROUP BY kind
+    """,
+    # media_feature_rollup: intentionally no oracle (opaque Python
+    # feature extractor) — rows-only check by the driver.
+}
+
+QUERIES = {
+    "media_payload_stats": media_payload_stats,
+    "media_feature_rollup": media_feature_rollup,
+}

@@ -1,0 +1,9 @@
+from pinterest_data_pipeline6_spark.plans.checks import (  # noqa: F401
+    executed_plan,
+    final_plan,
+    has_broadcast_join,
+    has_pushed_filter,
+    has_take_ordered,
+    read_schema_columns,
+    wholestage_codegen_count,
+)

@@ -1,0 +1,134 @@
+"""Structured Streaming path: payload deserialization, cleaning reuse,
+append sinks, watermarked stateful ops.
+
+Mirrors the reference's Kinesis notebook ("(Clone) Kinesis Data
+Stream.py") with idiomatic Structured Streaming:
+
+- **ST1 deserialization** (STREAM:49-51,79-81,108-110): payload string →
+  ``from_json(schema)`` → ``data.*`` flatten. Locally the unbounded
+  source is a file stream of JSON-line payloads (same downstream
+  contract as Kinesis/Kafka: a string ``value`` column); on a real
+  cluster swap ``readStream.format("kafka")`` in — nothing downstream
+  changes.
+- **Batch/stream parity** (STREAM:117-163 reuses the batch cleaners
+  verbatim): ``clean_stream`` applies the SAME ``clean_pin``/
+  ``clean_geo``/``clean_user`` functions from functions/cleaning.py.
+- **ST2 stateful dedup**: reference mode is ``dropDuplicates`` with NO
+  watermark (unbounded state — reproduced on purpose, SURVEY.md §2.9);
+  ``watermarked_geo_dedup`` is the robust variant
+  (``withWatermark`` + ``dropDuplicatesWithinWatermark``) whose state
+  store stays bounded at 100 TB/day ingest.
+- **ST3 append sink** (STREAM:174-192): ``writeStream`` append mode with
+  a checkpoint dir per stream — exactly-once into the table path.
+- **ST4 earliest replay**: the file source reads all existing files
+  first, the same contract as ``initialPosition='earliest'``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pinterest_data_pipeline6_spark.functions.cleaning import clean_geo, clean_pin, clean_user
+from pinterest_data_pipeline6_spark.schemas import RAW_GEO_SCHEMA, RAW_PIN_SCHEMA, RAW_USER_SCHEMA
+
+_SCHEMAS = {"pin": RAW_PIN_SCHEMA, "geo": RAW_GEO_SCHEMA, "user": RAW_USER_SCHEMA}
+_CLEANERS = {"pin": clean_pin, "geo": clean_geo, "user": clean_user}
+
+
+def read_payload_stream(spark: SparkSession, entity: str, path: str) -> DataFrame:
+    """Unbounded read of JSON-line payloads + ST1 deserialization:
+    string value → from_json(declared schema) → struct flatten. The
+    ``text`` source yields the same one-string-column contract as a
+    Kafka/Kinesis ``CAST(data AS STRING)`` (STREAM:49)."""
+    raw = spark.readStream.text(path)
+    return raw.select(
+        F.from_json(F.col("value"), _SCHEMAS[entity]).alias("data")
+    ).select("data.*")
+
+
+def clean_stream(entity: str, df: DataFrame) -> DataFrame:
+    """Apply the batch cleaner to a streaming DataFrame — parity by
+    construction (STREAM:117-163). Reference semantics: arbitrary-row
+    stateful dedup, no watermark."""
+    return _CLEANERS[entity](df, deterministic=False)
+
+
+def watermarked_geo_dedup(df: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Robust-mode geo cleaning: event-time watermark then
+    ``dropDuplicatesWithinWatermark`` on ``ind`` — bounded state,
+    late rows beyond ``delay`` dropped deterministically."""
+    parsed = (
+        df.withColumn("coordinates", F.array("latitude", "longitude"))
+        .drop("latitude", "longitude")
+        .select("ind", "country", "coordinates", "timestamp")
+        .withColumn("timestamp", F.to_timestamp("timestamp"))
+    )
+    return parsed.withWatermark("timestamp", delay).dropDuplicatesWithinWatermark(["ind"])
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", delay: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of
+    operators/events.tumbling_hourly_agg (same logical result on a
+    bounded input). State per (window, event_type) only; closed windows
+    are emitted and evicted once the watermark passes."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
+
+
+def write_append(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """ST3: append-mode sink with checkpoint (STREAM:174-192 writes
+    Delta on Databricks; parquet locally — the contract is identical).
+    ``available_now`` processes everything present then stops — the
+    batch-like trigger used by tests and backfills."""
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    source_dirs: dict[str, str],
+    sink_root: str,
+    available_now: bool = True,
+) -> dict[str, StreamingQuery]:
+    """The full STREAM notebook analog: three payload streams → clean →
+    three append tables, one checkpoint each (STREAM:174-192)."""
+    queries: dict[str, StreamingQuery] = {}
+    for entity, src in source_dirs.items():
+        stream = read_payload_stream(spark, entity, src)
+        cleaned = clean_stream(entity, stream)
+        queries[entity] = write_append(
+            cleaned,
+            path=f"{sink_root}/{entity}_table",
+            checkpoint=f"{sink_root}/_checkpoints/{entity}",
+            available_now=available_now,
+        )
+    return queries

@@ -1,0 +1,78 @@
+"""Plan-shape assertions: the physical properties each operator relies
+on at scale (SURVEY.md §4). A failure here means Catalyst stopped
+producing the plan the operator was designed around — a performance
+regression even if results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pinterest_data_pipeline6_spark.operators import dedup, events, relational, similarity
+from pinterest_data_pipeline6_spark.plans import (
+    executed_plan,
+    has_broadcast_join,
+    has_pushed_filter,
+    has_take_ordered,
+    read_schema_columns,
+    wholestage_codegen_count,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = relational.scan_filter_project(spark, SF)
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning(spark):
+    df = relational.scan_filter_project(spark, SF)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    # 4 projected + 2 filter columns — never the full 16-column lineitem
+    assert all(len(s) <= 6 for s in schemas), schemas
+
+
+def test_dim_join_broadcasts(spark):
+    df = relational.q1_category_per_country(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_global_top1_is_takeordered(spark):
+    assert has_take_ordered(relational.q3b_global_top_account(spark, SF))
+
+
+def test_topk_events_is_takeordered(spark):
+    assert has_take_ordered(events.topk_events(spark, SF))
+
+
+def test_queries_stay_in_codegen(spark):
+    for fn in (relational.q1_category_per_country, relational.q5_median_price_per_bucket):
+        assert wholestage_codegen_count(fn(spark, SF)) >= 2
+
+
+def test_no_cartesian_in_blocked_pairs(spark):
+    """Blocked pair generation must hash-join on the block keys — a
+    nested-loop cartesian over documents would be O(n^2) at scale."""
+    plan = executed_plan(dedup.ngram_jaccard_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_broadcasts_query_side(spark):
+    plan = executed_plan(similarity.knn_brute_force(spark, SF))
+    assert "Broadcast" in plan
+
+
+def test_minhash_band_join_is_equijoin(spark):
+    plan = executed_plan(dedup.minhash_band_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_window_partial_topk(spark):
+    """q3a row_number window: one shuffle on the partition key, and the
+    rank filter exists so WindowGroupLimit (partial top-k) can apply."""
+    plan = executed_plan(relational.q3a_top_account_per_nation(spark, SF))
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2

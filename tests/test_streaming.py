@@ -1,0 +1,131 @@
+"""Streaming-path tests: deserialization contract, batch/stream parity
+(the reference reuses batch cleaners on streams — STREAM:117-163),
+watermarked dedup, windowed aggregation, full 3-stream pipeline.
+
+All tests use the file source + availableNow trigger (process all
+existing input then stop) — ST4's earliest-replay contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pinterest_data_pipeline6_spark import fixtures
+from pinterest_data_pipeline6_spark.functions.cleaning import clean_geo, clean_pin, clean_user
+from pinterest_data_pipeline6_spark.sources.readers import read_raw_parquet
+from pinterest_data_pipeline6_spark.streaming import (
+    clean_stream,
+    read_payload_stream,
+    run_streaming_pipeline,
+    watermarked_geo_dedup,
+    windowed_event_counts,
+    write_append,
+)
+from tests.conftest import df_to_sorted_rows
+
+
+@pytest.fixture(scope="module")
+def stream_src(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    return fixtures.write_fixtures_jsonl(d, n_rows=400, seed=11, dedup_safe=True)
+
+
+@pytest.fixture(scope="module")
+def batch_src(tmp_path_factory):
+    d = tmp_path_factory.mktemp("batch_src")
+    return fixtures.write_fixtures(d, n_rows=400, seed=11, dedup_safe=True)
+
+
+def _run_to_table(spark, df, root, name):
+    q = write_append(df, path=f"{root}/{name}", checkpoint=f"{root}/_ck/{name}")
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/{name}")
+
+
+def test_deserialization_contract(spark, stream_src):
+    """Payload string -> from_json(schema) -> data.* yields the declared
+    raw schema (ST1)."""
+    stream = read_payload_stream(spark, "pin", stream_src["pin"])
+    assert stream.isStreaming
+    names = [f.name for f in stream.schema.fields]
+    assert names[:3] == ["index", "unique_id", "title"]
+
+
+@pytest.mark.parametrize("entity", ["pin", "geo", "user"])
+def test_batch_stream_parity(spark, stream_src, batch_src, entity, tmp_path):
+    """The same cleaner over the same rows gives identical results on
+    the batch and streaming paths (dedup-safe fixtures so the
+    arbitrary-row dedup cannot diverge)."""
+    cleaner = {"pin": clean_pin, "geo": clean_geo, "user": clean_user}[entity]
+    batch = cleaner(
+        read_raw_parquet(spark, entity, batch_src[f"raw_{entity}"]), deterministic=False
+    )
+    stream = clean_stream(entity, read_payload_stream(spark, entity, stream_src[entity]))
+    sunk = _run_to_table(spark, stream, str(tmp_path), f"{entity}_table")
+    assert df_to_sorted_rows(sunk) == df_to_sorted_rows(batch)
+
+
+def test_watermarked_geo_dedup(spark, stream_src, tmp_path):
+    """Robust mode: dropDuplicatesWithinWatermark keeps one row per ind
+    (single micro-batch => same keyset as reference-mode dedup)."""
+    stream = read_payload_stream(spark, "geo", stream_src["geo"])
+    deduped = watermarked_geo_dedup(stream)
+    sunk = _run_to_table(spark, deduped, str(tmp_path), "geo_wm")
+    inds = [r["ind"] for r in sunk.select("ind").collect()]
+    assert len(inds) == len(set(inds)) > 0
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    """Streaming tumbling-window agg matches the batch groupBy twin on
+    the same bounded input. Complete-mode memory sink: append mode only
+    emits a closed window on a LATER micro-batch, which an availableNow
+    run over one file never executes."""
+    from pinterest_data_pipeline6_spark.sources.readers import table as read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "events_src"
+    src.mkdir()
+    pdf = ev.select("ts", "event_type", "value").toPandas()
+    (src / "part-0.jsonl").write_text(
+        pdf.to_json(orient="records", lines=True, date_format="iso")
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table("ev_hourly")
+
+    batch = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+    assert df_to_sorted_rows(sunk) == df_to_sorted_rows(batch)
+
+
+def test_full_pipeline(spark, stream_src, tmp_path):
+    """Three payload streams -> clean -> three append tables (the
+    STREAM:174-192 notebook analog)."""
+    queries = run_streaming_pipeline(spark, stream_src, str(tmp_path))
+    for q in queries.values():
+        q.awaitTermination()
+    for entity, n_cols in (("pin", 11), ("geo", 4), ("user", 4)):
+        out = spark.read.parquet(f"{tmp_path}/{entity}_table")
+        assert out.count() > 0
+        assert len(out.columns) == n_cols
