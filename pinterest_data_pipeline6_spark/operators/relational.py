@@ -286,6 +286,19 @@ def distinct_status_priority(spark: SparkSession, sf: str) -> DataFrame:
     return table(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
 
+def offset_row_pick(spark: SparkSession, sf: str) -> DataFrame:
+    """O5 (EMU:40,46,52): offset-based row pick — ORDER BY key LIMIT 1
+    OFFSET n (the emulator's ``LIMIT {random_row}, 1`` shape). Spark
+    plans offset+limit as a single GlobalLimit over a TakeOrdered."""
+    return (
+        table(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .offset(41)
+        .limit(1)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
 def case_bucket_counts(spark: SparkSession, sf: str) -> DataFrame:
     """A6/F11 (BATCH:196-201): CASE bucketing as a group-by dimension."""
     customer = table(spark, sf, "customer")
@@ -413,6 +426,10 @@ ORACLE: dict[str, str] = {
     "distinct_status_priority": """
         SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
     """,
+    "offset_row_pick": """
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 41
+    """,
     "case_bucket_counts": f"""
         SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n_customers
         FROM customer GROUP BY bucket
@@ -435,5 +452,6 @@ QUERIES = {
     "null_propagating_concat": null_propagating_concat,
     "array_pack_access": array_pack_access,
     "distinct_status_priority": distinct_status_priority,
+    "offset_row_pick": offset_row_pick,
     "case_bucket_counts": case_bucket_counts,
 }

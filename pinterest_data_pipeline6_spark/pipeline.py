@@ -1,0 +1,77 @@
+"""Batch pipeline entry point — the unit a daily scheduler invokes.
+
+``run_batch`` is the engine-side equivalent of the reference's
+orchestrated notebook run (DAG:27-41 fires "(Clone) Pinterest Data
+Cleaning and Queries" daily; retries belong to the scheduler, not the
+engine): read raw → clean → persist the three tables → run the 8-query
+workload → persist ``followers_table`` (Q3a's output is itself a saved
+table, BATCH:174).
+
+Everything is lazily planned and executed per-table by Catalyst; the
+only actions are the table writes and whatever the caller does with the
+returned query DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pinterest_data_pipeline6_spark.operators import analytics as A
+from pinterest_data_pipeline6_spark.sources.io import save_table
+from pinterest_data_pipeline6_spark.sources.readers import read_raw_json, read_raw_parquet
+
+
+def run_batch(
+    spark: SparkSession,
+    pin_path: str,
+    geo_path: str,
+    user_path: str,
+    fmt: str = "parquet",
+    deterministic: bool = True,
+    persist_tables: bool = True,
+) -> dict[str, DataFrame]:
+    """Read → clean → persist → query. Returns the 9 workload results
+    (q1..q8 + q3b over the persisted followers_table)."""
+    from pinterest_data_pipeline6_spark.functions.cleaning import (
+        clean_geo,
+        clean_pin,
+        clean_user,
+    )
+
+    reader = read_raw_parquet if fmt == "parquet" else read_raw_json
+    pin = clean_pin(reader(spark, "pin", pin_path), deterministic=deterministic)
+    geo = clean_geo(reader(spark, "geo", geo_path), deterministic=deterministic)
+    user = clean_user(reader(spark, "user", user_path), deterministic=deterministic)
+
+    if persist_tables:
+        # S5 sinks (BATCH:108-109,190): queries then read the persisted
+        # parquet (scan-time pruning/pushdown) instead of re-cleaning
+        save_table(pin, "pin_table")
+        save_table(geo, "geo_table")
+        save_table(user, "user_table")
+        pin = spark.table("pin_table")
+        geo = spark.table("geo_table")
+        user = spark.table("user_table")
+    else:
+        pin.createOrReplaceTempView("pin_table")
+        geo.createOrReplaceTempView("geo_table")
+        user.createOrReplaceTempView("user_table")
+
+    followers = A.q3a_most_followers_per_country(pin, geo)
+    if persist_tables:
+        save_table(followers, "followers_table")  # BATCH:174
+        followers = spark.table("followers_table")
+    else:
+        followers.createOrReplaceTempView("followers_table")
+
+    return {
+        "q1": A.q1_most_pop_category_per_country(pin, geo),
+        "q2": A.q2_post_count_per_year(pin, geo),
+        "q3a": followers,
+        "q3b": A.q3b_user_with_most_followers(followers),
+        "q4": A.q4_most_popular_category(pin, user),
+        "q5": A.q5_median_follower_count(pin, user),
+        "q6": A.q6_users_joined(user),
+        "q7": A.q7_med_users_per_join_year(pin, user),
+        "q8": A.q8_med_follower_join_age(pin, user),
+    }

@@ -1,0 +1,79 @@
+"""Table sinks and auxiliary sources (SURVEY.md §2.1 S1/S3/S5).
+
+- ``read_csv``: the S1 scan shape (``header``/``sep`` options, optional
+  declared schema). The reference reads its credential file as
+  ``format("delta")`` with CSV options (BATCH:14-17) — on a stock local
+  session Delta needs the delta-spark package, so ``read_table_any``
+  gates it behind availability and falls back to parquet/csv.
+- ``save_table``: S5 — persist a DataFrame as a managed table
+  (``saveAsTable``, overwrite), the unit the 8-query workload reads.
+- ``rm_checkpoint``: S3's ``dbutils.fs.rm(path, True)`` analog for
+  local checkpoints (plain shutil — dbutils is Databricks-only).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with explicit options; schema-first when provided (no
+    inference scan)."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True if the delta-spark package is on the classpath."""
+    try:
+        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def read_table_any(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Format-dispatching load; ``delta`` silently degrades to parquet
+    when the Delta package is absent (the storage layout the reference
+    relies on is 'columnar table at rest' — SURVEY.md §1.1)."""
+    if fmt == "delta" and not delta_available(spark):
+        fmt = "parquet"
+    return spark.read.format(fmt).load(path)
+
+
+def save_table(
+    df: DataFrame, name: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """S5: persist as a managed table (BATCH:108-109,174,190). At scale,
+    callers partition/bucket via ``df.repartition``/``bucketBy`` before
+    handing the frame in; this function owns only the catalog write.
+
+    Defensive against orphaned locations: a fresh session has an empty
+    in-memory catalog, but a previous run's warehouse directory may
+    survive — Spark then refuses the managed-table name
+    (LOCATION_ALREADY_EXISTS). Overwrite semantics here mean the orphan
+    dir is removed."""
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(name):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = Path(warehouse.removeprefix("file:")) / name.lower()
+        if loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
+    df.write.format(fmt).mode(mode).saveAsTable(name)
+
+
+def rm_checkpoint(path: str | Path) -> None:
+    """Remove a streaming checkpoint dir (STREAM:168-170 analog)."""
+    shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,98 @@
+"""End-to-end batch pipeline (X1/S5/S1/S2): run_batch over fixtures,
+saved-table catalog state, DF-vs-SQL agreement on persisted tables,
+CSV/JSON source shapes, and a hypothesis property test for the
+follower-count rewrite (SURVEY.md §5.2.5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pinterest_data_pipeline6_spark import fixtures, pipeline
+from pinterest_data_pipeline6_spark.operators.analytics import ANALYTICS_SQL
+from pinterest_data_pipeline6_spark.sources.io import read_csv, rm_checkpoint, save_table
+from pinterest_data_pipeline6_spark.sources.readers import read_raw_json
+from tests.conftest import df_to_sorted_rows
+
+
+@pytest.fixture(scope="module")
+def results(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe_raw")
+    paths = fixtures.write_fixtures(d, n_rows=600, seed=21, dedup_safe=True)
+    return pipeline.run_batch(
+        spark, paths["raw_pin"], paths["raw_geo"], paths["raw_user"]
+    )
+
+
+def test_tables_persisted(spark, results):
+    tables = {t.name for t in spark.catalog.listTables()}
+    assert {"pin_table", "geo_table", "user_table", "followers_table"} <= tables
+
+
+def test_workload_runs(results):
+    assert set(results) == {"q1", "q2", "q3a", "q3b", "q4", "q5", "q6", "q7", "q8"}
+    for name, df in results.items():
+        assert df.count() > 0, name
+
+
+def test_df_matches_sql_on_persisted_tables(spark, results):
+    """The DataFrame form and the reference's SQL text agree over the
+    SAVED tables (the workload's real input — BATCH:111-322)."""
+    for q in ("q1", "q2", "q4", "q6", "q8"):
+        sql_df = spark.sql(ANALYTICS_SQL[q])
+        assert df_to_sorted_rows(results[q]) == df_to_sorted_rows(sql_df), q
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    p = tmp_path / "creds.csv"
+    p.write_text("Access key ID,Secret access key\nAKIA123,s3cr3t\n")
+    df = read_csv(spark, str(p))
+    row = df.select("Access key ID").first()  # S9 driver-side fetch
+    assert row[0] == "AKIA123"
+
+
+def test_json_source_declared_schema(spark, tmp_path):
+    d = tmp_path / "pin_json"
+    paths = fixtures.write_fixtures_jsonl(tmp_path, n_rows=50, seed=5, dedup_safe=True)
+    df = read_raw_json(spark, "pin", paths["pin"])
+    assert df.schema["index"].dataType.typeName() == "integer"
+    assert df.count() == 50
+
+
+def test_rm_checkpoint(tmp_path):
+    ck = tmp_path / "ck"
+    (ck / "offsets").mkdir(parents=True)
+    rm_checkpoint(ck)
+    assert not ck.exists()
+
+
+def test_follower_rewrite_property(spark):
+    """Property: for any \\d{1,6}[kM]? string the rewrite equals the
+    plain-Python expansion; malformed strings become NULL."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+    from pinterest_data_pipeline6_spark.functions.cleaning import rewrite_follower_count
+
+    def py_expand(s: str) -> int | None:
+        t = s.replace("k", "000").replace("M", "000000")
+        return int(t) if t.isdigit() and -2**31 <= int(t) < 2**31 else None
+
+    @given(
+        st.lists(
+            st.one_of(
+                st.from_regex(r"\A[0-9]{1,6}[kM]?\Z"),
+                st.sampled_from(["User Info Error", "", "12x", "k", "M25"]),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def check(values):
+        df = spark.createDataFrame([(v,) for v in values], ["follower_count"])
+        out = [r[0] for r in rewrite_follower_count(df).collect()]
+        assert out == [py_expand(v) for v in values]
+
+    check()

@@ -88,7 +88,7 @@ def test_windowed_event_counts(spark, tmp_path):
     src.mkdir()
     pdf = ev.select("ts", "event_type", "value").toPandas()
     (src / "part-0.jsonl").write_text(
-        pdf.to_json(orient="records", lines=True, date_format="iso")
+        pdf.to_json(orient="records", lines=True, date_format="iso", date_unit="us")
     )
 
     schema = "ts timestamp, event_type string, value double"
