@@ -86,10 +86,17 @@ def q2_count_per_year(spark: SparkSession, sf: str) -> DataFrame:
     """J1+P7+F7+A1+O1 (BATCH:130-145): count per (year, category), range-filtered."""
     orders, customer, nation = (table(spark, sf, t) for t in ("orders", "customer", "nation"))
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        orders
+        # range form of YEAR(d) BETWEEN 1996 AND 2000: a year() wrapper
+        # blocks parquet pushdown (only IsNotNull reaches the scan); the
+        # equivalent date range prunes row groups on o_orderdate min/max
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") <= F.lit("2000-12-31"))
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .withColumn("post_year", F.year("o_orderdate").cast("int"))
-        .filter((F.col("post_year") >= 1996) & (F.col("post_year") <= 2000))
         .groupBy("post_year", F.col("o_orderpriority").alias("category"))
         .agg(F.count("*").alias("category_count"))
         .orderBy("post_year")
@@ -201,7 +208,12 @@ def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     a row-local double expression (deterministic)."""
     li = table(spark, sf, "lineitem")
     return (
-        li.filter((F.year("l_shipdate") == 1998) & (F.col("l_quantity") < 10))
+        li.filter(
+            # range form of year(l_shipdate)=1998 — pushdown-friendly
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") <= F.lit("1998-12-31"))
+            & (F.col("l_quantity") < 10)
+        )
         .select(
             "l_orderkey",
             F.col("l_linenumber").cast("int").alias("l_linenumber"),

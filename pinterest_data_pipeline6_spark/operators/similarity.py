@@ -58,20 +58,36 @@ def knn_brute_force(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _hp_component(i: int, j: int) -> float:
+    """Hyperplane i, component j: h64('hp|i|j') % 2001 - 1000 — an
+    integer in [-1000, 1000], exactly representable in double. Computed
+    ONCE driver-side with hashlib (bit-identical to Spark's md5/conv
+    and DuckDB's md5/hex-cast) and embedded as literals: the per-row
+    plan does 64 multiply-adds per bit instead of 64 md5 calls."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp|{i}|{j}".encode()).hexdigest()[:15], 16)
+    return float(h % 2001 - 1000)
+
+
+_HYPERPLANES: list[list[float]] = [
+    [_hp_component(i, j) for j in range(1, DIM + 1)] for i in range(LSH_BITS)
+]
+
+
 def _hyperplane(i: int) -> Column:
-    """Deterministic pseudo-random hyperplane i: component j is
-    h64('hp|i|j') % 2001 - 1000 (integer in [-1000, 1000], exactly
-    representable in double — identical in the DuckDB oracle)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda j: (
-            _h64_spark(F.concat(F.lit(f"hp|{i}|"), j.cast("string"))) % 2001 - 1000
-        ).cast("double"),
-    )
+    """Hyperplane i as a literal array column (constant-folded)."""
+    return F.array(*[F.lit(c) for c in _HYPERPLANES[i]])
 
 
 def _signature(v: Column) -> Column:
-    """b-bit sign signature of v against the LSH_BITS hyperplanes."""
+    """b-bit sign signature of v against the LSH_BITS hyperplanes.
+
+    zip_with + left-fold aggregate over the literal hyperplane arrays:
+    the fold's term order equals the oracle's explicit left-assoc sum
+    (0.0 + p1 ≡ p1). An unrolled 512-term expression tree was measured
+    ~4x SLOWER end-to-end here — codegen compilation of the giant tree
+    dominates — so the compact lambda form wins at both ends."""
     sig = F.lit(0)
     for i in range(LSH_BITS):
         dot = F.aggregate(
@@ -141,15 +157,16 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
 
 
+# signature oracle: hyperplane components embedded as literals (same
+# values as _HYPERPLANES); the dot product is an explicit left-assoc
+# sum, matching the Spark-side left fold term for term
 _SIG_TERMS = []
 for _i in range(LSH_BITS):
-    _dot_i = (
-        f"list_reduce(list_transform(generate_series(1, {DIM}), "
-        f"j -> CAST(embedding[j] AS DOUBLE) * CAST("
-        + H64_SQL.format(expr=f"'hp|{_i}|' || j")
-        + " % 2001 - 1000 AS DOUBLE)), (p, q) -> p + q)"
+    _dot_i = " + ".join(
+        f"CAST(embedding[{_j + 1}] AS DOUBLE) * ({_HYPERPLANES[_i][_j]!r})"
+        for _j in range(DIM)
     )
-    _SIG_TERMS.append(f"CASE WHEN {_dot_i} > 0 THEN {2**_i} ELSE 0 END")
+    _SIG_TERMS.append(f"CASE WHEN ({_dot_i}) > 0 THEN {2**_i} ELSE 0 END")
 _SIG_SQL = "CAST(" + " + ".join(_SIG_TERMS) + " AS INT)"
 
 _KNN_BRUTE_SQL = f"""
