@@ -142,6 +142,94 @@ def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+N_CELLS = 8
+
+
+def _cell_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-lite cell assignment: the first N_CELLS vectors (vec_id <
+    N_CELLS) are the fixed cell centroids (deterministic — a production
+    build would k-means them offline); every vector joins its
+    max-cosine centroid, ties to the lower cell id. The centroid side
+    broadcasts; assignment is one corpus scan."""
+    emb = table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    cos = _cosine(F.col("cv"), F.col("embedding"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        F.broadcast(cents)
+        .join(emb, how="cross")
+        .select("vec_id", "embedding", "cell", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cell").cast("int").alias("cell"))
+    )
+
+
+def ivf_cell_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Cell occupancy of the IVF-lite assignment (cross-engine check
+    that both engines derive identical partitions)."""
+    return (
+        _cell_assignment(spark, sf)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF single-probe top-10: each query searches only its own cell's
+    inverted list. At scale the corpus is stored partitioned by cell,
+    so a probe reads one partition — the IVF counterpart of the LSH
+    bucket join above."""
+    assigned = _cell_assignment(spark, sf)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    cos = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH signature (the scale
+    path that replaces dedup.embedding_cosine_stats' label blocking):
+    only bucket-mates are compared; emits per-bucket pair stats."""
+    emb = table(spark, sf, "embeddings")
+    signed = emb.select("vec_id", "embedding", _signature(F.col("embedding")).alias("bucket"))
+    a, b = signed.alias("a"), signed.alias("b")
+    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.bucket").alias("bucket"), cos.alias("cos"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -201,6 +289,35 @@ _KNN_LSH_SQL = f"""
     ) WHERE rank <= {TOP_K}
 """
 
+_ASSIGN_SQL = f"""
+    SELECT vec_id, embedding, CAST(cell AS INT) AS cell
+    FROM (
+        SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql("c.embedding", "e.embedding")} DESC,
+                            c.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_CELLS}) c
+    ) WHERE rn = 1
+"""
+
+_KNN_IVF_SQL = f"""
+    WITH assigned AS ({_ASSIGN_SQL})
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) DESC,
+                            c.vec_id ASC) AS rank
+        FROM assigned q JOIN assigned c
+          ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+"""
+
 ORACLE: dict[str, str] = {
     "knn_brute_force": _KNN_BRUTE_SQL,
     "lsh_bucket_histogram": f"""
@@ -208,10 +325,28 @@ ORACLE: dict[str, str] = {
         FROM embeddings GROUP BY bucket
     """,
     "knn_lsh_bucketed": _KNN_LSH_SQL,
+    "ivf_cell_histogram": f"""
+        WITH assigned AS ({_ASSIGN_SQL})
+        SELECT cell, COUNT(*) AS n_vectors FROM assigned GROUP BY cell
+    """,
+    "knn_ivf": _KNN_IVF_SQL,
+    "embedding_neardup_lsh": f"""
+        WITH signed AS (
+            SELECT vec_id, embedding, {_SIG_SQL} AS bucket FROM embeddings
+        )
+        SELECT a.bucket AS bucket, COUNT(*) AS n_pairs,
+               ROUND(MAX({_cos_sql("a.embedding", "b.embedding")}), 4) AS max_cos
+        FROM signed a JOIN signed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY a.bucket
+    """,
 }
 
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "knn_lsh_bucketed": knn_lsh_bucketed,
+    "ivf_cell_histogram": ivf_cell_histogram,
+    "knn_ivf": knn_ivf,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
 }
