@@ -87,7 +87,13 @@ _TS_NANO_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-provided testdata table (explicit path, no catalog)."""
+    """Read one driver-provided testdata table (explicit path, no catalog).
+
+    Pins the session timezone to UTC: every calendar function
+    (year/date_trunc/date_format) downstream of these tables must match
+    DuckDB's timezone-naive arithmetic regardless of which SparkSession
+    the caller built (the oracle harness uses its own)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = str(Path(sf_dir) / f"{name}.parquet")
     nano_cols = _TS_NANO_COLS.get(name, ())
     if nano_cols:
