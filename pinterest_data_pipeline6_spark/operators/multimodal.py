@@ -175,6 +175,33 @@ def sample_frames(media: DataFrame, every: int = 4, frame_size: int = 32) -> Dat
     return video.mapInPandas(run, FRAMES_SCHEMA)
 
 
+def resize_payloads(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize/downsample over binary payloads: keep every ``factor``-th
+    byte (the deterministic stand-in for an image resize — a real
+    implementation swaps the body for PIL thumbnail/resample with the
+    same signature and schema). 1:1 mapInPandas, same batch contract as
+    extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [bytes(p[::factor]) for p in pdf["payload"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
+
+
 def media_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-kind payload accounting over the synthesized media table —
     metadata/byte-length handling stays fully Catalyst-side (no decode

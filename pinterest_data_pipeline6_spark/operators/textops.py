@@ -71,6 +71,32 @@ def token_count_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+# symbols — the regex family subword tokenizers apply before merges
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Token accounting under a BPE-style pre-tokenization regex vs
+    plain whitespace — the budget numbers an LLM-data pipeline tracks.
+    regexp_count is row-local; one aggregate."""
+    docs = table(spark, sf, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+            F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def lang_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic language-ID (marker-token ratio, argmax with stable
     alphabetical tiebreak) vs the labeled ``lang`` — emitted as a
@@ -174,6 +200,17 @@ def _lang_pred_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "bpe_token_counts": f"""
+        SELECT lang,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+               ROUND(AVG(bpe_tokens), 4) AS avg_bpe_tokens
+        FROM (SELECT lang,
+                     len(string_split(text, ' ')) AS ws_tokens,
+                     len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+              FROM documents)
+        GROUP BY lang
+    """,
     "token_count_stats": """
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -221,6 +258,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "bpe_token_counts": bpe_token_counts,
     "token_count_stats": token_count_stats,
     "lang_id_confusion": lang_id_confusion,
     "quality_score_buckets": quality_score_buckets,

@@ -61,3 +61,12 @@ def test_metadata_filter_prunes_before_decode(spark, media):
     wide = media.filter(media.meta.width > 320)
     feats = M.extract_features(wide)
     assert feats.count() == wide.count()
+
+
+def test_resize_payloads(spark, media):
+    resized = M.resize_payloads(media, factor=4)
+    out = {r["media_id"]: bytes(r["payload"]) for r in resized.collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(out) == set(src)
+    for mid in list(out)[:20]:
+        assert out[mid] == src[mid][::4]
