@@ -84,6 +84,56 @@ def topk_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def asof_join_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (beyond-reference; SURVEY.md §2.3 notes the reference
+    has none): each ``click`` event is enriched with the most recent
+    ``purchase`` value (``purchase.ts <= click.ts``) for the same user.
+
+    Spark lacks a native as-of join; the scalable formulation is
+    union-both-sides + ``last(..., ignorenulls)`` over a user-partitioned
+    window — ONE shuffle on user_id, no time-range explode, state bounded
+    by the window sort. (A range-condition join would be O(clicks x
+    purchases) per user and a broadcast-nested-loop at scale.) The build
+    side is pre-aggregated to one row per (user_id, ts) so the as-of pick
+    is deterministic under ts ties; sorting purchases before clicks at
+    equal ts gives ``>=`` semantics, matching DuckDB's ASOF JOIN.
+    """
+    ev = table(spark, sf, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select("user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("double").alias("cvalue"), "pvalue",
+                F.lit(0).alias("side"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("cvalue"),
+        F.lit(None).cast("double").alias("pvalue"), F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = (
+        purchases.unionByName(clicks)
+        .withColumn("asof_value", F.last("pvalue", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return (
+        enriched.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count("asof_value").alias("n_matched"),
+            F.round(F.sum(F.col("asof_value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("sum_asof_value"),
+        )
+        .orderBy("day")
+    )
+
+
 def timestamp_parts_agg(spark: SparkSession, sf: str) -> DataFrame:
     """F6/F7 analog: calendar decomposition as group-by dimensions."""
     ev = table(spark, sf, "events")
@@ -147,6 +197,28 @@ ORACLE: dict[str, str] = {
                COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2, 3
     """,
+    "asof_join_enrich": """
+        WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS pvalue
+            FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts
+        ),
+        clicks AS (
+            SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'
+        ),
+        enriched AS (
+            SELECT c.ts, p.pvalue AS asof_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        )
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_clicks,
+               COUNT(asof_value) AS n_matched,
+               ROUND(CAST(SUM(CAST(asof_value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS sum_asof_value
+        FROM enriched
+        GROUP BY day
+    """,
 }
 
 QUERIES = {
@@ -155,4 +227,5 @@ QUERIES = {
     "tumbling_hourly_agg": tumbling_hourly_agg,
     "topk_events": topk_events,
     "timestamp_parts_agg": timestamp_parts_agg,
+    "asof_join_enrich": asof_join_enrich,
 }

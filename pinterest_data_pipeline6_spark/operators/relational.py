@@ -322,6 +322,58 @@ def case_bucket_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def rollup_priority_status(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP (beyond-reference; SURVEY.md §2.4 notes the
+    reference has no grouping sets): per (priority, status) counts plus
+    per-priority and grand-total rows in one pass. Spark plans rollup as
+    a single Expand + hash aggregate — one shuffle, not one job per
+    grouping level."""
+    orders = table(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum_as_double("o_totalprice", "sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+def set_ops_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations (beyond-reference; SURVEY.md §2.7 notes none in
+    the reference): customer segments by order activity across two years
+    via EXCEPT / INTERSECT / UNION. Each leg is a distinct-aggregated
+    key set — the shuffles carry custkeys only, never full rows."""
+    orders = table(spark, sf, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+                & (F.col("o_orderdate") <= F.lit(f"{year}-12-31"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y94, y95 = active(1994), active(1995)
+    return (
+        y94.subtract(y95).agg(F.count("*").alias("n_customers"))
+        .select(F.lit("only_1994").alias("segment"), "n_customers")
+        .unionByName(
+            y94.intersect(y95).agg(F.count("*").alias("n_customers"))
+            .select(F.lit("both_years").alias("segment"), "n_customers")
+        )
+        .unionByName(
+            y94.union(y95).distinct().agg(F.count("*").alias("n_customers"))
+            .select(F.lit("either_year").alias("segment"), "n_customers")
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
     "q1_category_per_country": """
         SELECT n_name AS country, o_orderpriority AS category, COUNT(*) AS category_count
@@ -446,6 +498,26 @@ ORACLE: dict[str, str] = {
         SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n_customers
         FROM customer GROUP BY bucket
     """,
+    "rollup_priority_status": """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "set_ops_customers": """
+        WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate BETWEEN '1994-01-01' AND '1994-12-31'),
+             y95 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31')
+        SELECT 'only_1994' AS segment, COUNT(*) AS n_customers
+        FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)
+        UNION ALL
+        SELECT 'both_years', COUNT(*)
+        FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)
+        UNION ALL
+        SELECT 'either_year', COUNT(*)
+        FROM (SELECT * FROM y94 UNION SELECT * FROM y95)
+    """,
 }
 
 QUERIES = {
@@ -466,4 +538,6 @@ QUERIES = {
     "distinct_status_priority": distinct_status_priority,
     "offset_row_pick": offset_row_pick,
     "case_bucket_counts": case_bucket_counts,
+    "rollup_priority_status": rollup_priority_status,
+    "set_ops_customers": set_ops_customers,
 }

@@ -174,6 +174,92 @@ def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-based quality signals (the duplicate-text family of
+    web-corpus filters): per document the most-frequent-token fraction
+    and most-frequent-bigram fraction, rolled up by repetition bucket
+    (rounded duplicate-token fraction).
+
+    All signals are row-local higher-order-function expressions — the
+    max-frequency count runs over each doc's own token list, so the only
+    shuffle in the whole plan is the final small hash aggregate. At
+    100 TB this is scan-bound, embarrassingly parallel, and prunes to
+    the single ``text`` column."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+
+    def max_freq_frac(arr: Column) -> Column:
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda t: F.size(F.filter(arr, lambda x: x == t)),
+            )
+        )
+        return top / F.size(arr)
+
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # integer decile: floor(((n - distinct) * 10) / n). Exact in both
+    # engines — operands are small exact integers, so the FP quotient
+    # can't straddle an integer — unlike round(double, 1), whose halfway
+    # behavior diverges cross-engine.
+    dup_decile = F.floor(((n_tok - F.size(F.array_distinct(toks))) * 10) / n_tok)
+    per_doc = docs.select(
+        dup_decile.cast("int").alias("rep_bucket"),
+        max_freq_frac(toks).alias("top_tok_frac"),
+        max_freq_frac(bigrams).alias("top_bigram_frac"),
+    )
+    return (
+        per_doc.groupBy("rep_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("top_tok_frac"), 4).alias("avg_top_tok_frac"),
+            F.round(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+        )
+        .orderBy("rep_bucket")
+    )
+
+
+# Per-language keep-thresholds on the first md5 hex byte: 0x80/0x100 = 50%
+# for the over-represented language, 0xcc/0x100 ~ 80% for the rest.
+SAMPLE_THRESHOLDS: dict[str, str] = {"en": "80"}
+SAMPLE_DEFAULT_THRESHOLD = "cc"
+
+
+def stratified_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing: keep a
+    per-language fraction decided by a content-stable hash (first md5
+    byte of doc_id vs a per-stratum threshold), then account per stratum.
+
+    Hash-gated Bernoulli sampling is the scale idiom: map-only, no
+    shuffle, reproducible across runs/engines (unlike ``df.sample``,
+    whose RNG is partition-layout-dependent), and the same row set is
+    kept on re-execution — what a curation pipeline needs for auditable
+    dataset cards."""
+    docs = table(spark, sf, "documents")
+    hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.lit(SAMPLE_DEFAULT_THRESHOLD)
+    for lang, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, t).otherwise(thr)
+    kept = (hex2 < thr).cast("int")
+    return (
+        docs.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_sampled"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("sample_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
 
@@ -255,6 +341,40 @@ ORACLE: dict[str, str] = {
             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         )
     """,
+    "repetition_stats": """
+        SELECT rep_bucket, COUNT(*) AS n_docs,
+               ROUND(AVG(top_tok_frac), 4) AS avg_top_tok_frac,
+               ROUND(AVG(top_bigram_frac), 4) AS avg_top_bigram_frac
+        FROM (
+            SELECT CAST(FLOOR(((len(toks) - len(list_distinct(toks))) * 10.0) / len(toks)) AS INT) AS rep_bucket,
+                   CAST(list_max(list_transform(list_distinct(toks),
+                        t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                       / len(toks) AS top_tok_frac,
+                   CAST(list_max(list_transform(list_distinct(bigrams),
+                        t -> len(list_filter(bigrams, x -> x = t)))) AS DOUBLE)
+                       / len(bigrams) AS top_bigram_frac
+            FROM (
+                SELECT toks,
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+1], ' ')) AS bigrams
+                FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+            )
+        )
+        GROUP BY rep_bucket
+    """,
+    "stratified_sample_counts": """
+        SELECT lang, COUNT(*) AS n_total,
+               CAST(SUM(kept) AS BIGINT) AS n_sampled,
+               ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS sample_frac
+        FROM (
+            SELECT lang,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < (CASE WHEN lang = 'en' THEN '80' ELSE 'cc' END)
+                        THEN 1 ELSE 0 END AS kept
+            FROM documents
+        )
+        GROUP BY lang
+    """,
 }
 
 QUERIES = {
@@ -263,4 +383,6 @@ QUERIES = {
     "lang_id_confusion": lang_id_confusion,
     "quality_score_buckets": quality_score_buckets,
     "doc_fingerprints": doc_fingerprints,
+    "repetition_stats": repetition_stats,
+    "stratified_sample_counts": stratified_sample_counts,
 }
