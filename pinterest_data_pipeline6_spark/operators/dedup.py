@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline6_spark.operators.textops import H64_SQL, _h64_spark
-from pinterest_data_pipeline6_spark.sources.readers import table
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -89,7 +89,7 @@ def _minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, m_0..m_15): min universal hash per permutation. ONE md5
     per shingle (the 16 permutations are cheap arithmetic on it), one
     explode, one partial+final min aggregate."""
-    docs = table(spark, sf, "documents")
+    docs = widen_small_scan(table(spark, sf, "documents"))
     toks = F.split(F.col("text"), " ")
     exploded = docs.select(
         "doc_id", F.explode(_shingles(toks)).alias("shingle")
@@ -137,7 +137,7 @@ def minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash per document: per-token hash, signed bit votes
     (token multiplicity counts), sign of each vote sets the bit."""
-    docs = table(spark, sf, "documents")
+    docs = widen_small_scan(table(spark, sf, "documents"))
     exploded = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -172,7 +172,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     is O(pairs x set-size). At 100 TB this is a shuffle on the shingle
     hash (skew-prone frequent shingles are exactly what AQE skew-join
     splits)."""
-    docs = table(spark, sf, "documents")
+    docs = widen_small_scan(table(spark, sf, "documents"))
     toks = F.split(F.col("text"), " ")
     d = docs.select(
         "doc_id",
@@ -229,7 +229,7 @@ def embedding_cosine_stats(spark: SparkSession, sf: str) -> DataFrame:
     max cosine, and count above the flag threshold. The pairwise stage
     runs only within label blocks (the ANN-bucketed path in
     similarity.py replaces labels with LSH buckets at scale)."""
-    emb = table(spark, sf, "embeddings")
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
     a, b = emb.alias("a"), emb.alias("b")
     cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (

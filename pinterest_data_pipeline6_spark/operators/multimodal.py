@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pinterest_data_pipeline6_spark.sources.readers import table
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
 MEDIA_SCHEMA = StructType(
     [
@@ -85,8 +85,10 @@ def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic media table derived from ``documents``: the payload
     is the utf-8 text bytes (a stand-in for real image/audio bytes with
     a known generator), kind cycles image/audio/video, metadata is
-    derived from doc stats. Catalyst-native — no Python in this step."""
-    docs = table(spark, sf, "documents")
+    derived from doc stats. Catalyst-native — no Python in this step.
+    The scan is widened so the downstream Pandas-UDF stages (Arrow
+    batches) run on all cores, not the single input split."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

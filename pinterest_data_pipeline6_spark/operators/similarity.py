@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from pinterest_data_pipeline6_spark.operators.dedup import _cosine
 from pinterest_data_pipeline6_spark.operators.textops import H64_SQL, _h64_spark
-from pinterest_data_pipeline6_spark.sources.readers import table
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -40,7 +40,7 @@ def knn_brute_force(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-10 for each query vector (vec_id < 5), self
     excluded. Broadcast the 5 queries; one corpus scan, one small
     window."""
-    emb = table(spark, sf, "embeddings")
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -103,7 +103,7 @@ def lsh_bucket_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Bucket occupancy of the 8-bit hyperplane signature — the data
     layout the bucketed search runs on (and a direct check that both
     engines derive identical signatures for every vector)."""
-    emb = table(spark, sf, "embeddings")
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
     return (
         emb.select(_signature(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
@@ -117,7 +117,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     bucket (single-probe). Recall < 1 by construction; at 100 TB the
     bucket join replaces the full-corpus scan — candidates are
     co-partitioned by signature, embeddings never shuffle globally."""
-    emb = table(spark, sf, "embeddings")
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
     signed = emb.select("vec_id", "embedding", _signature(F.col("embedding")).alias("bucket"))
     q = signed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -151,7 +151,7 @@ def _cell_assignment(spark: SparkSession, sf: str) -> DataFrame:
     build would k-means them offline); every vector joins its
     max-cosine centroid, ties to the lower cell id. The centroid side
     broadcasts; assignment is one corpus scan."""
-    emb = table(spark, sf, "embeddings")
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
     cents = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
     )
@@ -210,7 +210,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH signature (the scale
     path that replaces dedup.embedding_cosine_stats' label blocking):
     only bucket-mates are compared; emits per-bucket pair stats."""
-    emb = table(spark, sf, "embeddings")
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
     signed = emb.select("vec_id", "embedding", _signature(F.col("embedding")).alias("bucket"))
     a, b = signed.alias("a"), signed.alias("b")
     cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pinterest_data_pipeline6_spark.sources.readers import table
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
 # heuristic. Deterministic toy lists — the operator contract (tokenize →
@@ -101,7 +101,7 @@ def lang_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic language-ID (marker-token ratio, argmax with stable
     alphabetical tiebreak) vs the labeled ``lang`` — emitted as a
     confusion-matrix rollup. Per-document scoring is shuffle-free."""
-    docs = table(spark, sf, "documents")
+    docs = widen_small_scan(table(spark, sf, "documents"))
     toks = _tokens()
     scores = [
         F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"s_{lang}")
@@ -185,7 +185,7 @@ def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     shuffle in the whole plan is the final small hash aggregate. At
     100 TB this is scan-bound, embarrassingly parallel, and prunes to
     the single ``text`` column."""
-    docs = table(spark, sf, "documents")
+    docs = widen_small_scan(table(spark, sf, "documents"))
     toks = _tokens()
     n_tok = F.size(toks)
 

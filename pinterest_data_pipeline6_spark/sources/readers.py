@@ -86,6 +86,23 @@ def load_testdata_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
 _TS_NANO_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Spread a small scan across the cluster before CPU-heavy per-row
+    expressions (shingling, per-shingle hashing, signature arithmetic).
+
+    A table that fits in one parquet split arrives as ONE input
+    partition, serializing all downstream per-row compute onto a single
+    core (measured 25x slowdown on the sf0.1 dedup family). Guarded by
+    the partition count: at real scale the scan already has >= cores
+    input splits and this is a no-op — it never shuffles a large input.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided testdata table (explicit path, no catalog).
 
