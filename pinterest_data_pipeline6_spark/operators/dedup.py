@@ -249,6 +249,54 @@ def embedding_cosine_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MAX_CC_ITERATIONS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the MinHash/LSH candidate-pair graph —
+    the step that turns pairwise near-dup hits into KEEP/DROP decisions
+    (every doc in a component collapses onto the min-doc_id
+    representative). Emits (rep, cluster_size) per component.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one min
+    aggregate per round), converging in O(component diameter) rounds —
+    near-dup clusters are small and dense, so this is 2-4 rounds in
+    practice. ``localCheckpoint`` truncates the per-round lineage so the
+    plan does not grow with iterations. The driver-side loop only
+    compares two scalar sums per round (no data collected). At 100 TB
+    the same loop runs with the large-star/small-star optimization to
+    bound rounds at O(log n); the per-round shuffle is on the node id.
+    """
+    pairs = minhash_band_pairs(spark, sf).localCheckpoint()
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(MAX_CC_ITERATIONS):
+        msgs = edges.join(labels, edges.u == labels.node).select(
+            F.col("v").alias("node"), F.col("label")
+        )
+        labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            break
+        prev_sum = new_sum
+    return (
+        labels.groupBy(F.col("label").alias("rep"))
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("rep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (SQL assembled with plain loops — the generated
 # text mirrors the Spark expression tree clause for clause)
@@ -348,6 +396,31 @@ ORACLE: dict[str, str] = {
         FROM pairs
         WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= {JACCARD_THRESHOLD}
     """,
+    # transitive closure via recursive CTE = the declarative twin of the
+    # Spark-side iterative label propagation (both label every node with
+    # the min doc_id reachable through the undirected candidate graph)
+    "dedup_clusters": f"""
+        WITH RECURSIVE sig AS ({_SIG_SQL}),
+        banded AS ({_BAND_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+        )
+        SELECT rep, COUNT(*) AS cluster_size
+        FROM (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+        GROUP BY rep
+    """,
     "embedding_cosine_stats": f"""
         SELECT a.label AS label, COUNT(*) AS n_pairs,
                ROUND(MAX({_COS_SQL}), 4) AS max_cos,
@@ -364,4 +437,5 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_cosine_stats": embedding_cosine_stats,
+    "dedup_clusters": dedup_clusters,
 }

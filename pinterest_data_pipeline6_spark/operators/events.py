@@ -148,6 +148,57 @@ def timestamp_parts_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BURST_WINDOW_US = 10 * 60 * 1_000_000  # 10 min in microseconds
+
+
+def range_join_bursts(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (beyond-reference): pairs of events from the SAME user
+    within a 10-minute window, rolled up per (earlier, later) type pair.
+
+    The join carries an equi key (user_id) plus the time-range predicate,
+    so Catalyst plans a hash/sort-merge join on user_id with the range as
+    a post-join filter — per-user work is bounded by that user's event
+    count, never a cross product of the table. A range join WITHOUT an
+    equi key would be a broadcast-nested-loop; at scale you'd add a
+    coarse time-bucket key to restore an equi join."""
+    ev = table(spark, sf, "events")
+    a = ev.select("user_id", F.col("event_type").alias("type_a"),
+                  F.unix_micros("ts").alias("us_a"), F.col("event_id").alias("id_a"))
+    b = ev.select("user_id", F.col("event_type").alias("type_b"),
+                  F.unix_micros("ts").alias("us_b"), F.col("event_id").alias("id_b"))
+    gap = F.col("us_b") - F.col("us_a")
+    pairs = a.join(
+        b,
+        ["user_id"],
+    ).filter(
+        (gap > 0) & (gap <= BURST_WINDOW_US)
+        # equal-ts pairs excluded by gap > 0; id tiebreak not needed
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """F9 analog over a JSON string column: extract ``props.k``, decile
+    it, and aggregate. ``get_json_object`` is a JVM-side expression
+    (codegen'd, no UDF); at scale this is a scan-bound map stage plus
+    one small hash aggregate."""
+    ev = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", F.floor(k / 10).cast("int").alias("k_decile"), "value")
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type", "k_decile")
+    )
+
+
 # ``CAST(ts AS TIMESTAMP)`` truncates DuckDB's timestamp_ns to microseconds —
 # the same truncation the Spark reader applies (readers._TS_NANO_COLS), so
 # window orderings and epoch arithmetic agree bit-for-bit across engines.
@@ -219,6 +270,25 @@ ORACLE: dict[str, str] = {
         FROM enriched
         GROUP BY day
     """,
+    "range_join_bursts": f"""
+        WITH ev AS (SELECT user_id, event_type, event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                    FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_pairs
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id
+         AND b.us - a.us > 0 AND b.us - a.us <= {BURST_WINDOW_US}
+        GROUP BY type_a, type_b
+    """,
+    "json_props_extract": """
+        SELECT event_type,
+               CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_decile,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        FROM events
+        GROUP BY event_type, k_decile
+    """,
 }
 
 QUERIES = {
@@ -228,4 +298,6 @@ QUERIES = {
     "topk_events": topk_events,
     "timestamp_parts_agg": timestamp_parts_agg,
     "asof_join_enrich": asof_join_enrich,
+    "range_join_bursts": range_join_bursts,
+    "json_props_extract": json_props_extract,
 }

@@ -374,6 +374,72 @@ def set_ops_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ORDER_STATUSES = ("F", "O", "P")
+
+
+def pivot_status_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Native pivot: order counts per priority, one column per order
+    status. The pivot values are declared (not discovered), so the plan
+    is a single partial+final hash aggregate — no extra distinct-values
+    job and no second shuffle at scale."""
+    orders = table(spark, sf, "orders")
+    out = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .count()
+    )
+    renamed = out.select(
+        "priority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in ORDER_STATUSES],
+    )
+    return renamed.orderBy("priority")
+
+
+def semi_anti_customer_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins: per market segment, customers with
+    >= 1 order vs customers with none. Both joins shuffle on the same
+    customer key (one exchange reused); the order side is pre-projected
+    to the join key only, so the shuffle carries 8-byte keys."""
+    customer, orders = (table(spark, sf, t) for t in ("customer", "orders"))
+    okeys = orders.select("o_custkey")
+    active = (
+        customer.join(okeys, customer.c_custkey == okeys.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    inactive = (
+        customer.join(okeys, customer.c_custkey == okeys.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_inactive"))
+    )
+    return (
+        active.join(inactive, "segment", "full_outer")
+        .select(
+            "segment",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+        )
+        .orderBy("segment")
+    )
+
+
+def cube_priority_status(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (priority, status) with a grouping-set id: all four
+    aggregation granularities in ONE pass (Catalyst expands the cube
+    into a union of grouping sets executed as a single Expand +
+    partial+final hash agg — 4x cheaper than four separate scans)."""
+    orders = table(spark, sf, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            _dec_sum_as_double("o_totalprice", "sum_price"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "sum_price")
+    )
+
+
 ORACLE: dict[str, str] = {
     "q1_category_per_country": """
         SELECT n_name AS country, o_orderpriority AS category, COUNT(*) AS category_count
@@ -504,6 +570,29 @@ ORACLE: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
+    "pivot_status_by_priority": """
+        SELECT o_orderpriority AS priority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY priority
+    """,
+    "semi_anti_customer_activity": """
+        SELECT c_mktsegment AS segment,
+               COUNT(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                          THEN 1 END) AS n_active,
+               COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                          THEN 1 END) AS n_inactive
+        FROM customer GROUP BY segment
+    """,
+    "cube_priority_status": """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
     "set_ops_customers": """
         WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
                      WHERE o_orderdate BETWEEN '1994-01-01' AND '1994-12-31'),
@@ -540,4 +629,7 @@ QUERIES = {
     "case_bucket_counts": case_bucket_counts,
     "rollup_priority_status": rollup_priority_status,
     "set_ops_customers": set_ops_customers,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "semi_anti_customer_activity": semi_anti_customer_activity,
+    "cube_priority_status": cube_priority_status,
 }

@@ -260,6 +260,39 @@ def stratified_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TOP_TERMS_K = 5
+
+
+def top_terms_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary top-k: the five most frequent terms per
+    language with occurrence and document-frequency counts — the
+    term-statistics pass of a TF-IDF / vocabulary-build stage.
+
+    One explode + ONE partial+final hash aggregate on (lang, term)
+    (map-side combine collapses each partition's term counts before the
+    shuffle — the shuffle carries the vocabulary, not the corpus), then
+    a per-lang top-k window over the tiny aggregated relation. Ranking
+    uses only exact integers with a term tiebreak, so the result is
+    deterministic cross-engine."""
+    from pyspark.sql.window import Window
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = docs.select("lang", "doc_id", F.explode(_tokens()).alias("term"))
+    counts = toks.groupBy("lang", "term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .select("lang", "rank", "term", "n_occurrences", "n_docs")
+        .orderBy("lang", "rank")
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
 
@@ -362,6 +395,22 @@ ORACLE: dict[str, str] = {
         )
         GROUP BY rep_bucket
     """,
+    "top_terms_per_lang": f"""
+        SELECT lang, rank, term, n_occurrences, n_docs
+        FROM (
+            SELECT lang, term, n_occurrences, n_docs,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY n_occurrences DESC, term ASC) AS INT) AS rank
+            FROM (
+                SELECT lang, term, COUNT(*) AS n_occurrences,
+                       COUNT(DISTINCT doc_id) AS n_docs
+                FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY lang, term
+            )
+        )
+        WHERE rank <= {TOP_TERMS_K}
+    """,
     "stratified_sample_counts": """
         SELECT lang, COUNT(*) AS n_total,
                CAST(SUM(kept) AS BIGINT) AS n_sampled,
@@ -385,4 +434,5 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "repetition_stats": repetition_stats,
     "stratified_sample_counts": stratified_sample_counts,
+    "top_terms_per_lang": top_terms_per_lang,
 }
