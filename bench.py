@@ -37,6 +37,12 @@ def main() -> None:
     # warm the JVM + parquet footer caches once so per-query numbers
     # measure the plan, not first-touch JIT
     next(iter(qs.values()))(spark, SF_DIR).count()
+    # ...and the Python-worker pool: the first Pandas-UDF stage otherwise
+    # pays one worker spawn per core (~10 s on local[32]) — a fixed local
+    # startup cost, not a property of any query's plan
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

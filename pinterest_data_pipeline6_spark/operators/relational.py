@@ -374,6 +374,96 @@ def set_ops_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over the largest fact table: the
+    canonical scan-bound partial+final aggregate. The date filter and
+    the 9-column projection both reach the parquet scan; the shuffle
+    carries 4 groups x a handful of partial aggregates — at 100 TB this
+    is I/O-bound, exactly as it should be. All money math routes through
+    DECIMAL so partial-agg order cannot change the result."""
+    li = table(spark, sf, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            # divide as double (IEEE, identical both engines) — decimal
+            # division result *scale* is an engine-specific choice
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment-filtered customer ⋈ orders ⋈ lineitem,
+    top-10 open orders by revenue. Two fact shuffles (custkey, orderkey)
+    with AQE skew handling; the final top-k is TakeOrderedAndProject
+    (per-partition top-10 + driver merge), never a global sort."""
+    customer, orders, li = (table(spark, sf, t) for t in ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped: 5-way join (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation) with the local-supplier condition, revenue per
+    nation for one order-year. The dims (supplier slice, nation)
+    broadcast; the fact-fact joins shuffle on their keys; Catalyst/AQE
+    orders the join tree."""
+    li, orders, customer, supplier, nation = (
+        table(spark, sf, t) for t in ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
 ORDER_STATUSES = ("F", "O", "P")
 
 
@@ -570,6 +660,47 @@ ORACLE: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority, revenue
+        FROM (
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-03-15'
+              AND l_shipdate > TIMESTAMP '1997-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        )
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "nation_revenue": """
+        SELECT n_name AS nation,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
     "pivot_status_by_priority": """
         SELECT o_orderpriority AS priority,
                COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
@@ -632,4 +763,7 @@ QUERIES = {
     "pivot_status_by_priority": pivot_status_by_priority,
     "semi_anti_customer_activity": semi_anti_customer_activity,
     "cube_priority_status": cube_priority_status,
+    "pricing_summary": pricing_summary,
+    "shipping_priority": shipping_priority,
+    "nation_revenue": nation_revenue,
 }

@@ -70,6 +70,29 @@ def test_minhash_band_join_is_equijoin(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_range_join_is_not_nested_loop(spark):
+    """The burst range join must plan as a keyed join on user_id with
+    the range as a post-join filter — BroadcastNestedLoopJoin here
+    means the equi key was lost and the op is O(n^2) at scale."""
+    plan = executed_plan(events.range_join_bursts(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_is_single_expand_pass(spark):
+    """CUBE must run as ONE Expand + hash agg over a single scan, not a
+    union of per-granularity scans."""
+    plan = executed_plan(relational.cube_priority_status(spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pivot_is_single_aggregate(spark):
+    """Declared pivot values: one scan, no extra distinct-values job."""
+    plan = executed_plan(relational.pivot_status_by_priority(spark, SF))
+    assert plan.count("Scan parquet") == 1
+
+
 def test_window_partial_topk(spark):
     """q3a row_number window: one shuffle on the partition key, and the
     rank filter exists so WindowGroupLimit (partial top-k) can apply."""
