@@ -464,6 +464,167 @@ def nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ranking_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The full ranking-function family in one windowed pass per
+    partition key: rank / dense_rank / percent_rank / ntile(4) over
+    customers by account balance within their nation. One shuffle on
+    the partition key; all four functions share the same sort."""
+    customer = table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.select(
+            "c_nationkey",
+            "c_custkey",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+def running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-spec window (ROWS UNBOUNDED PRECEDING → CURRENT ROW):
+    per-customer running order total in date order, summarized as each
+    customer's final cumulative total and order count over a key slice.
+    The running sum is decimal-exact so the frame accumulation order
+    (fixed by the sort) yields identical values cross-engine."""
+    orders = table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    sliced = orders.filter(F.col("o_custkey") % 100 == 0)
+    return (
+        sliced.select("o_custkey", cum.alias("cum_total"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.max("cum_total").cast("double"), 2).alias("final_total"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def analytic_window_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic (non-ranking) window family in one pass: lag / lead /
+    first_value / last_value / nth_value over each customer's orders in
+    date order. last_value uses an explicit UNBOUNDED-to-UNBOUNDED frame
+    (the default frame stops at CURRENT ROW, a classic cross-engine
+    semantics trap). One shuffle on o_custkey; all five functions share
+    the sort."""
+    orders = table(spark, sf, "orders").filter(F.col("o_custkey") % 200 == 0)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dbl = lambda c: F.round(c.cast("double"), 2)  # noqa: E731
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        dbl(F.lag(price, 1).over(w)).alias("prev_price"),
+        dbl(F.lead(price, 1).over(w)).alias("next_price"),
+        dbl(F.first_value(price).over(w)).alias("first_price"),
+        dbl(F.last_value(price).over(wfull)).alias("last_price"),
+        dbl(F.nth_value(price, 2).over(wfull)).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def stats_agg_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family per return flag: sample stddev /
+    variance, Pearson correlation, sample covariance, and a
+    deterministic arg-max (max_by keyed on the unique (orderkey,
+    linenumber) composite so ties cannot exist). All are single-pass
+    partial+final hash aggregates — the moment sketches (n, Σx, Σx²,
+    Σxy) merge associatively, so the plan is one shuffle of tiny
+    per-flag states regardless of input size."""
+    li = table(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    rowid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp(qty), 4).alias("sd_qty"),
+            F.round(F.var_samp(qty), 4).alias("var_qty"),
+            F.round(F.corr(qty, price), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(qty, price), 2).alias("covar_qty_price"),
+            F.max_by("l_shipdate", rowid).alias("last_shipdate"),
+        )
+        .orderBy("flag")
+    )
+
+
+def merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style MERGE (upsert) without Delta: a simulated change-set
+    (5% of orders re-priced and re-statused) is merged into the base
+    table as anti-join(base, changes) ∪ changes — the scalable
+    compaction pattern when the table format has no native MERGE. Both
+    the anti join and the validating aggregate shuffle on the same key;
+    at 100 TB the base side would additionally be bucketed by
+    o_orderkey so the anti join is co-located with at-rest layout.
+    Output: per-status row count + decimal-exact price sum proving
+    exactly the changed keys took the new values."""
+    orders = table(spark, sf, "orders")
+    changes = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.10).cast("decimal(4,2)"))
+        .cast("decimal(18,2)")
+        .alias("o_totalprice"),
+    )
+    base = orders.select("o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"))
+    merged = base.join(changes, "o_orderkey", "left_anti").unionByName(changes)
+    return (
+        merged.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice").cast("double"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy self-join: candidate part pairs inside a
+    (brand, size) block with Levenshtein edit distance below a
+    threshold. Blocking turns the O(n²) all-pairs comparison into
+    per-block quadratic work — the same candidate-generation shape as
+    the MinHash banding in operators/dedup.py, with an edit-distance
+    verifier instead of Jaccard. The block key is the equi-join key, so
+    the plan is a plain shuffled self-join, never a cartesian."""
+    part = table(spark, sf, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "brand",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 25)
+    )
+    return (
+        pairs.groupBy("brand")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("dist").cast("int").alias("min_dist"),
+        )
+        .orderBy("brand")
+    )
+
+
 ORDER_STATUSES = ("F", "O", "P")
 
 
@@ -660,6 +821,91 @@ ORACLE: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
+    "ranking_family": """
+        SELECT c_nationkey, c_custkey,
+               CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+               ROUND(prnk, 6) AS prnk, CAST(quartile AS INT) AS quartile
+        FROM (
+            SELECT c_nationkey, c_custkey,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   PERCENT_RANK() OVER w AS prnk,
+                   NTILE(4) OVER w AS quartile
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
+        )
+        WHERE rnk <= 3
+    """,
+    "running_total": """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(CAST(MAX(cum_total) AS DOUBLE), 2) AS final_total
+        FROM (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_total
+            FROM orders
+            WHERE o_custkey % 100 = 0
+        )
+        GROUP BY o_custkey
+    """,
+    "analytic_window_family": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(LAG(price, 1) OVER w AS DOUBLE), 2) AS prev_price,
+               ROUND(CAST(LEAD(price, 1) OVER w AS DOUBLE), 2) AS next_price,
+               ROUND(CAST(FIRST_VALUE(price) OVER w AS DOUBLE), 2) AS first_price,
+               ROUND(CAST(LAST_VALUE(price) OVER wfull AS DOUBLE), 2) AS last_price,
+               ROUND(CAST(NTH_VALUE(price, 2) OVER wfull AS DOUBLE), 2) AS second_price
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders WHERE o_custkey % 200 = 0
+        )
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "stats_agg_family": """
+        SELECT l_returnflag AS flag, COUNT(*) AS n,
+               ROUND(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)), 4) AS sd_qty,
+               ROUND(VAR_SAMP(CAST(l_quantity AS DOUBLE)), 4) AS var_qty,
+               ROUND(CORR(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price,
+               ROUND(COVAR_SAMP(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 2) AS covar_qty_price,
+               MAX_BY(l_shipdate, l_orderkey * 8 + l_linenumber) AS last_shipdate
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "merge_upsert": """
+        WITH changes AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.10 AS DECIMAL(4,2)) AS DECIMAL(18,2)) AS o_totalprice
+            FROM orders WHERE o_orderkey % 20 = 0
+        ), merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+            FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+            UNION ALL SELECT * FROM changes
+        )
+        SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+        FROM merged GROUP BY o_orderstatus
+    """,
+    "fuzzy_name_pairs": """
+        SELECT brand, COUNT(*) AS n_pairs, CAST(MIN(dist) AS INT) AS min_dist
+        FROM (
+            SELECT a.p_brand AS brand,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+        )
+        WHERE dist <= 25
+        GROUP BY brand
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
@@ -766,4 +1012,10 @@ QUERIES = {
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
     "nation_revenue": nation_revenue,
+    "ranking_family": ranking_family,
+    "running_total": running_total,
+    "analytic_window_family": analytic_window_family,
+    "stats_agg_family": stats_agg_family,
+    "merge_upsert": merge_upsert,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
 }

@@ -50,7 +50,11 @@ def get_spark(
         # 100 chars, which breaks plan-shape assertions in tests)
         .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the executor heap for all 32 task
+        # threads — 8g thrashes GC once a few dozen stages have run;
+        # size it to the box (128 GiB here). On a real cluster this
+        # setting moves to spark.executor.memory per-node.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -74,6 +74,19 @@ def save_table(
     df.write.format(fmt).mode(mode).saveAsTable(name)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout (``partitionBy``): the at-rest
+    organization that turns partition-key predicates into directory
+    pruning — a filter on the partition column reads ONLY the matching
+    directories, which at 100 TB is the difference between scanning a
+    day and scanning a decade. Callers pick LOW-cardinality columns
+    (date, region, kind); high-cardinality partitioning creates a
+    small-files problem instead."""
+    df.write.format(fmt).mode("overwrite").partitionBy(*partition_cols).save(path)
+
+
 def rm_checkpoint(path: str | Path) -> None:
     """Remove a streaming checkpoint dir (STREAM:168-170 analog)."""
     shutil.rmtree(path, ignore_errors=True)

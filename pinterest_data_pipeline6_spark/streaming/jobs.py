@@ -91,6 +91,62 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", delay: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per-user sessions
+    close after ``gap`` of inactivity. The built-in operator keeps one
+    merging window per (user, open session) in the state store and
+    evicts on watermark — the declarative counterpart of the custom
+    ``applyInPandasWithState`` sessionizer in streaming/stateful.py
+    (which exists for logic session_window can't express, e.g.
+    value-dependent gaps)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
+
+
+def stream_stream_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "10 minutes", delay: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joins
+    purchases by the same user within ``within`` BEFORE the click.
+    Both sides are watermarked and the join carries an equi key
+    (user_id) plus a bounded time range, so the state store retains
+    each side only for ``delay + within`` — the condition Structured
+    Streaming needs to ever evict join state. Without the time bound
+    this join would buffer both streams forever."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", delay)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).withWatermark("p_ts", delay)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") <= F.col("c_ts"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "click_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts",
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
 def write_append(
     df: DataFrame,
     path: str,

@@ -10,7 +10,12 @@ import pytest
 
 from pinterest_data_pipeline6_spark import fixtures, pipeline
 from pinterest_data_pipeline6_spark.operators.analytics import ANALYTICS_SQL
-from pinterest_data_pipeline6_spark.sources.io import read_csv, rm_checkpoint, save_table
+from pinterest_data_pipeline6_spark.sources.io import (
+    read_csv,
+    rm_checkpoint,
+    save_table,
+    write_partitioned,
+)
 from pinterest_data_pipeline6_spark.sources.readers import read_raw_json
 from tests.conftest import df_to_sorted_rows
 
@@ -64,6 +69,26 @@ def test_rm_checkpoint(tmp_path):
     (ck / "offsets").mkdir(parents=True)
     rm_checkpoint(ck)
     assert not ck.exists()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must prune to the matching
+    directories — the scan's PartitionFilters carry the predicate and
+    only one partition's rows are read."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline6_spark.plans.checks import executed_plan
+    from pinterest_data_pipeline6_spark.sources.readers import table
+
+    orders = table(spark, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, out, ["o_orderstatus"])
+
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = executed_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected > 0
 
 
 def test_follower_rewrite_property(spark):

@@ -21,6 +21,10 @@ from pinterest_data_pipeline6_spark.streaming import (
     windowed_event_counts,
     write_append,
 )
+from pinterest_data_pipeline6_spark.streaming.jobs import (
+    session_window_counts,
+    stream_stream_join,
+)
 from tests.conftest import df_to_sorted_rows
 
 
@@ -117,6 +121,71 @@ def test_windowed_event_counts(spark, tmp_path):
         )
     )
     assert df_to_sorted_rows(sunk) == df_to_sorted_rows(batch)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """sf0.001 events as a JSON-lines dir usable as a file-stream source."""
+    from pinterest_data_pipeline6_spark.sources.readers import table as read_table
+
+    src = tmp_path_factory.mktemp("events_stream")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    pdf = ev.select("event_id", "ts", "user_id", "event_type", "value").toPandas()
+    (src / "part-0.jsonl").write_text(
+        pdf.to_json(orient="records", lines=True, date_format="iso", date_unit="us")
+    )
+    return str(src)
+
+
+_EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def test_session_window_counts_parity(spark, events_stream_dir):
+    """Native session_window streaming agg == the same function run in
+    batch mode on the same bounded input (complete-mode memory sink for
+    the same reason as the tumbling test)."""
+    stream = spark.readStream.schema(_EV_SCHEMA).json(events_stream_dir)
+    q = (
+        session_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("ev_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table("ev_sessions")
+    batch = session_window_counts(spark.read.schema(_EV_SCHEMA).json(events_stream_dir))
+    assert df_to_sorted_rows(sunk) == df_to_sorted_rows(batch)
+    assert sunk.count() > 0
+
+
+def test_stream_stream_join_parity(spark, events_stream_dir):
+    """Watermarked interval stream-stream join emits exactly the pairs
+    the equivalent batch join produces on the same bounded input."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(_EV_SCHEMA).json(events_stream_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table("ss_join")
+
+    batch_ev = spark.read.schema(_EV_SCHEMA).json(events_stream_dir)
+    batch = stream_stream_join(
+        batch_ev.filter(F.col("event_type") == "click"),
+        batch_ev.filter(F.col("event_type") == "purchase"),
+    )
+    assert df_to_sorted_rows(sunk) == df_to_sorted_rows(batch)
+    assert sunk.count() > 0
 
 
 def test_full_pipeline(spark, stream_src, tmp_path):
