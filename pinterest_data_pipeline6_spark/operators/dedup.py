@@ -179,11 +179,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         # floor, not cast: DuckDB CAST(double AS INT) rounds, Spark truncates
         F.floor(F.col("n_chars") / 100).cast("int").alias("sz"),
-        F.transform(_shingles(toks), lambda s: _h64_spark(s)).alias("sh"),
+        _shingles(toks).alias("sh"),
     )
+    # hash AFTER explode, not inside transform(): a lambda body inside a
+    # higher-order function is evaluated interpreted per element, while a
+    # post-explode projection stays in whole-stage codegen — same values,
+    # JVM-compiled hot path
     e = d.select(
-        "doc_id", "lang", "sz", F.size("sh").alias("n_sh"), F.explode("sh").alias("h")
-    )
+        "doc_id", "lang", "sz", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    ).select("doc_id", "lang", "sz", "n_sh", _h64_spark(F.col("s")).alias("h"))
     a, b = e.alias("a"), e.alias("b")
     inter = F.count("*")
     return (

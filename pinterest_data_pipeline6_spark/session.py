@@ -55,6 +55,15 @@ def get_spark(
         # size it to the box (128 GiB here). On a real cluster this
         # setting moves to spark.executor.memory per-node.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # whole-stage codegen emits a new class per query stage; across a
+        # long-lived session the JIT's default 240 MB code cache fills and
+        # the sweeper starts flushing/deoptimizing hot methods (measured
+        # 10x latency spikes on HOF-heavy plans ~40 queries in). 1 GB +
+        # explicit flushing keeps compiled code resident.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
