@@ -625,6 +625,34 @@ def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def approx_sketch_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate sketches (HyperLogLog distinct, quantile sketch)
+    validated against their exact twins IN the query: each engine
+    computes its own sketch and its own exact value, and the compared
+    output is (exact, sketch-within-tolerance flag) — sketch internals
+    differ per engine (Spark HLL++/GK vs DuckDB HLL/t-digest) so raw
+    sketch values can never hash-match, but the accuracy contract can.
+    At 100 TB the sketches are the point: fixed-size mergeable state
+    per group vs the full-shuffle expansion exact distinct needs."""
+    orders = table(spark, sf, "orders")
+    price = F.col("o_totalprice").cast("double")
+    n_exact = F.count_distinct("o_custkey").alias("n_exact")
+    hll = F.approx_count_distinct("o_custkey", 0.01)
+    p50_exact = F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)")
+    p50_approx = F.percentile_approx(price, F.lit(0.5), F.lit(10000))
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            n_exact,
+            (F.abs(hll - F.count_distinct("o_custkey")) / F.count_distinct("o_custkey") <= 0.05)
+            .alias("hll_ok"),
+            F.round(p50_exact, 2).alias("p50_exact"),
+            (F.abs(p50_approx - p50_exact) / p50_exact <= 0.05).alias("p50_ok"),
+        )
+        .orderBy("priority")
+    )
+
+
 ORDER_STATUSES = ("F", "O", "P")
 
 
@@ -906,6 +934,18 @@ ORACLE: dict[str, str] = {
         WHERE dist <= 25
         GROUP BY brand
     """,
+    "approx_sketch_family": """
+        SELECT o_orderpriority AS priority,
+               COUNT(DISTINCT o_custkey) AS n_exact,
+               ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+                   / COUNT(DISTINCT o_custkey) <= 0.05 AS hll_ok,
+               ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 2) AS p50_exact,
+               ABS(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.5)
+                   - quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5))
+                   / quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) <= 0.05 AS p50_ok
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
@@ -1018,4 +1058,5 @@ QUERIES = {
     "stats_agg_family": stats_agg_family,
     "merge_upsert": merge_upsert,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "approx_sketch_family": approx_sketch_family,
 }

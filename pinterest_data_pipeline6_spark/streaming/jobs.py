@@ -169,6 +169,45 @@ def write_append(
     return writer.start()
 
 
+def write_foreach_batch_upsert(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch upsert sink (absent from the reference's streaming
+    surface — SURVEY.md §2.9 'Absent'): each micro-batch is merged into
+    the parquet table at ``path`` as anti-join(existing, batch) ∪ batch,
+    keeping the LAST observed row per ``key``. foreachBatch hands the
+    micro-batch to arbitrary *batch* DataFrame code — the standard
+    escape hatch for sinks Structured Streaming lacks natively (JDBC
+    upserts, MERGE INTO, multi-table fanout). The rewrite-the-table
+    form is correct at any scale where the keyed partition overwrite
+    below it would be (with Delta/Iceberg this body becomes MERGE INTO;
+    the streaming contract is unchanged)."""
+    spark = df.sparkSession
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        dedup = batch.dropDuplicates([key])
+        try:
+            existing = spark.read.parquet(path)
+            merged = existing.join(dedup, key, "left_anti").unionByName(dedup)
+        except Exception:
+            merged = dedup
+        # materialize before overwriting the dir the plan reads from
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    writer = (
+        df.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     source_dirs: dict[str, str],

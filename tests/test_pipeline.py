@@ -91,6 +91,41 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == expected > 0
 
 
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+def test_format_roundtrip(spark, tmp_path, fmt):
+    """Every non-parquet batch format the engine claims: write -> read
+    -> identical rows. CSV/JSON lose type info, so those reads go
+    through the declared schema (the engine's schema-first contract,
+    SURVEY.md §1.3)."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline6_spark.sources.readers import table
+
+    src = (
+        table(spark, "/root/testdata/sf0.001", "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    out = str(tmp_path / f"nation_{fmt}")
+    w = src.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(out)
+
+    r = spark.read
+    if fmt in ("csv", "json"):
+        r = r.schema(src.schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    back = r.format(fmt).load(out)
+    # nullability flags differ per source (CSV readers mark everything
+    # nullable); names + types are the schema contract
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in src.schema
+    ]
+    assert sorted(back.collect()) == sorted(src.collect())
+
+
 def test_follower_rewrite_property(spark):
     """Property: for any \\d{1,6}[kM]? string the rewrite equals the
     plain-Python expansion; malformed strings become NULL."""

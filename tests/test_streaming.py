@@ -188,6 +188,38 @@ def test_stream_stream_join_parity(spark, events_stream_dir):
     assert sunk.count() > 0
 
 
+def test_foreach_batch_upsert(spark, tmp_path):
+    """foreachBatch merge sink: run 1 seeds the table; run 2 (same
+    checkpoint, new source file with overlapping keys) upserts — the
+    final table keeps exactly one row per key with the LAST value."""
+    from pinterest_data_pipeline6_spark.streaming.jobs import write_foreach_batch_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    (src / "a.jsonl").write_text(
+        '{"event_id": 1, "value": 10.0}\n{"event_id": 2, "value": 20.0}\n'
+    )
+    schema = "event_id long, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = write_foreach_batch_upsert(stream, sink, ck, key="event_id")
+        q.awaitTermination()
+
+    run_once()
+    first = {r["event_id"]: r["value"] for r in spark.read.parquet(sink).collect()}
+    assert first == {1: 10.0, 2: 20.0}
+
+    (src / "b.jsonl").write_text(
+        '{"event_id": 2, "value": 99.0}\n{"event_id": 3, "value": 30.0}\n'
+    )
+    run_once()
+    final = {r["event_id"]: r["value"] for r in spark.read.parquet(sink).collect()}
+    assert final == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
 def test_full_pipeline(spark, stream_src, tmp_path):
     """Three payload streams -> clean -> three append tables (the
     STREAM:174-192 notebook analog)."""
