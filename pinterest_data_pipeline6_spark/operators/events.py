@@ -74,6 +74,32 @@ def tumbling_hourly_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (hopping) 2-hour/1-hour window aggregate — each event
+    lands in exactly two overlapping windows. Spark's window() expands
+    rows BEFORE the aggregate (an Expand node, same shape as cube), so
+    the cost is (window/slide)x input rows into one hash agg — the
+    oracle mirrors that expansion with an explicit unnest. The batch
+    twin of streaming hopping windows; state per open window only."""
+    ev = table(spark, sf, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00:00").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def topk_events(spark: SparkSession, sf: str) -> DataFrame:
     """O4: global top-10 by value (TakeOrderedAndProject, no full sort)."""
     ev = table(spark, sf, "events")
@@ -238,6 +264,18 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "sliding_window_agg": """
+        SELECT strftime(win_start, '%Y-%m-%d %H:00:00') AS win_start,
+               event_type, COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        FROM (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                       - k * INTERVAL '1 hour' AS win_start,
+                   event_type, value
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        )
+        GROUP BY 1, 2
+    """,
     "topk_events": """
         SELECT event_id, event_type, ROUND(value, 6) AS value
         FROM events ORDER BY value DESC, event_id ASC LIMIT 10
@@ -295,6 +333,7 @@ QUERIES = {
     "window_lag_delta": window_lag_delta,
     "sessionize_events": sessionize_events,
     "tumbling_hourly_agg": tumbling_hourly_agg,
+    "sliding_window_agg": sliding_window_agg,
     "topk_events": topk_events,
     "timestamp_parts_agg": timestamp_parts_agg,
     "asof_join_enrich": asof_join_enrich,

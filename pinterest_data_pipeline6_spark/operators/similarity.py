@@ -22,6 +22,8 @@ hyperplanes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -318,7 +320,51 @@ _KNN_IVF_SQL = f"""
     ) WHERE rank <= {TOP_K}
 """
 
+def pandas_udf_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized scalar Pandas UDF (the §2.10 UDF surface, done the
+    fast way): per-row L2 norm of the embedding computed in numpy over
+    Arrow batches — the pattern for any Python-only per-vector math
+    (a real encoder head, a learned scorer) that built-ins can't
+    express. ~10-100x over a row-at-a-time Python UDF: one
+    serialization per Arrow batch, not per row; numpy does the inner
+    loop. The surrounding plan (scan → UDF projection → hash agg) keeps
+    Catalyst pruning/pushdown intact. Values are independently
+    SQL-expressible, so this entry still oracle-checks."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        return vecs.map(
+            lambda v: float(np.sqrt(np.sum(np.square(np.asarray(v, dtype=np.float64)))))
+        )
+
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
+    return (
+        emb.select("label", l2_norm("embedding").alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "pandas_udf_norms": """
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(AVG(norm), 4) AS avg_norm,
+               ROUND(MAX(norm), 4) AS max_norm
+        FROM (
+            SELECT label,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS norm
+            FROM embeddings
+        )
+        GROUP BY label
+    """,
     "knn_brute_force": _KNN_BRUTE_SQL,
     "lsh_bucket_histogram": f"""
         SELECT {_SIG_SQL} AS bucket, COUNT(*) AS n_vectors
@@ -349,4 +395,5 @@ QUERIES = {
     "ivf_cell_histogram": ivf_cell_histogram,
     "knn_ivf": knn_ivf,
     "embedding_neardup_lsh": embedding_neardup_lsh,
+    "pandas_udf_norms": pandas_udf_norms,
 }

@@ -93,6 +93,58 @@ def test_pivot_is_single_aggregate(spark):
     assert plan.count("Scan parquet") == 1
 
 
+def test_nation_revenue_broadcasts_dims(spark):
+    """The 5-way join: nation (25 rows) must broadcast; the big
+    orders⋈customer⋈lineitem side shuffles on join keys only."""
+    plan = executed_plan(relational.nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    """TPC-H Q1 shape: the date filter reaches the scan; the aggregate
+    runs partial+final (map-side combine) — at 100 TB the shuffle
+    carries per-group partials, never raw rows."""
+    df = relational.pricing_summary(spark, SF)
+    assert has_pushed_filter(df, "l_shipdate")
+    plan = executed_plan(df)
+    assert "partial" in plan.lower()
+
+
+def test_merge_upsert_single_shuffle_key(spark):
+    """The CDC anti join and both scans key on o_orderkey — no
+    cartesian, no broadcast of the (same-size) change-set needed for
+    correctness; at sf0.01 the changes side may broadcast, which is
+    also fine. Only pathology is a nested-loop plan."""
+    plan = executed_plan(relational.merge_upsert(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_blocked_equijoin(spark):
+    """Levenshtein never appears in the join condition Catalyst keys
+    on — blocking must make this an equi hash join with the distance
+    as a residual filter."""
+    plan = executed_plan(relational.fuzzy_name_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_window_single_scan(spark):
+    """Hopping windows expand rows via Expand/Explode inside ONE scan —
+    two scans would double the 100 TB read."""
+    plan = executed_plan(events.sliding_window_agg(spark, SF))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pandas_udf_is_arrow_batched(spark):
+    """The UDF must plan as ArrowEvalPython (vectorized), never
+    BatchEvalPython (row-at-a-time pickle)."""
+    plan = executed_plan(similarity.pandas_udf_norms(spark, SF))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_window_partial_topk(spark):
     """q3a row_number window: one shuffle on the partition key, and the
     rank filter exists so WindowGroupLimit (partial top-k) can apply."""
