@@ -100,6 +100,27 @@ def sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics query:
+    users bucketed by first-seen week, counted distinct per
+    (cohort week, weeks-since-cohort). Two aggregates + one join, all
+    shuffling on user_id; at 100 TB the first-seen table is small
+    (one row per user) and broadcasts into the activity side."""
+    ev = table(spark, sf, "events")
+    week = F.date_trunc("week", "ts")
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort"))
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def topk_events(spark: SparkSession, sf: str) -> DataFrame:
     """O4: global top-10 by value (TakeOrderedAndProject, no full sort)."""
     ev = table(spark, sf, "events")
@@ -276,6 +297,21 @@ ORACLE: dict[str, str] = {
         )
         GROUP BY 1, 2
     """,
+    "cohort_retention": """
+        WITH firstw AS (
+            SELECT user_id, MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+            FROM events
+        )
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort, week) / 7 AS INT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN firstw f USING (user_id)
+        GROUP BY 1, 2
+    """,
     "topk_events": """
         SELECT event_id, event_type, ROUND(value, 6) AS value
         FROM events ORDER BY value DESC, event_id ASC LIMIT 10
@@ -334,6 +370,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "tumbling_hourly_agg": tumbling_hourly_agg,
     "sliding_window_agg": sliding_window_agg,
+    "cohort_retention": cohort_retention,
     "topk_events": topk_events,
     "timestamp_parts_agg": timestamp_parts_agg,
     "asof_join_enrich": asof_join_enrich,

@@ -351,7 +351,64 @@ def pandas_udf_norms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def grouped_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas (the UDAF-shaped §2.10 surface): each
+    label group arrives as ONE pandas DataFrame; the function z-scores
+    the group's vector norms locally and counts |z| > 2 outliers. The
+    group is the unit of distribution — Spark shuffles on the key, each
+    group must fit one executor's memory (true for per-label stats;
+    for giant groups you'd pre-aggregate or salt). Same math is
+    window-expressible, so the oracle checks it exactly."""
+    norm_expr = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    emb = widen_small_scan(table(spark, sf, "embeddings")).select(
+        "label", norm_expr.alias("norm")
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["norm"].mean()
+        sd = pdf["norm"].std(ddof=1)
+        z = (pdf["norm"] - mu) / sd
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "n_outliers": [int((z.abs() > 2).sum())],
+                "sd_norm": [round(float(sd), 4)],
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(zscore, "label int, n_vecs long, n_outliers long, sd_norm double")
+        .orderBy("label")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "grouped_zscore_outliers": """
+        SELECT label, COUNT(*) AS n_vecs,
+               SUM(CASE WHEN ABS((norm - mu) / sd) > 2 THEN 1 ELSE 0 END) AS n_outliers,
+               ROUND(ANY_VALUE(sd), 4) AS sd_norm
+        FROM (
+            SELECT label, norm,
+                   AVG(norm) OVER (PARTITION BY label) AS mu,
+                   STDDEV_SAMP(norm) OVER (PARTITION BY label) AS sd
+            FROM (
+                SELECT label,
+                       sqrt(list_reduce(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            (a, b) -> a + b)) AS norm
+                FROM embeddings
+            )
+        )
+        GROUP BY label
+    """,
     "pandas_udf_norms": """
         SELECT label, COUNT(*) AS n_vecs,
                ROUND(AVG(norm), 4) AS avg_norm,
@@ -396,4 +453,5 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "pandas_udf_norms": pandas_udf_norms,
+    "grouped_zscore_outliers": grouped_zscore_outliers,
 }

@@ -293,6 +293,38 @@ def top_terms_per_lang(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 10
+
+
+def udtf_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (table function — one input row yields N output
+    rows): split each document into fixed-size token chunks, the unit a
+    context-window-bounded training pipeline feeds downstream. The UDTF
+    runs per-row in Python (lateral join); the aggregate after it is
+    Catalyst-native. For hot paths the same fan-out is expressible with
+    explode+sequence (see sliding_window_agg) — the UDTF form is the
+    escape hatch for chunkers with real tokenizer state that SQL can't
+    express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class ChunkSplit:
+        def eval(self, text: str):
+            n = len(text.split(" "))
+            for i in range(0, n, CHUNK_TOKENS):
+                yield i // CHUNK_TOKENS, min(CHUNK_TOKENS, n - i)
+
+    spark.udtf.register("chunk_split", ChunkSplit)
+    table(spark, sf, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT chunk_idx, COUNT(*) AS n_chunks, SUM(n_tokens) AS sum_tokens
+        FROM udtf_docs, LATERAL chunk_split(text)
+        GROUP BY chunk_idx ORDER BY chunk_idx
+        """
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
 
@@ -424,6 +456,17 @@ ORACLE: dict[str, str] = {
         )
         GROUP BY lang
     """,
+    "udtf_chunk_stats": """
+        SELECT chunk_idx, COUNT(*) AS n_chunks, SUM(n_tok) AS sum_tokens
+        FROM (
+            SELECT CAST(k AS INT) AS chunk_idx,
+                   LEAST(10, len(string_split(text, ' ')) - 10 * k) AS n_tok
+            FROM documents,
+                 UNNEST(generate_series(0,
+                     CAST(CEIL(len(string_split(text, ' ')) / 10.0) AS INT) - 1)) AS t(k)
+        )
+        GROUP BY chunk_idx
+    """,
 }
 
 QUERIES = {
@@ -435,4 +478,5 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "stratified_sample_counts": stratified_sample_counts,
     "top_terms_per_lang": top_terms_per_lang,
+    "udtf_chunk_stats": udtf_chunk_stats,
 }
