@@ -31,7 +31,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from pinterest_data_pipeline6_spark.operators import dedup, events, multimodal, relational, similarity, textops
+    from pinterest_data_pipeline6_spark.operators import (
+        collections,
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        subqueries,
+        textops,
+    )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -40,12 +49,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(collections.QUERIES)
+    out.update(subqueries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` entry."""
-    from pinterest_data_pipeline6_spark.operators import dedup, events, multimodal, relational, similarity, textops
+    from pinterest_data_pipeline6_spark.operators import (
+        collections,
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        subqueries,
+        textops,
+    )
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
@@ -54,4 +74,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLE)
     out.update(similarity.ORACLE)
     out.update(multimodal.ORACLE)
+    out.update(collections.ORACLE)
+    out.update(subqueries.ORACLE)
     return out

@@ -1,0 +1,386 @@
+"""Collection-type operator family: higher-order array functions, map
+construction/lookup, positional explode, array set algebra, unpivot,
+date-sequence densification, and safe-arithmetic scalars.
+
+The reference touches arrays only once (``array(latitude, longitude)``
+— BATCH:83, SURVEY.md §2.8 F8) and has no map/unpivot/sequence usage at
+all; this module is part of the beyond-reference completeness surface a
+training-data pipeline needs once documents carry token arrays,
+metadata maps, and per-position features.
+
+Scale posture, per operator:
+
+- **Higher-order functions** (``transform``/``filter``/``aggregate``/
+  ``zip_with``) evaluate per element INSIDE the row — no explode, no
+  shuffle, no row-count amplification. The per-element lambda is
+  interpreted (not codegen'd), so the hot path keeps lambdas tiny
+  (length/compare/add) and anything heavier goes through explode +
+  codegen projection instead (see dedup.py's post-explode hashing).
+- **posexplode** amplifies rows by array length BEFORE its group-by
+  shuffle; the projection list is pruned to (lang, pos, tok) first so
+  the exchange carries three narrow columns, never the document text.
+- **map_from_entries** builds each user's map inside a hash aggregate
+  (one shuffle on user_id); lookups/cardinality are then per-row
+  expressions. Map columns never cross an exchange here.
+- **unpivot** is an Expand node: k measure columns → k rows per input
+  row, map-side, then a 4-group hash agg — same shape Catalyst uses
+  for cube/rollup.
+- **sequence + explode** densifies each group's [min, max] day range;
+  the left-anti join that finds gap days broadcasts the per-day
+  distinct (bounded by calendar days, tiny at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+def _toks():
+    """Token array of ``text`` (built lazily — Column exprs need a live session)."""
+    return F.split(F.col("text"), " ")
+
+
+def hof_token_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """filter → transform → aggregate entirely inside the array cell:
+    per lang, how many "long" tokens (>3 chars) documents carry and
+    their total length. No explode — row count never amplifies."""
+    docs = table(spark, sf, "documents")
+    longs = F.filter(_toks(), lambda x: F.length(x) > 3)
+    sum_len = F.aggregate(
+        F.transform(longs, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    return (
+        docs.select(
+            "lang",
+            F.size(longs).alias("n_long"),
+            sum_len.alias("sum_len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_long").alias("n_long_tokens"),
+            F.sum("sum_len").alias("sum_long_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def hof_position_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """zip_with over (1-based position sequence, token lengths): a
+    position-weighted length sum per document, rolled up per source —
+    the access pattern of positional feature extraction (e.g. position
+    embeddings) without leaving the array cell."""
+    docs = table(spark, sf, "documents")
+    weighted = F.zip_with(
+        F.sequence(F.lit(1), F.size(_toks())),
+        _toks(),
+        lambda i, x: i * F.length(x),
+    )
+    total = F.aggregate(weighted, F.lit(0), lambda a, b: a + b)
+    return (
+        docs.select("source", total.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("sum_weighted_len"),
+        )
+        .orderBy("source")
+    )
+
+
+def posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional explode (ordinality-preserving flatten): token counts
+    and distinct-token counts per (lang, position-bucket). The pre-
+    explode projection drops ``text`` so the shuffle after the explode
+    carries (lang, pos%3, tok) only."""
+    docs = table(spark, sf, "documents")
+    return (
+        docs.select("lang", F.posexplode(_toks()).alias("pos", "tok"))
+        .select("lang", (F.col("pos") % 3).alias("pos_bucket"), "tok")
+        .groupBy("lang", "pos_bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("tok").alias("n_distinct"),
+        )
+        .orderBy("lang", "pos_bucket")
+    )
+
+
+def map_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-type map: counts per type are aggregated into a
+    MapType cell (map_from_entries over collect_list), then queried
+    with element_at / map_keys / cardinality. The map never crosses an
+    exchange — it is built after the (user_id, event_type) count and
+    consumed in the same stage's projection."""
+    ev = table(spark, sf, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.cardinality("m").alias("n_types"),
+            F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("n_click"),
+            F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias("n_purchase"),
+            F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("types_csv"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def array_setops_neighbor_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Array set algebra (intersect/union/except) between consecutive
+    documents' distinct-token sets — the cell-level primitive under
+    shingle overlap scoring. The pairing key (doc_id+1) makes the join
+    a narrow equi-join, linear in the corpus (never pairwise)."""
+    docs = table(spark, sf, "documents")
+    d = docs.select("doc_id", F.array_distinct(_toks()).alias("toks"))
+    a = d.alias("a")
+    b = d.select((F.col("doc_id") - 1).alias("prev_id"), F.col("toks").alias("btoks"))
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("prev_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.size(F.array_intersect("a.toks", "btoks")).alias("n_common"),
+            F.size(F.array_union("a.toks", "btoks")).alias("n_union"),
+            F.size(F.array_except("a.toks", "btoks")).alias("n_only_a"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt) the four lineitem measures into (measure, val)
+    rows and aggregate each: wide→long via one map-side Expand, then a
+    4-group hash agg. Sums route through DECIMAL so both engines hash
+    the same value regardless of summation order."""
+    li = table(spark, sf, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=list(_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("val").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_val"
+            ),
+        )
+        .orderBy("measure")
+    )
+
+
+def sequence_day_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar densification: per order priority, generate every day in
+    [min(o_orderdate), max(o_orderdate)] with sequence()+explode and
+    count the days with no orders (gap days). The generated calendar is
+    bounded by days-in-range (tiny at any data scale), so the anti
+    lookup broadcasts."""
+    orders = table(spark, sf, "orders")
+    od = orders.select(
+        F.col("o_orderpriority").alias("priority"), F.to_date("o_orderdate").alias("d")
+    )
+    bounds = od.groupBy("priority").agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    cal = bounds.select(
+        "priority",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    actual = od.distinct()
+    return (
+        cal.join(actual, ["priority", "d"], "left_anti")
+        .groupBy("priority")
+        .agg(F.count("*").alias("n_gap_days"))
+        .join(
+            cal.groupBy("priority").agg(F.count("*").alias("n_days")), "priority"
+        )
+        .select("priority", "n_days", "n_gap_days")
+        .orderBy("priority")
+    )
+
+
+def safe_arith_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe scalar family over a quantity histogram: width_bucket
+    drives the bucketing, try_divide turns division-by-zero into NULL
+    (counted, not thrown), greatest/least clamp the tax into a band
+    before the decimal sum. All codegen'd scalar expressions — the only
+    shuffle is the final 2-key hash agg."""
+    li = table(spark, sf, "lineitem")
+    wb = F.width_bucket(F.col("l_quantity"), F.lit(0.0), F.lit(50.0), F.lit(5))
+    div_null = F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).isNull()
+    clamped = F.least(F.greatest(F.col("l_tax"), F.lit(0.02)), F.lit(0.06))
+    return (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            wb.cast("int").alias("qty_bucket"),
+            div_null.cast("int").alias("is_div_null"),
+            clamped.cast("decimal(18,6)").alias("clamped_tax"),
+        )
+        .groupBy("flag", "qty_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_div_null").alias("n_null_div"),
+            F.round(F.sum("clamped_tax").cast("double"), 4).alias("sum_clamped_tax"),
+        )
+        .orderBy("flag", "qty_bucket")
+    )
+
+
+def regexp_bitagg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """regexp_extract_all + bitwise aggregates: the numeric prefix of
+    the priority label ('1-URGENT' → 1) keys bit_and/bit_or/bit_xor
+    folds of the order keys — commutative single-pass aggregates that
+    need no sort and combine map-side."""
+    orders = table(spark, sf, "orders")
+    pn = F.regexp_extract_all(F.col("o_orderpriority"), F.lit("[0-9]+"), 0).getItem(0)
+    return (
+        orders.select(pn.cast("int").alias("priority_num"), "o_orderkey")
+        .groupBy("priority_num")
+        .agg(
+            F.count("*").alias("n"),
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+        )
+        .orderBy("priority_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins. Dialect notes embedded where the engines diverge:
+# DuckDB lambdas index 1-based (Spark transform's index param is 0-based),
+# list_reduce has no init (list_sum + coalesce instead), width_bucket does
+# not exist (expanded to its CASE definition), and array set ops are
+# replaced by size identities on distinct inputs.
+# ---------------------------------------------------------------------------
+
+ORACLE: dict[str, str] = {
+    "hof_token_metrics": """
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(len(list_filter(string_split(text, ' '), x -> length(x) > 3))) AS n_long_tokens,
+               SUM(COALESCE(list_sum(list_transform(
+                   list_filter(string_split(text, ' '), x -> length(x) > 3),
+                   x -> length(x))), 0)) AS sum_long_len
+        FROM documents GROUP BY lang
+    """,
+    "hof_position_weighted": """
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(COALESCE(list_sum(list_transform(
+                   generate_series(1, len(string_split(text, ' '))),
+                   i -> i * length(string_split(text, ' ')[i]))), 0)) AS sum_weighted_len
+        FROM documents GROUP BY source
+    """,
+    "posexplode_tokens": """
+        SELECT lang, pos % 3 AS pos_bucket, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_distinct
+        FROM (
+            SELECT lang, unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' '))),
+                       i -> {'pos': i - 1, 'tok': string_split(text, ' ')[i]}),
+                   recursive := true)
+            FROM documents
+        )
+        GROUP BY lang, pos % 3
+    """,
+    "map_event_counts": """
+        WITH per_type AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        maps AS (
+            SELECT user_id, map_from_entries(list({'k': event_type, 'v': n})) AS m
+            FROM per_type GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(cardinality(m) AS INT) AS n_types,
+               COALESCE(m['click'][1], 0) AS n_click,
+               COALESCE(m['purchase'][1], 0) AS n_purchase,
+               array_to_string(list_sort(map_keys(m)), ',') AS types_csv
+        FROM maps
+    """,
+    # set-op sizes on distinct inputs: |A∩B| from list_intersect,
+    # |A∪B| = |A|+|B|-|A∩B|, |A\\B| = |A|-|A∩B|
+    "array_setops_neighbor_docs": """
+        WITH d AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_id,
+               len(list_intersect(a.toks, b.toks)) AS n_common,
+               len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union,
+               len(a.toks) - len(list_intersect(a.toks, b.toks)) AS n_only_a
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    """,
+    "unpivot_measures": """
+        SELECT measure, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_val
+        FROM (
+            SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem
+        ) UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        GROUP BY measure
+    """,
+    "sequence_day_gaps": """
+        WITH od AS (
+            SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        ),
+        bounds AS (
+            SELECT priority, MIN(d) AS mn, MAX(d) AS mx FROM od GROUP BY priority
+        ),
+        cal AS (
+            SELECT priority, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+            FROM bounds
+        ),
+        actual AS (SELECT DISTINCT priority, d FROM od)
+        SELECT c.priority,
+               COUNT(*) AS n_days,
+               CAST(SUM(CASE WHEN a.d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days
+        FROM cal c LEFT JOIN actual a ON c.priority = a.priority AND c.d = a.d
+        GROUP BY c.priority
+    """,
+    # width_bucket(v, 0, 50, 5) expanded to its definition; try_divide's
+    # NULL-on-zero-divisor becomes an explicit divisor=0 test
+    "safe_arith_buckets": """
+        SELECT l_returnflag AS flag,
+               CASE WHEN l_quantity < 0 THEN 0
+                    WHEN l_quantity >= 50 THEN 6
+                    ELSE CAST(FLOOR(l_quantity / 10) AS INT) + 1 END AS qty_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_div,
+               ROUND(CAST(SUM(CAST(LEAST(GREATEST(l_tax, 0.02), 0.06) AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS sum_clamped_tax
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+    "regexp_bitagg_orders": """
+        SELECT CAST(regexp_extract_all(o_orderpriority, '[0-9]+')[1] AS INT) AS priority_num,
+               COUNT(*) AS n,
+               bit_and(o_orderkey) AS key_and,
+               bit_or(o_orderkey) AS key_or,
+               bit_xor(o_orderkey) AS key_xor
+        FROM orders
+        GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "hof_token_metrics": hof_token_metrics,
+    "hof_position_weighted": hof_position_weighted,
+    "posexplode_tokens": posexplode_tokens,
+    "map_event_counts": map_event_counts,
+    "array_setops_neighbor_docs": array_setops_neighbor_docs,
+    "unpivot_measures": unpivot_measures,
+    "sequence_day_gaps": sequence_day_gaps,
+    "safe_arith_buckets": safe_arith_buckets,
+    "regexp_bitagg_orders": regexp_bitagg_orders,
+}

@@ -184,10 +184,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # hash AFTER explode, not inside transform(): a lambda body inside a
     # higher-order function is evaluated interpreted per element, while a
     # post-explode projection stays in whole-stage codegen — same values,
-    # JVM-compiled hot path
+    # JVM-compiled hot path. xxhash64, not the portable md5 hash: this
+    # query's OUTPUT depends only on shingle equality (the join key), so
+    # each engine may use its own injective-in-practice hash — no hex
+    # string materialization per shingle, one fused codegen pass.
     e = d.select(
         "doc_id", "lang", "sz", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
-    ).select("doc_id", "lang", "sz", "n_sh", _h64_spark(F.col("s")).alias("h"))
+    ).select("doc_id", "lang", "sz", "n_sh", F.xxhash64(F.col("s")).alias("h"))
     a, b = e.alias("a"), e.alias("b")
     inter = F.count("*")
     return (

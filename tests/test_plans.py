@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from pinterest_data_pipeline6_spark.operators import dedup, events, relational, similarity
+from pinterest_data_pipeline6_spark.operators import collections, dedup, events, relational, similarity, subqueries
 from pinterest_data_pipeline6_spark.plans import (
     executed_plan,
     has_broadcast_join,
@@ -151,3 +151,55 @@ def test_window_partial_topk(spark):
     plan = executed_plan(relational.q3a_top_account_per_nation(spark, SF))
     assert "Window" in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_exists_plans_as_semi_anti_join(spark):
+    """EXISTS/NOT EXISTS must decorrelate to semi/anti hash joins — a
+    per-row subquery re-execution would be O(n*m) at scale."""
+    plan = executed_plan(subqueries.QUERIES["exists_segment_activity"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lateral_limit_decorrelates_to_window(spark):
+    """LATERAL (ORDER BY ... LIMIT 2) must become a rank window over the
+    joined outer keys, not a per-customer subquery loop."""
+    plan = executed_plan(subqueries.QUERIES["lateral_top2_orders"](spark, SF))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """All four grouping-set granularities in ONE Expand + hash agg —
+    never four scans."""
+    plan = executed_plan(subqueries.QUERIES["grouping_sets_revenue"](spark, SF))
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_unpivot_single_scan_expand(spark):
+    """Unpivot is a map-side Expand over one scan — wide→long costs no
+    extra read of the fact table."""
+    plan = executed_plan(collections.unpivot_measures(spark, SF))
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hof_queries_do_not_shuffle_text(spark):
+    """Higher-order-function metrics aggregate in-cell then shuffle only
+    (group key, partial aggregates) — the document text column must not
+    appear in any exchange."""
+    plan = executed_plan(collections.hof_token_metrics(spark, SF))
+    assert "Exchange" in plan
+    import re
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0)
+
+
+def test_scalar_subquery_is_reused_not_per_row(spark):
+    """The uncorrelated AVG subquery must appear as a (reused) scalar
+    subquery plan, evaluated once — not joined per row."""
+    df = subqueries.QUERIES["scalar_subquery_price"](spark, SF)
+    plan = executed_plan(df)
+    assert "Subquery" in plan or "ReusedSubquery" in plan
