@@ -16,6 +16,30 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The headline metric sums a FROZEN query set so `value` stays
+# comparable across rounds as coverage grows (new operators would
+# otherwise inflate the total and read as a regression). Every query —
+# headline or not — still gets its own entry in "queries".
+HEADLINE = (
+    # the reference's 8-query workload (SURVEY.md §2.12)
+    "q1_category_per_country", "q2_count_per_year",
+    "q3a_top_account_per_nation", "q3b_global_top_account",
+    "q4_distinct_pairs_per_bucket", "q5_median_price_per_bucket",
+    "q6_customers_per_year", "q7_median_price_per_year",
+    "q8_median_price_bucket_year",
+    # TPC-H-grade fact workload
+    "pricing_summary", "shipping_priority", "nation_revenue",
+    # training-data pipeline: dedup / similarity / text
+    "dedup_exact_text", "minhash_band_pairs", "simhash_fingerprints",
+    "ngram_jaccard_pairs", "dedup_clusters", "embedding_neardup_lsh",
+    "knn_brute_force", "knn_ivf", "top_terms_per_lang",
+    "repetition_stats", "quality_score_buckets",
+    # event analytics / windows / UDF surface
+    "tumbling_hourly_agg", "sessionize_events", "asof_join_enrich",
+    "cohort_retention", "merge_upsert", "grouped_zscore_outliers",
+    "udtf_chunk_stats",
+)
+
 
 def _sf_label(path: str) -> float:
     tag = os.path.basename(path.rstrip("/"))
@@ -56,15 +80,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    headline = round(sum(timings[q] for q in HEADLINE if q in timings), 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_time",
-                "value": total,
+                "metric": "headline_query_wall_time",
+                "value": headline,
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_label(SF_DIR),
+                "total_all_queries": total,
+                "n_queries": len(timings),
+                "n_headline": len(HEADLINE),
             }
         )
     )

@@ -256,6 +256,25 @@ def regexp_bitagg_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def morton_bucket_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton (Z-order) bucketing of (l_partkey, l_suppkey): row counts
+    per high-order Morton bucket. The code itself is the layout key
+    ``functions/partitioning.zorder_by`` sorts files by — this query
+    pins its arithmetic against the identical SQL in DuckDB. High bits
+    of the interleave = the coarse Z-curve cell, the unit of
+    multi-dimensional data skipping."""
+    from pinterest_data_pipeline6_spark.functions.partitioning import morton_code
+
+    li = table(spark, sf, "lineitem")
+    code = morton_code(F.pmod("l_partkey", F.lit(1 << 16)), F.pmod("l_suppkey", F.lit(1 << 16)))
+    return (
+        li.select(F.shiftright(code, 24).alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("z_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins. Dialect notes embedded where the engines diverge:
 # DuckDB lambdas index 1-based (Spark transform's index param is 0-based),
@@ -362,6 +381,7 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY 1, 2
     """,
+    "morton_bucket_counts": "",  # assembled below (generated arithmetic)
     "regexp_bitagg_orders": """
         SELECT CAST(regexp_extract_all(o_orderpriority, '[0-9]+')[1] AS INT) AS priority_num,
                COUNT(*) AS n,
@@ -373,6 +393,19 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def _morton_oracle() -> str:
+    from pinterest_data_pipeline6_spark.functions.partitioning import morton_sql
+
+    code = morton_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    return f"""
+        SELECT (({code}) >> 24) AS z_bucket, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY 1
+    """
+
+
+ORACLE["morton_bucket_counts"] = _morton_oracle()
+
 QUERIES = {
     "hof_token_metrics": hof_token_metrics,
     "hof_position_weighted": hof_position_weighted,
@@ -383,4 +416,5 @@ QUERIES = {
     "sequence_day_gaps": sequence_day_gaps,
     "safe_arith_buckets": safe_arith_buckets,
     "regexp_bitagg_orders": regexp_bitagg_orders,
+    "morton_bucket_counts": morton_bucket_counts,
 }

@@ -249,7 +249,58 @@ def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
 # ``CAST(ts AS TIMESTAMP)`` truncates DuckDB's timestamp_ns to microseconds —
 # the same truncation the Spark reader applies (readers._TS_NANO_COLS), so
 # window orderings and epoch arithmetic agree bit-for-bit across engines.
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-Type-2 historization: collapse each user's event-type stream
+    into validity intervals [valid_from, valid_to) — a new interval
+    opens whenever the type changes, the open interval has NULL
+    valid_to. The dimension-table maintenance pattern of a warehouse
+    ETL, built from two window passes over ONE shuffle on user_id
+    (lag for change detection, lead for interval close — same window
+    frame, so Catalyst plans a single Window node chain, no second
+    exchange). Timestamps are emitted as formatted strings so both
+    engines hash identical values."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn(
+        "is_change",
+        F.coalesce(F.col("event_type") != F.lag("event_type").over(w), F.lit(True)),
+    ).filter("is_change")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changed.select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", _TS_FMT).alias("valid_from"),
+            F.date_format(F.lead("ts").over(w2), _TS_FMT).alias("valid_to"),
+            F.lead("ts").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "scd2_intervals": """
+        WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        changed AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM (
+                SELECT user_id, event_type, ts, event_id,
+                       COALESCE(event_type <> lag(event_type) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id), TRUE) AS is_change
+                FROM ev
+            )
+            WHERE is_change
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        FROM changed
+    """,
     "window_lag_delta": """
         WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         SELECT event_type, COUNT(delta) AS n_deltas,
@@ -376,4 +427,5 @@ QUERIES = {
     "asof_join_enrich": asof_join_enrich,
     "range_join_bursts": range_join_bursts,
     "json_props_extract": json_props_extract,
+    "scd2_intervals": scd2_intervals,
 }

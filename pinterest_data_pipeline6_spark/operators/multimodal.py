@@ -239,7 +239,37 @@ def media_feature_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def binary_file_inventory(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's ``binaryFile`` source — the
+    entry point for raw image/audio/video assets before any decode
+    stage: each file becomes (path, modificationTime, length, content)
+    with content lazily read per-row. The inventory projects metadata
+    only, so at scale the scan never materializes payload bytes for
+    files that filters drop (the source supports pathGlobFilter +
+    modifiedAfter pushdown for incremental ingest).
+
+    The oracle reads the same files with DuckDB's read_blob; digests
+    are engine-internal (DuckDB 1.0 cannot md5 raw blobs), so the
+    cross-checked contract is (file name, byte length) per file."""
+    inv = spark.read.format("binaryFile").load(f"{sf}/*.parquet")
+    return (
+        inv.select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.col("length").alias("n_bytes"),
+        )
+        .orderBy("file")
+    )
+
+
 ORACLE: dict[str, str] = {
+    # read_blob path is pinned to the driver's oracle scale factor
+    # (the harness compares at sf0.01 — BASELINE.md); DuckDB has no
+    # view-relative way to address raw files
+    "binary_file_inventory": """
+        SELECT regexp_extract(filename, '[^/]+$') AS file,
+               CAST(size AS BIGINT) AS n_bytes
+        FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
     "media_payload_stats": """
         SELECT kind, COUNT(*) AS n_media,
                CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
@@ -262,4 +292,5 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "media_payload_stats": media_payload_stats,
     "media_feature_rollup": media_feature_rollup,
+    "binary_file_inventory": binary_file_inventory,
 }

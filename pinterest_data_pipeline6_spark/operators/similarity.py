@@ -390,6 +390,75 @@ def grouped_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 3 fixed
+    iterations, deterministic init = the 8 lowest vec_ids) — the
+    clustering pass of diversity sampling / cluster-balanced data
+    curation. Emits per-cluster size and mean distance.
+
+    Spark-first iteration shape, all Catalyst-native (no Python UDF):
+    - ASSIGN: the k centroids are a k-row DataFrame broadcast into a
+      crossJoin (corpus × k stays one scan, no shuffle of embeddings);
+      squared distance is a zip_with/aggregate fold; argmin per vector
+      via min(struct(d2, cid)) in a hash agg keyed on vec_id.
+    - UPDATE: per-dimension means via posexplode → (cid, dim) hash agg
+      → collect back to array ordered by dim index. The shuffle
+      carries k×dim cells, not the corpus.
+    - ``localCheckpoint`` truncates per-iteration lineage (same policy
+      as dedup_clusters); iterations are a fixed count so the plan is
+      bounded. At 100 TB the same loop runs with the corpus in cache
+      and only the k×dim centroid table crossing the driver.
+
+    No DuckDB oracle: iterative refinement is not expressible as one
+    ANSI query (the driver records the weaker rows-only check —
+    SURVEY.md §5.2 note on non-SQL-expressible ops)."""
+    emb = widen_small_scan(table(spark, sf, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+        .localCheckpoint()
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "cid", d2.alias("d2")
+        )
+        assigned = (
+            scored.groupBy("vec_id", "v")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", "v", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+            .select("cid", F.transform("pairs", lambda p: p["m"]).alias("c"))
+            .localCheckpoint()
+        )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
 ORACLE: dict[str, str] = {
     "grouped_zscore_outliers": """
         SELECT label, COUNT(*) AS n_vecs,
@@ -454,4 +523,5 @@ QUERIES = {
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "pandas_udf_norms": pandas_udf_norms,
     "grouped_zscore_outliers": grouped_zscore_outliers,
+    "kmeans_embeddings": kmeans_embeddings,
 }

@@ -325,6 +325,93 @@ def udtf_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TFIDF_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Full TF-IDF: per document, the top-3 terms by tf·idf with
+    smoothed idf = ln((N+1)/(df+1)). Completes the vocabulary pass of
+    ``top_terms_per_lang`` into per-document term weighting.
+
+    Plan: one explode → (doc, term) tf hash agg → term-level df agg
+    (both with map-side combine; the shuffles carry the vocabulary, not
+    the corpus) → broadcast the corpus size scalar → per-doc top-k
+    window over the scored (doc, term) relation. Ranking keys are
+    (round(score,6) DESC, term ASC): rounding pins the float compare
+    cross-engine, the term tiebreak makes equal-score ranks stable."""
+    from pyspark.sql.window import Window
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    n_docs = docs.count()  # corpus-size scalar, one tiny job
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+BIGRAM_K = 3
+
+
+def bigram_lm_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram language-model counts: per language, the top-3 bigrams
+    with their conditional probability p(w2|w1) = n(w1 w2)/n(w1·) —
+    the count pass of n-gram LM training / contamination fingerprints.
+
+    The prefix denominator n(w1·) is derived FROM the bigram relation
+    (sum of bigram counts grouped by first token), so numerator and
+    denominator come out of one explode + one hash agg; ranking uses
+    exact integers with a bigram tiebreak."""
+    from pyspark.sql.window import Window
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = _tokens()
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("lang", F.explode(bigrams).alias("bigram"))
+    counts = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    prefix = (
+        counts.select(
+            "lang", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"), "n"
+        )
+        .groupBy("lang", "w1")
+        .agg(F.sum("n").alias("n_prefix"))
+    )
+    scored = counts.withColumn(
+        "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    ).join(prefix, ["lang", "w1"])
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BIGRAM_K)
+        .select(
+            "lang",
+            "rank",
+            "bigram",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_prefix"), 6).alias("p_cond"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
 
@@ -467,6 +554,54 @@ ORACLE: dict[str, str] = {
         )
         GROUP BY chunk_idx
     """,
+    "tfidf_top_terms": f"""
+        WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term,
+                   ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, rank, term, score
+        FROM (
+            SELECT doc_id, term, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS INT) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TFIDF_K}
+    """,
+    "bigram_lm_counts": f"""
+        WITH bg AS (
+            SELECT lang, unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')
+                   )) AS bigram
+            FROM documents
+        ),
+        counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+        prefix AS (
+            SELECT lang, string_split(bigram, ' ')[1] AS w1, SUM(n) AS n_prefix
+            FROM counts GROUP BY lang, w1
+        )
+        SELECT lang, rank, bigram, n, p_cond
+        FROM (
+            SELECT c.lang, c.bigram, c.n,
+                   ROUND(CAST(c.n AS DOUBLE) / p.n_prefix, 6) AS p_cond,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY c.lang
+                        ORDER BY c.n DESC, c.bigram ASC) AS INT) AS rank
+            FROM counts c
+            JOIN prefix p ON c.lang = p.lang
+                         AND string_split(c.bigram, ' ')[1] = p.w1
+        )
+        WHERE rank <= {BIGRAM_K}
+    """,
 }
 
 QUERIES = {
@@ -479,4 +614,6 @@ QUERIES = {
     "stratified_sample_counts": stratified_sample_counts,
     "top_terms_per_lang": top_terms_per_lang,
     "udtf_chunk_stats": udtf_chunk_stats,
+    "tfidf_top_terms": tfidf_top_terms,
+    "bigram_lm_counts": bigram_lm_counts,
 }

@@ -131,3 +131,24 @@ def test_duckdb_differential(spark, views, duck, qname):
         key=lambda t: tuple(str(x) for x in t),
     )
     assert got == want
+
+
+def test_kmeans_invariants(spark):
+    """k-means has no SQL oracle (iterative), so pin its invariants:
+    every vector is assigned exactly once, at most k clusters, cluster
+    ids come from the init set (lowest vec_ids), distances
+    non-negative, and the run is deterministic."""
+    from pinterest_data_pipeline6_spark.operators.similarity import (
+        KMEANS_K,
+        kmeans_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = kmeans_embeddings(spark, sf).collect()
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert 0 < len(out) <= KMEANS_K
+    assert sum(r.n_points for r in out) == n_vecs
+    assert all(r.cid < KMEANS_K for r in out)
+    assert all(r.avg_dist >= 0 for r in out)
+    again = kmeans_embeddings(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -55,9 +55,9 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-# genuinely non-SQL-expressible ops (opaque Python stages) — the driver
-# records a weaker rows-only check for these by design
-NO_ORACLE_OK = {"media_feature_rollup"}
+# genuinely non-SQL-expressible ops (opaque Python stages / iterative
+# refinement) — the driver records a weaker rows-only check by design
+NO_ORACLE_OK = {"media_feature_rollup", "kmeans_embeddings"}
 
 
 def test_every_query_has_oracle():

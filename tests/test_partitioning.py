@@ -9,6 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline6_spark.functions.partitioning import (
+    morton_code,
+    zorder_by,
     repartition_for,
     salted_join,
     write_bucketed,
@@ -79,3 +81,32 @@ def test_repartition_reuse_single_exchange(spark):
     # (final_plan text includes the Initial Plan section — strip it)
     plan = final_plan(agg1).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_morton_code_interleaves_bits(spark):
+    """morton_code(x, y) must interleave exactly: (x=0b11, y=0b01) ->
+    y1 x1 y0 x0 = 0b0111 = 7."""
+    row = spark.range(1).select(
+        morton_code(F.lit(3), F.lit(1)).alias("m"),
+        morton_code(F.lit(0), F.lit(0)).alias("z"),
+        morton_code(F.lit(65535), F.lit(65535)).alias("full"),
+    ).first()
+    assert row.m == 7
+    assert row.z == 0
+    assert row.full == (1 << 32) - 1
+
+
+def test_zorder_is_shuffle_free_and_locally_sorted(spark):
+    """zorder_by must not add an Exchange (layout is per-partition) and
+    each partition must come out sorted by the Morton code."""
+    li = table(spark, "/root/testdata/sf0.01", "lineitem").repartition(4)
+    z = zorder_by(li, "l_partkey", "l_suppkey")
+    plan = executed_plan(z)
+    assert plan.count("Exchange") == executed_plan(li).count("Exchange")
+    codes = z.select(morton_code(F.col("l_partkey"), F.col("l_suppkey")).alias("m"))
+    def _sorted(it):
+        vals = [r.m for r in it]
+        return [all(a <= b for a, b in zip(vals, vals[1:]))]
+
+    ok = codes.rdd.mapPartitions(_sorted).collect()
+    assert all(ok)
