@@ -249,6 +249,32 @@ def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
 # ``CAST(ts AS TIMESTAMP)`` truncates DuckDB's timestamp_ns to microseconds —
 # the same truncation the Spark reader applies (readers._TS_NANO_COLS), so
 # window orderings and epoch arithmetic agree bit-for-bit across engines.
+ROLLING_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def time_range_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the rolling 1-hour
+    sum/count of the user's events (frame = all peers within
+    [ts-1h, ts], not a fixed row count — the frame the ROWS-based
+    ``running_total`` in relational.py cannot express). Ordered by
+    epoch micros so the numeric RANGE bound is exact; one shuffle on
+    user_id; decimal-routed sum."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-ROLLING_WINDOW_US, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 4
+        ).alias("rolling_sum_1h"),
+        F.count("*").over(w).alias("n_events_1h"),
+    ).orderBy("user_id", "event_id")
+
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
@@ -282,6 +308,16 @@ def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "time_range_rolling": f"""
+        WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        SELECT user_id, event_id,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4)
+                   AS rolling_sum_1h,
+               COUNT(*) OVER w AS n_events_1h
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING AND CURRENT ROW)
+    """,
     "scd2_intervals": """
         WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
         changed AS (
@@ -428,4 +464,5 @@ QUERIES = {
     "range_join_bursts": range_join_bursts,
     "json_props_extract": json_props_extract,
     "scd2_intervals": scd2_intervals,
+    "time_range_rolling": time_range_rolling,
 }

@@ -97,6 +97,29 @@ _PORTABLE: dict[str, str] = {
                       LIMIT 2) t
         GROUP BY c.c_mktsegment
     """,
+    # recursive CTE (Spark 4 native): walk same-lang doc_id runs to
+    # their full depth — linear recursion whose depth is the longest
+    # run, each step one equi-join of the frontier against the base
+    # relation. The declarative twin of the iterative label-propagation
+    # loop in dedup.dedup_clusters.
+    "recursive_lang_runs": """
+        WITH RECURSIVE starts AS (
+            SELECT d.doc_id, d.lang
+            FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+            WHERE p.doc_id IS NULL OR p.lang <> d.lang
+        ),
+        walk(start_id, cur_id, lang, depth) AS (
+            SELECT doc_id, doc_id, lang, 1 FROM starts
+            UNION ALL
+            SELECT w.start_id, n.doc_id, w.lang, w.depth + 1
+            FROM walk w JOIN documents n
+              ON n.doc_id = w.cur_id + 1 AND n.lang = w.lang
+        )
+        SELECT lang, MAX(depth) AS max_run,
+               COUNT(DISTINCT start_id) AS n_runs,
+               CAST(COUNT(*) AS BIGINT) AS n_steps
+        FROM walk GROUP BY lang
+    """,
     # explicit GROUPING SETS (finer control than the rollup/cube
     # operators in relational.py): all four granularities in one Expand
     # + hash agg pass, gid from the portable GROUPING() pair

@@ -90,3 +90,35 @@ def write_partitioned(
 def rm_checkpoint(path: str | Path) -> None:
     """Remove a streaming checkpoint dir (STREAM:168-170 analog)."""
     shutil.rmtree(path, ignore_errors=True)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str | Path,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of many small files
+    into ~target_file_mb outputs. The small-file problem is the classic
+    ingest pathology at scale (streaming sinks and per-partition
+    writers emit one file per task per trigger; a 100 TB table ingested
+    that way ends up with millions of KB-sized files whose open/footer
+    cost dominates scans).
+
+    Sizing: file count = ceil(bytes_on_disk / target). ``coalesce``
+    (not ``repartition``) merges read-splits without a shuffle — the
+    rewrite is one scan + one write. Returns the new file count.
+    Compaction writes to a temp sibling then atomically swaps, so a
+    concurrent reader sees old or new layout, never a mix."""
+    p = Path(path)
+    data_files = [f for f in p.rglob("*") if f.is_file() and not f.name.startswith(("_", "."))]
+    total_bytes = sum(f.stat().st_size for f in data_files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(str(p))
+    tmp = p.with_name(p.name + "__compact_tmp")
+    df.coalesce(int(n_out)).write.format(fmt).mode("overwrite").save(str(tmp))
+    swap = p.with_name(p.name + "__compact_old")
+    p.rename(swap)
+    tmp.rename(p)
+    shutil.rmtree(swap)
+    return int(n_out)

@@ -105,3 +105,60 @@ def sessionize_stream(events: DataFrame, delay: str = "1 hour") -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's arbitrary-state API (the
+# successor to applyInPandasWithState: typed state variables on a
+# handle, explicit time modes, RocksDB-backed). Implemented alongside
+# the legacy operator so both stateful surfaces are covered.
+# ---------------------------------------------------------------------------
+
+try:  # the class interface needs pyspark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningUserAgg(StatefulProcessor):
+        """Per-user running aggregate (event count + max value) kept in
+        a typed ValueState — the online feature-store accumulator
+        pattern: each micro-batch folds its rows into O(1) state per
+        user and emits the refreshed feature row (Update mode).
+
+        State is one (n, mx) tuple per user — O(users), not O(events);
+        rows reach their user's partition via the groupBy shuffle once
+        and cross into Python as Arrow batches."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prev = self._agg.get()
+            n, mx = (prev[0], prev[1]) if prev is not None else (0, float("-inf"))
+            for pdf in rows:
+                if len(pdf):
+                    n += len(pdf)
+                    mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+    RunningUserAgg = None  # type: ignore[assignment]
+
+
+def running_user_agg_stream(events: DataFrame) -> DataFrame:
+    """Running per-user feature row via ``transformWithStateInPandas``
+    (requires the RocksDB state store provider — see
+    ``tests/test_stateful_streaming.py`` for the session conf)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningUserAgg(),
+        outputStructType="user_id long, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

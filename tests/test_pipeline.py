@@ -156,3 +156,18 @@ def test_follower_rewrite_property(spark):
         assert out == [py_expand(v) for v in values]
 
     check()
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    """Many small files -> few files, same rows, no shuffle needed."""
+    from pinterest_data_pipeline6_spark.sources.io import compact_files
+
+    src = tmp_path / "frag"
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(str(src))
+    before = len([f for f in src.rglob("*.parquet")])
+    assert before >= 32
+    compact_files(spark, src, target_file_mb=128)
+    after = len([f for f in src.rglob("*.parquet")])
+    assert after < before
+    assert spark.read.parquet(str(src)).count() == 10_000
