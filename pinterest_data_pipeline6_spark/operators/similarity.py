@@ -390,6 +390,44 @@ def grouped_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pandas_udaf_weighted_price(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED_AGG Pandas UDF — a true vectorized UDAF (the third leg
+    of the §2.10 UDF surface next to the scalar Pandas UDF and
+    applyInPandas): quantity-weighted mean price per return flag.
+    Each group's columns arrive as whole pandas Series over Arrow;
+    the aggregate returns one scalar per group.
+
+    Determinism across engines: sums run over int64 cents (exact,
+    order-independent), so the emitted ratio is bit-stable no matter
+    how partitions interleave. At scale a GROUPED_AGG UDF cannot
+    partial-aggregate (whole group must reach one task — unlike
+    built-in aggs); keep groups bounded or pre-reduce with a
+    Catalyst agg when cardinality allows."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg_cents(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.round().astype("int64")
+        return float((cents * q).sum() / (100.0 * q.sum()))
+
+    # Catalyst refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg list — the row count is a pandas UDAF too
+    @pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        return len(qty)
+
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            n_rows("l_quantity").alias("n"),
+            F.round(wavg_cents("l_extendedprice", "l_quantity"), 4).alias("wavg_price"),
+        )
+        .orderBy("flag")
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -460,6 +498,16 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # integer-cents arithmetic mirrors the UDAF exactly (exact sums,
+    # then one double division)
+    "pandas_udaf_weighted_price": """
+        SELECT l_returnflag AS flag, COUNT(*) AS n,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND(l_quantity) AS BIGINT))
+                     / (100.0 * SUM(CAST(ROUND(l_quantity) AS BIGINT))), 4) AS wavg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "grouped_zscore_outliers": """
         SELECT label, COUNT(*) AS n_vecs,
                SUM(CASE WHEN ABS((norm - mu) / sd) > 2 THEN 1 ELSE 0 END) AS n_outliers,
@@ -524,4 +572,5 @@ QUERIES = {
     "pandas_udf_norms": pandas_udf_norms,
     "grouped_zscore_outliers": grouped_zscore_outliers,
     "kmeans_embeddings": kmeans_embeddings,
+    "pandas_udaf_weighted_price": pandas_udaf_weighted_price,
 }

@@ -171,3 +171,25 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     after = len([f for f in src.rglob("*.parquet")])
     assert after < before
     assert spark.read.parquet(str(src)).count() == 10_000
+
+
+def test_observe_quality_metrics_free_with_action(spark):
+    """observe() metrics must report rows/nulls/domain violations from
+    the SAME job that computed the result — no second scan."""
+    from pinterest_data_pipeline6_spark.functions.quality import (
+        check_quality,
+        observe_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, -1.0), (3, "c", 5.0)], "k int, s string, v double"
+    )
+    instrumented, obs = observe_quality(df, not_null=("s",), positive=("v",))
+    assert instrumented.count() == 3
+    m = obs.get
+    assert m["n_rows"] == 3
+    assert m["n_null_s"] == 1
+    assert m["n_nonpos_v"] == 1
+    violations = check_quality(m)
+    assert len(violations) == 2
+    assert not check_quality(m, max_null_rate=0.5, max_nonpos_rate=0.5)
