@@ -55,6 +55,28 @@ def _shingles(toks: Column) -> Column:
     )
 
 
+def _exploded_shingles(docs: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., shingle) with one row per 3-gram occurrence — the
+    codegen formulation of shingling: explode the START INDEX first,
+    then build each shingle with slice+concat_ws in a plain projection.
+    A transform() lambda evaluates interpreted per element; this shape
+    stays inside whole-stage codegen end-to-end, which is the difference
+    between saturating cores and idling them when shingling 100 TB.
+    Duplicate shingles are preserved (callers that need set semantics
+    de-duplicate on their own key)."""
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(*keep, toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            *keep,
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
+        )
+        .select(*keep, F.concat_ws(" ", F.slice("toks", F.col("i"), 3)).alias("shingle"))
+    )
+
+
 _SHINGLES_SQL = """list_distinct(list_transform(
     generate_series(1, len(string_split(text,' ')) - 2),
     i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))"""
@@ -88,12 +110,12 @@ _MINHASH_B = [7919 * (i + 1) for i in range(N_MINHASH)]
 def _minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, m_0..m_15): min universal hash per permutation. ONE md5
     per shingle (the 16 permutations are cheap arithmetic on it), one
-    explode, one partial+final min aggregate."""
+    explode, one partial+final min aggregate. Shingles come from the
+    codegen explode-index path WITHOUT de-duplication: MIN over a
+    multiset equals MIN over its set, so signatures are unchanged while
+    the array_distinct + interpreted-lambda pass disappears."""
     docs = widen_small_scan(table(spark, sf, "documents"))
-    toks = F.split(F.col("text"), " ")
-    exploded = docs.select(
-        "doc_id", F.explode(_shingles(toks)).alias("shingle")
-    )
+    exploded = _exploded_shingles(docs, "doc_id")
     base = (_h64_spark(F.col("shingle")) % MINHASH_P).alias("hb")
     hashed = exploded.select("doc_id", base)
     return hashed.groupBy("doc_id").agg(
@@ -173,27 +195,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     hash (skew-prone frequent shingles are exactly what AQE skew-join
     splits)."""
     docs = widen_small_scan(table(spark, sf, "documents"))
-    toks = F.split(F.col("text"), " ")
     d = docs.select(
         "doc_id",
         "lang",
         # floor, not cast: DuckDB CAST(double AS INT) rounds, Spark truncates
         F.floor(F.col("n_chars") / 100).cast("int").alias("sz"),
-        _shingles(toks).alias("sh"),
+        "text",
     )
-    # hash AFTER explode, not inside transform(): a lambda body inside a
-    # higher-order function is evaluated interpreted per element, while a
-    # post-explode projection stays in whole-stage codegen — same values,
-    # JVM-compiled hot path. xxhash64, not the portable md5 hash: this
+    # Whole-stage-codegen shingling (explode-index + slice — see
+    # _exploded_shingles) then DISTINCT (doc, shingle-hash): Jaccard is
+    # over shingle SETS. xxhash64, not the portable md5 hash: this
     # query's OUTPUT depends only on shingle equality (the join key), so
     # each engine may use its own injective-in-practice hash — no hex
     # string materialization per shingle, one fused codegen pass.
-    e = d.select(
-        "doc_id", "lang", "sz", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
-    ).select("doc_id", "lang", "sz", "n_sh", F.xxhash64(F.col("s")).alias("h"))
+    e = (
+        _exploded_shingles(d, "doc_id", "lang", "sz")
+        .select("doc_id", "lang", "sz", F.xxhash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    # per-doc distinct-shingle counts: a tiny (doc_id, n_sh) relation,
+    # broadcast back onto the aggregated pair table — the pair table
+    # never carries the counts through the big shuffle
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = e.alias("a"), e.alias("b")
-    inter = F.count("*")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -201,13 +226,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.sz") == F.col("b.sz"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(inter.alias("inter"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")))
+    nb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -446,10 +446,15 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     - UPDATE: per-dimension means via posexplode → (cid, dim) hash agg
       → collect back to array ordered by dim index. The shuffle
       carries k×dim cells, not the corpus.
-    - ``localCheckpoint`` truncates per-iteration lineage (same policy
-      as dedup_clusters); iterations are a fixed count so the plan is
-      bounded. At 100 TB the same loop runs with the corpus in cache
-      and only the k×dim centroid table crossing the driver.
+    - LINEAGE: with a FIXED small iteration count the loop stays fully
+      lazy — all three rounds compile into ONE job (one optimizer pass,
+      exchange reuse dedups the repeated corpus scans) instead of a
+      checkpoint job per round; fewer sequential jobs is also less
+      exposure to host stalls. Beyond ~5 iterations (or with a
+      convergence loop) re-enable periodic ``localCheckpoint`` as in
+      dedup_clusters, or plan/optimizer time grows superlinearly.
+      At 100 TB the same loop runs with the corpus in cache and only
+      the k×dim centroid table crossing the driver.
 
     No DuckDB oracle: iterative refinement is not expressible as one
     ANSI query (the driver records the weaker rows-only check —
@@ -461,7 +466,6 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         emb.orderBy("vec_id")
         .limit(KMEANS_K)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
-        .localCheckpoint()
     )
     d2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
@@ -485,7 +489,6 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
             .select("cid", F.transform("pairs", lambda p: p["m"]).alias("c"))
-            .localCheckpoint()
         )
     return (
         assigned.groupBy("cid")

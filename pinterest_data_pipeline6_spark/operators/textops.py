@@ -377,15 +377,17 @@ def bigram_lm_counts(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = widen_small_scan(table(spark, sf, "documents"))
-    toks = _tokens()
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select("lang", F.explode(bigrams).alias("bigram"))
+    # codegen bigram construction: explode the start index, slice in a
+    # plain projection (a transform() lambda would evaluate interpreted
+    # per element — see dedup._exploded_shingles for the rationale)
+    bg = (
+        docs.select("lang", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "lang", "toks", F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i")
+        )
+        .select("lang", F.concat_ws(" ", F.slice("toks", F.col("i"), 2)).alias("bigram"))
+    )
     counts = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
     prefix = (
         counts.select(
