@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from pinterest_data_pipeline6_spark.operators import (
         collections,
+        curation,
         dedup,
         events,
         multimodal,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     out.update(collections.QUERIES)
     out.update(subqueries.QUERIES)
+    out.update(curation.QUERIES)
     return out
 
 
@@ -58,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` entry."""
     from pinterest_data_pipeline6_spark.operators import (
         collections,
+        curation,
         dedup,
         events,
         multimodal,
@@ -76,4 +79,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLE)
     out.update(collections.ORACLE)
     out.update(subqueries.ORACLE)
+    out.update(curation.ORACLE)
     return out

@@ -1,0 +1,267 @@
+"""End-to-end corpus curation pipeline — the flagship composition of
+the training-data operator families into ONE dataflow:
+
+    normalize → quality filter → exact dedup (digest representative)
+    → MinHash/LSH near-dup collapse → stratified hash sample
+    → per-(lang, source) accounting
+
+Every stage is the production pattern at 100 TB:
+
+- **normalize/quality**: map-only projections and per-cell metrics —
+  no shuffle, full codegen; rejected docs never reach a shuffle.
+- **exact dedup**: representative-per-digest via min-aggregate on the
+  16-byte digest (the shuffle carries digests + doc_ids, never text).
+- **near-dup collapse**: MinHash signatures (one explode + one min
+  agg) → band-key self-join among exact representatives only; a doc is
+  dropped when ANY band bucket contains a smaller surviving doc_id
+  (min-id representative policy — the standard LSH dedup decision,
+  pairwise, no transitive closure needed, so no iteration).
+- **stratified sample**: hash-gated Bernoulli per language stratum —
+  map-only, reproducible across runs and engines, auditable.
+- **accounting**: one hash agg emits the per-stage funnel so the run
+  itself produces its dataset card.
+
+The whole pipeline is Catalyst-native (the heaviest Python object in
+the plan is nothing — there are no UDFs) and has a line-by-line DuckDB
+oracle twin below, which makes the funnel numbers an engine-level
+correctness contract rather than a trust-me metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pinterest_data_pipeline6_spark.operators.dedup import (
+    MINHASH_P,
+    N_BANDS,
+    N_MINHASH,
+    ROWS_PER_BAND,
+    _MINHASH_A,
+    _MINHASH_B,
+    _exploded_shingles,
+)
+from pinterest_data_pipeline6_spark.operators.textops import (
+    H64_SQL,
+    SAMPLE_DEFAULT_THRESHOLD,
+    SAMPLE_THRESHOLDS,
+    _h64_spark,
+)
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
+
+MIN_TOKENS = 15
+MIN_DISTINCT_RATIO = 0.3
+
+
+def _quality_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, norm, passed_quality): normalization plus
+    the cheap per-cell quality gate (length + lexical diversity)."""
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        norm.alias("norm"),
+        ((n_tok >= MIN_TOKENS) & (distinct_ratio >= MIN_DISTINCT_RATIO)).alias(
+            "passed_quality"
+        ),
+    )
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) — md5 over each band's minhash row."""
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(keys).alias("band_idx", "band_key"))
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The full curation funnel per (lang, source): raw → quality →
+    exact-dedup representative → near-dup survivor → sampled, plus the
+    final kept-token count. See module docstring for the stage-by-stage
+    scale rationale."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    q = _quality_flags(docs)
+
+    # exact representative: min doc_id per digest among quality passers
+    digest = F.md5("norm")
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    exact = (
+        q.filter("passed_quality")
+        .withColumn("digest", digest)
+        .withColumn("is_exact_rep", F.row_number().over(w) == 1)
+    )
+
+    # near-dup collapse among exact representatives: minhash → bands →
+    # a doc is dominated if any band bucket holds a smaller doc_id
+    reps = exact.filter("is_exact_rep").select("doc_id", "norm")
+    shingled = _exploded_shingles(
+        reps.select("doc_id", F.col("norm").alias("text")), "doc_id"
+    )
+    base = (_h64_spark(F.col("shingle")) % MINHASH_P).alias("hb")
+    sig = (
+        shingled.select("doc_id", base)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("hb") * _MINHASH_A[i] + _MINHASH_B[i]) % MINHASH_P).alias(
+                    f"m_{i}"
+                )
+                for i in range(N_MINHASH)
+            ]
+        )
+    )
+    banded = _band_keys(sig)
+    a, b = banded.alias("a"), banded.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    # docs with <3 tokens have no shingles → no signature → cannot be
+    # dominated (kept), same on both engines
+
+    # stratified hash sample over near-dup survivors
+    hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.lit(SAMPLE_DEFAULT_THRESHOLD)
+    for lang, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, t).otherwise(thr)
+
+    flags = (
+        exact.join(dominated.withColumn("is_dominated", F.lit(True)), "doc_id", "left")
+        .withColumn("survives_neardup", F.col("is_exact_rep") & F.col("is_dominated").isNull())
+        .withColumn("sampled", F.col("survives_neardup") & (hex2 < thr))
+    )
+
+    # funnel accounting: quality passers come from `exact`; raw counts
+    # need the rejected docs too, so re-join onto the full quality table
+    funnel = q.join(
+        flags.select("doc_id", "is_exact_rep", "survives_neardup", "sampled"),
+        "doc_id",
+        "left",
+    )
+    return (
+        funnel.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(F.col("passed_quality").cast("int")).alias("n_quality"),
+            F.sum(F.coalesce(F.col("is_exact_rep").cast("int"), F.lit(0))).alias(
+                "n_exact_reps"
+            ),
+            F.sum(F.coalesce(F.col("survives_neardup").cast("int"), F.lit(0))).alias(
+                "n_neardup_kept"
+            ),
+            F.sum(F.coalesce(F.col("sampled").cast("int"), F.lit(0))).alias("n_sampled"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("sampled"), F.lit(False)),
+                    F.size(F.split("norm", " ")),
+                ).otherwise(0)
+            ).alias("n_kept_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the same funnel, clause for clause
+# ---------------------------------------------------------------------------
+
+_min_exprs = ", ".join(
+    f"MIN((hb * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % {MINHASH_P}) AS m_{i}"
+    for i in range(N_MINHASH)
+)
+
+_band_selects = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig".format(
+        b=b,
+        cols=" || ',' || ".join(
+            f"CAST(m_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for b in range(N_BANDS)
+)
+
+_thr_sql = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in SAMPLE_THRESHOLDS.items()
+) + f" ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END"
+
+ORACLE: dict[str, str] = {
+    "corpus_curation_pipeline": f"""
+        WITH q AS (
+            SELECT doc_id, lang, source, lower(trim(text)) AS norm,
+                   (len(string_split(lower(trim(text)), ' ')) >= {MIN_TOKENS}
+                    AND CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+                        / len(string_split(lower(trim(text)), ' ')) >= {MIN_DISTINCT_RATIO})
+                       AS passed_quality
+            FROM documents
+        ),
+        exact AS (
+            SELECT *, md5(norm) AS digest,
+                   ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1
+                       AS is_exact_rep
+            FROM q WHERE passed_quality
+        ),
+        reps AS (SELECT doc_id, norm FROM exact WHERE is_exact_rep),
+        shingled AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(norm, ' ')) - 2),
+                       i -> array_to_string(string_split(norm, ' ')[i:i+2], ' '))) AS shingle
+            FROM reps WHERE len(string_split(norm, ' ')) >= 3
+        ),
+        sig AS (
+            SELECT doc_id, {_min_exprs}
+            FROM (SELECT doc_id, {H64_SQL.format(expr="shingle")} % {MINHASH_P} AS hb
+                  FROM shingled)
+            GROUP BY doc_id
+        ),
+        banded AS ({_band_selects}),
+        dominated AS (
+            SELECT DISTINCT b.doc_id
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        flags AS (
+            SELECT e.*,
+                   e.is_exact_rep AND d.doc_id IS NULL AS survives_neardup,
+                   e.is_exact_rep AND d.doc_id IS NULL
+                       AND substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 2) < ({_thr_sql})
+                       AS sampled
+            FROM exact e LEFT JOIN dominated d ON e.doc_id = d.doc_id
+        )
+        SELECT q.lang, q.source,
+               COUNT(*) AS n_raw,
+               CAST(SUM(CASE WHEN q.passed_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN f.is_exact_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_reps,
+               CAST(SUM(CASE WHEN f.survives_neardup THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_kept,
+               CAST(SUM(CASE WHEN f.sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN f.sampled
+                    THEN len(string_split(q.norm, ' ')) ELSE 0 END) AS BIGINT) AS n_kept_tokens
+        FROM q LEFT JOIN flags f ON q.doc_id = f.doc_id
+        GROUP BY q.lang, q.source
+    """,
+}
+
+QUERIES = {
+    "corpus_curation_pipeline": corpus_curation_pipeline,
+}

@@ -152,3 +152,21 @@ def test_kmeans_invariants(spark):
     assert all(r.avg_dist >= 0 for r in out)
     again = kmeans_embeddings(spark, sf).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curation_funnel_monotone_and_nondegenerate(spark):
+    """Each curation stage can only shrink the corpus, and at sf0.01
+    every stage actually drops something (the fixture corpus contains
+    short docs, near-dups, and the en-stratum downsample)."""
+    from pinterest_data_pipeline6_spark.operators.curation import corpus_curation_pipeline
+
+    rows = corpus_curation_pipeline(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    tot = {c: sum(r[c] for r in rows) for c in
+           ("n_raw", "n_quality", "n_exact_reps", "n_neardup_kept", "n_sampled")}
+    assert tot["n_raw"] >= tot["n_quality"] >= tot["n_exact_reps"] \
+        >= tot["n_neardup_kept"] >= tot["n_sampled"] > 0
+    assert tot["n_quality"] < tot["n_raw"], "quality gate dropped nothing"
+    assert tot["n_sampled"] < tot["n_neardup_kept"], "sampler dropped nothing"
+    for r in rows:
+        assert r.n_raw >= r.n_quality >= r.n_exact_reps >= r.n_neardup_kept >= r.n_sampled
