@@ -101,10 +101,12 @@ def morton_code(x: F.Column, y: F.Column, bits: int = MORTON_BITS) -> F.Column:
 def morton_sql(x: str, y: str, bits: int = MORTON_BITS) -> str:
     """The identical interleave as portable SQL text (Spark and DuckDB
     share >>, &, << on BIGINT)."""
+    # the CAST keeps the shift operand BIGINT in both dialects (DuckDB
+    # otherwise narrows `& 1` to INT32 and overflows at << 31)
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({x} >> {i}) & CAST(1 AS BIGINT)) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & CAST(1 AS BIGINT)) << {2 * i + 1})")
     return " + ".join(terms)
 
 

@@ -29,19 +29,34 @@ def run_batch(
     fmt: str = "parquet",
     deterministic: bool = True,
     persist_tables: bool = True,
+    quality_report: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Read → clean → persist → query. Returns the 9 workload results
-    (q1..q8 + q3b over the persisted followers_table)."""
+    (q1..q8 + q3b over the persisted followers_table).
+
+    Pass ``quality_report={}`` to collect per-table ``observe()``
+    metrics (row counts + key-null counts) during the persist actions —
+    the production replacement for the reference's display()-after-
+    every-step verification (SURVEY.md §5.1), at zero extra scans.
+    Metrics appear in the dict only when ``persist_tables`` runs the
+    write actions."""
     from pinterest_data_pipeline6_spark.functions.cleaning import (
         clean_geo,
         clean_pin,
         clean_user,
     )
+    from pinterest_data_pipeline6_spark.functions.quality import observe_quality
 
     reader = read_raw_parquet if fmt == "parquet" else read_raw_json
     pin = clean_pin(reader(spark, "pin", pin_path), deterministic=deterministic)
     geo = clean_geo(reader(spark, "geo", geo_path), deterministic=deterministic)
     user = clean_user(reader(spark, "user", user_path), deterministic=deterministic)
+
+    observations = {}
+    if quality_report is not None and persist_tables:
+        pin, observations["pin_table"] = observe_quality(pin, "pin_q", not_null=("ind",))
+        geo, observations["geo_table"] = observe_quality(geo, "geo_q", not_null=("ind",))
+        user, observations["user_table"] = observe_quality(user, "user_q", not_null=("ind",))
 
     if persist_tables:
         # S5 sinks (BATCH:108-109,190): queries then read the persisted
@@ -56,6 +71,11 @@ def run_batch(
         pin.createOrReplaceTempView("pin_table")
         geo.createOrReplaceTempView("geo_table")
         user.createOrReplaceTempView("user_table")
+
+    if quality_report is not None and persist_tables:
+        # the writes above were the actions; metrics are ready now
+        for tbl, obs in observations.items():
+            quality_report[tbl] = obs.get
 
     followers = A.q3a_most_followers_per_country(pin, geo)
     if persist_tables:

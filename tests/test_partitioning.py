@@ -110,3 +110,63 @@ def test_zorder_is_shuffle_free_and_locally_sorted(spark):
 
     ok = codes.rdd.mapPartitions(_sorted).collect()
     assert all(ok)
+
+
+def test_morton_properties(spark):
+    """Property test: the Spark morton_code column, the portable
+    morton_sql text, and a Python bit-interleave reference agree on
+    random inputs; and the code preserves locality ordering on the
+    diagonal (monotone along x=y)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from pinterest_data_pipeline6_spark.functions.partitioning import morton_sql
+
+    def py_morton(x: int, y: int, bits: int = 16) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    import duckdb
+
+    con = duckdb.connect()
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=65535),
+                st.integers(min_value=0, max_value=65535),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = [
+            r.m
+            for r in df.select(morton_code(F.col("x"), F.col("y")).alias("m"))
+            .collect()
+        ]
+        expected = [py_morton(x, y) for x, y in pairs]
+        assert got == expected
+        expr = morton_sql("x", "y")
+        duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {expr} FROM (SELECT unnest($1) AS t), LATERAL (SELECT t['x'] AS x, t['y'] AS y)",
+                [[{"x": x, "y": y} for x, y in pairs]],
+            ).fetchall()
+        ]
+        assert sorted(duck) == sorted(expected)  # unnest order is not input order
+
+    check()
+    # diagonal monotonicity: z(k,k) strictly increases with k
+    prev = -1
+    for k in range(0, 65536, 4096):
+        cur = py_morton(k, k)
+        assert cur > prev
+        prev = cur

@@ -193,3 +193,24 @@ def test_observe_quality_metrics_free_with_action(spark):
     violations = check_quality(m)
     assert len(violations) == 2
     assert not check_quality(m, max_null_rate=0.5, max_nonpos_rate=0.5)
+
+
+def test_run_batch_quality_report(spark, tmp_path_factory):
+    """run_batch(quality_report={}) must surface per-table row counts
+    and key-null counts gathered during the persist actions."""
+    from pinterest_data_pipeline6_spark.pipeline import run_batch
+
+    d = tmp_path_factory.mktemp("quality_raw")
+    paths = fixtures.write_fixtures(d, n_rows=300, seed=77, dedup_safe=True)
+    report: dict = {}
+    run_batch(
+        spark,
+        paths["raw_pin"],
+        paths["raw_geo"],
+        paths["raw_user"],
+        quality_report=report,
+    )
+    assert set(report) == {"pin_table", "geo_table", "user_table"}
+    for tbl, metrics in report.items():
+        assert metrics["n_rows"] > 0, tbl
+        assert metrics["n_null_ind"] == 0, tbl
