@@ -208,6 +208,50 @@ def write_foreach_batch_upsert(
     return writer.start()
 
 
+def write_foreach_batch_dedup(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    digest_cols: tuple[str, ...],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental exact-dedup sink — the STREAMING form of the
+    curation funnel's first dedup stage: each micro-batch keeps only
+    rows whose content digest has never been appended, so the output
+    table is duplicate-free across the whole stream without unbounded
+    driver state (the state IS the output table's digest column).
+
+    Contrast with streaming ``dropDuplicates`` (SURVEY.md §2.9 ST2):
+    that keeps digests in the state store forever; here the anti-join
+    re-reads the sink, which parquet column-prunes to the one digest
+    column. At scale the digest lookup side becomes a bucketed table
+    (or a Delta/Iceberg MERGE) so the anti-join is co-located rather
+    than re-shuffled per batch; the streaming contract is unchanged."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        d = batch.withColumn(
+            "digest", F.md5(F.concat_ws("\x1f", *digest_cols))
+        ).dropDuplicates(["digest"])
+        try:
+            seen = spark.read.parquet(path).select("digest").distinct()
+            fresh = d.join(seen, "digest", "left_anti")
+        except Exception:  # first batch: sink does not exist yet
+            fresh = d
+        fresh.write.mode("append").parquet(path)
+
+    writer = (
+        df.writeStream.foreachBatch(dedup_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     source_dirs: dict[str, str],

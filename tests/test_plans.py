@@ -203,3 +203,27 @@ def test_scalar_subquery_is_reused_not_per_row(spark):
     df = subqueries.QUERIES["scalar_subquery_price"](spark, SF)
     plan = executed_plan(df)
     assert "Subquery" in plan or "ReusedSubquery" in plan
+
+
+def test_join_hints_switch_physical_strategy(spark):
+    """Join strategy hints must override Catalyst's cost pick: the same
+    equi-join plans as broadcast by default (small side), sort-merge
+    with hint('merge'), shuffle-hash with hint('shuffle_hash') — the
+    manual lever when statistics mislead the optimizer at scale."""
+    from pinterest_data_pipeline6_spark.sources.readers import table
+
+    orders = table(spark, SF, "orders")
+    cust = table(spark, SF, "customer")
+
+    default = executed_plan(orders.join(cust, orders.o_custkey == cust.c_custkey))
+    assert "BroadcastHashJoin" in default
+
+    merge = executed_plan(
+        orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    )
+    assert "SortMergeJoin" in merge
+
+    shuffle_hash = executed_plan(
+        orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+    )
+    assert "ShuffledHashJoin" in shuffle_hash

@@ -230,3 +230,36 @@ def test_full_pipeline(spark, stream_src, tmp_path):
         out = spark.read.parquet(f"{tmp_path}/{entity}_table")
         assert out.count() > 0
         assert len(out.columns) == n_cols
+
+
+def test_foreach_batch_incremental_dedup(spark, tmp_path):
+    """Cross-batch exact dedup: two micro-batches with overlapping
+    documents -> the sink holds each distinct text exactly once, and
+    batch-2 rows that duplicate batch-1 content never land."""
+    from pinterest_data_pipeline6_spark.streaming.jobs import write_foreach_batch_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [{"doc_id": i, "text": f"doc number {i % 5}"} for i in range(10)]
+    rows2 = [{"doc_id": 100 + i, "text": f"doc number {i % 8}"} for i in range(16)]
+    import json as _json
+
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = tmp_path / "sink"
+    q = write_foreach_batch_dedup(
+        stream, str(out), str(tmp_path / "ck"), digest_cols=("text",)
+    )
+    q.awaitTermination()
+
+    sunk = spark.read.parquet(str(out))
+    texts = [r.text for r in sunk.select("text").collect()]
+    assert sorted(texts) == sorted(set(texts)), "duplicate content reached the sink"
+    # 8 distinct texts exist across both batches ("doc number 0..7")
+    assert len(texts) == 8
