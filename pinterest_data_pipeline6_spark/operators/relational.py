@@ -559,6 +559,46 @@ def stats_agg_family(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+INCR_CUTOVER = "1999-01-01"
+
+
+def incremental_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    the pre-cutover aggregate is treated as the EXISTING materialized
+    state; new rows are aggregated alone and MERGED (counts add, sums
+    add, min/max combine) — no re-scan of history. At 100 TB this is
+    the difference between refreshing a rollup from yesterday's 100 GB
+    of deltas and recomputing it from the full fact table; every
+    aggregate here is mergeable (decomposable), which is the same
+    property streaming state stores and partial/final hash aggs exploit.
+    The oracle computes the aggregate DIRECTLY over all rows, so the
+    check proves merge-of-partials == recompute."""
+    orders = table(spark, sf, "orders")
+    cut = F.lit(INCR_CUTOVER).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    existing = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    merged = existing.unionByName(delta)
+    return (
+        merged.groupBy("priority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.round(F.sum("sum_price").cast("double"), 4).alias("sum_price"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+        )
+        .orderBy("priority")
+    )
+
+
 def merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """CDC-style MERGE (upsert) without Delta: a simulated change-set
     (5% of orders re-priced and re-statused) is merged into the base
@@ -906,6 +946,17 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    # direct recompute over ALL rows — equality proves the Spark-side
+    # merge-of-partials refresh is exact
+    "incremental_agg_merge": """
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     "merge_upsert": """
         WITH changes AS (
             SELECT o_orderkey, 'U' AS o_orderstatus,
@@ -1056,6 +1107,7 @@ QUERIES = {
     "running_total": running_total,
     "analytic_window_family": analytic_window_family,
     "stats_agg_family": stats_agg_family,
+    "incremental_agg_merge": incremental_agg_merge,
     "merge_upsert": merge_upsert,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "approx_sketch_family": approx_sketch_family,
