@@ -256,6 +256,28 @@ def regexp_bitagg_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def map_explode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Map explode (the inverse of map_from_entries): per-user type→
+    count maps are exploded back to (key, value) rows and re-aggregated
+    globally — proving the map cell round-trips losslessly. The explode
+    emits exactly cardinality(m) rows per user; the final agg is a
+    5-group hash agg."""
+    ev = table(spark, sf, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return (
+        maps.select("user_id", F.explode("m").alias("event_type", "n"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def morton_bucket_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Morton (Z-order) bucketing of (l_partkey, l_suppkey): row counts
     per high-order Morton bucket. The code itself is the layout key
@@ -381,6 +403,23 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY 1, 2
     """,
+    # DuckDB map explode: unnest over map_entries (struct list)
+    "map_explode_roundtrip": """
+        WITH per_type AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        maps AS (
+            SELECT user_id, map_from_entries(list({'k': event_type, 'v': n})) AS m
+            FROM per_type GROUP BY user_id
+        ),
+        exploded AS (
+            SELECT user_id, unnest(map_entries(m), recursive := true) FROM maps
+        )
+        SELECT key AS event_type, COUNT(*) AS n_users, SUM(value) AS n_events
+        FROM exploded
+        GROUP BY key
+    """,
     "morton_bucket_counts": "",  # assembled below (generated arithmetic)
     "regexp_bitagg_orders": """
         SELECT CAST(regexp_extract_all(o_orderpriority, '[0-9]+')[1] AS INT) AS priority_num,
@@ -417,4 +456,5 @@ QUERIES = {
     "safe_arith_buckets": safe_arith_buckets,
     "regexp_bitagg_orders": regexp_bitagg_orders,
     "morton_bucket_counts": morton_bucket_counts,
+    "map_explode_roundtrip": map_explode_roundtrip,
 }

@@ -97,6 +97,21 @@ _PORTABLE: dict[str, str] = {
                       LIMIT 2) t
         GROUP BY c.c_mktsegment
     """,
+    # inline VALUES relation joined as a broadcast lookup — the idiom
+    # for small literal dimension tables (weights, code mappings)
+    # shipped inside the query text instead of a side file
+    "values_inline_join": """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice * w.weight AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS weighted_price
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 1.0), ('2-HIGH', 0.8), ('3-MEDIUM', 0.5),
+                     ('4-NOT SPECIFIED', 0.3), ('5-LOW', 0.1))
+             AS w(priority, weight)
+          ON o.o_orderpriority = w.priority
+        GROUP BY o_orderstatus
+    """,
     # recursive CTE (Spark 4 native): walk same-lang doc_id runs to
     # their full depth — linear recursion whose depth is the longest
     # run, each step one equi-join of the frontier against the base
