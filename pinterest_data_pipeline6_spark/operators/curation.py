@@ -181,6 +181,53 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def write_dataset_card(
+    spark: SparkSession,
+    sf: str,
+    out_dir: str,
+) -> dict:
+    """Run the curation funnel and persist an auditable dataset card:
+    the per-(lang, source) funnel table as parquet plus a JSON manifest
+    (input path, funnel thresholds, stage totals). Reproducibility is
+    structural — every stage is deterministic (hash-gated sampling, min
+    doc_id representatives), so re-running on the same input yields the
+    same card byte-for-byte. Returns the manifest dict."""
+    import json
+    from pathlib import Path
+
+    funnel = corpus_curation_pipeline(spark, sf)
+    out = Path(out_dir)
+    funnel.write.mode("overwrite").parquet(str(out / "funnel.parquet"))
+    persisted = spark.read.parquet(str(out / "funnel.parquet"))
+    totals = {
+        c: int(r[0])
+        for c, r in (
+            (c, persisted.agg(F.sum(c)).first())
+            for c in (
+                "n_raw",
+                "n_quality",
+                "n_exact_reps",
+                "n_neardup_kept",
+                "n_sampled",
+                "n_kept_tokens",
+            )
+        )
+    }
+    manifest = {
+        "input": sf,
+        "thresholds": {
+            "min_tokens": MIN_TOKENS,
+            "min_distinct_ratio": MIN_DISTINCT_RATIO,
+            "minhash": {"n_hashes": N_MINHASH, "bands": N_BANDS},
+            "sample": {"default": SAMPLE_DEFAULT_THRESHOLD, **SAMPLE_THRESHOLDS},
+        },
+        "totals": totals,
+        "n_strata": persisted.count(),
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=2, sort_keys=True))
+    return manifest
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle: the same funnel, clause for clause
 # ---------------------------------------------------------------------------

@@ -170,3 +170,20 @@ def test_curation_funnel_monotone_and_nondegenerate(spark):
     assert tot["n_sampled"] < tot["n_neardup_kept"], "sampler dropped nothing"
     for r in rows:
         assert r.n_raw >= r.n_quality >= r.n_exact_reps >= r.n_neardup_kept >= r.n_sampled
+
+
+def test_dataset_card_written_and_reproducible(spark, tmp_path):
+    """write_dataset_card persists the funnel + manifest; re-running on
+    the same input produces the identical manifest (deterministic
+    curation)."""
+    from pinterest_data_pipeline6_spark.operators.curation import write_dataset_card
+
+    m1 = write_dataset_card(spark, "/root/testdata/sf0.001", str(tmp_path / "card"))
+    assert m1["totals"]["n_raw"] > 0
+    assert m1["totals"]["n_sampled"] <= m1["totals"]["n_neardup_kept"]
+    import json
+
+    on_disk = json.loads((tmp_path / "card" / "manifest.json").read_text())
+    assert on_disk == m1
+    m2 = write_dataset_card(spark, "/root/testdata/sf0.001", str(tmp_path / "card2"))
+    assert m1 == {**m2, "input": m1["input"]}
