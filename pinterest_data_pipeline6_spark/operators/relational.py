@@ -559,6 +559,62 @@ def stats_agg_family(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def outer_join_family(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT / RIGHT / FULL outer joins (absent from the reference —
+    SURVEY.md §2.3 has inner equi-joins only): customer⋈orders under
+    each outer mode with null-side accounting. The nation dim filter
+    makes one side partial so every mode produces genuinely unmatched
+    rows. All three modes shuffle on the same key; Catalyst plans the
+    same hash/sort-merge join with different null-generation sides."""
+    orders, customer = (table(spark, sf, t) for t in ("orders", "customer"))
+    # restrict customers to one segment so orders from other segments
+    # have no match (exercises the null-generating sides)
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ords = orders.select("o_orderkey", "o_custkey")
+
+    def branch(how: str):
+        j = ords.join(cust, ords.o_custkey == cust.c_custkey, how)
+        return j.select(
+            F.lit(how).alias("join_type"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_orderkey").isNull().cast("int")).alias("n_null_order"),
+            F.sum(F.col("c_custkey").isNull().cast("int")).alias("n_null_customer"),
+        )
+
+    return (
+        branch("left")
+        .unionByName(branch("right"))
+        .unionByName(branch("full"))
+        .orderBy("join_type")
+    )
+
+
+def null_safe_join_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): derived
+    nullable keys (segment with one value nulled out) self-joined so
+    the NULL group matches itself — the semantics a plain equi-join
+    silently drops. One row per matching key pair."""
+    customer = table(spark, sf, "customer")
+    segs = (
+        customer.select(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg")
+        )
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"))
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    return (
+        a.join(b, F.col("a.seg").eqNullSafe(F.col("b.seg")))
+        .select(
+            F.col("a.seg").alias("seg"),
+            (F.col("a.n") * F.col("b.n")).alias("n_pairs"),
+        )
+        .orderBy(F.col("seg").asc_nulls_first())
+    )
+
+
 INCR_CUTOVER = "1999-01-01"
 
 
@@ -946,6 +1002,35 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    "outer_join_family": """
+        WITH cust AS (
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ),
+        ords AS (SELECT o_orderkey, o_custkey FROM orders)
+        SELECT 'left' AS join_type, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_order,
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_customer
+        FROM ords LEFT JOIN cust ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'right', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM ords RIGHT JOIN cust ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'full', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM ords FULL JOIN cust ON o_custkey = c_custkey
+    """,
+    "null_safe_join_counts": """
+        WITH segs AS (
+            SELECT nullif(c_mktsegment, 'MACHINERY') AS seg, COUNT(*) AS n
+            FROM customer GROUP BY 1
+        )
+        SELECT a.seg AS seg, a.n * b.n AS n_pairs
+        FROM segs a JOIN segs b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
     # direct recompute over ALL rows — equality proves the Spark-side
     # merge-of-partials refresh is exact
     "incremental_agg_merge": """
@@ -1107,6 +1192,8 @@ QUERIES = {
     "running_total": running_total,
     "analytic_window_family": analytic_window_family,
     "stats_agg_family": stats_agg_family,
+    "outer_join_family": outer_join_family,
+    "null_safe_join_counts": null_safe_join_counts,
     "incremental_agg_merge": incremental_agg_merge,
     "merge_upsert": merge_upsert,
     "fuzzy_name_pairs": fuzzy_name_pairs,
