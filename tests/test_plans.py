@@ -227,3 +227,25 @@ def test_join_hints_switch_physical_strategy(spark):
         orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
     )
     assert "ShuffledHashJoin" in shuffle_hash
+
+
+def test_cached_dimension_reused_in_memory(spark):
+    """A cached dimension must serve subsequent queries from
+    InMemoryTableScan (columnar cache) instead of re-reading parquet —
+    the amortization for a dim joined by many queries in one session."""
+    from pinterest_data_pipeline6_spark.sources.readers import table
+
+    nation = table(spark, SF, "nation")
+    nation.createOrReplaceTempView("nation_cached")
+    try:
+        spark.catalog.cacheTable("nation_cached")
+        spark.table("nation_cached").count()  # materialize
+        plan = executed_plan(
+            spark.table("nation_cached").groupBy("n_regionkey").count()
+        )
+        assert "In-memory table" in plan or "InMemoryTableScan" in plan
+        # the only parquet reference is the cache's own build plan
+        # nested under InMemoryRelation, not a live scan
+        assert "InMemoryRelation" in plan
+    finally:
+        spark.catalog.uncacheTable("nation_cached")

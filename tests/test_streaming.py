@@ -263,3 +263,47 @@ def test_foreach_batch_incremental_dedup(spark, tmp_path):
     assert sorted(texts) == sorted(set(texts)), "duplicate content reached the sink"
     # 8 distinct texts exist across both batches ("doc number 0..7")
     assert len(texts) == 8
+
+
+def test_streaming_query_listener_observes_progress(spark, tmp_path):
+    """StreamingQueryListener surfaces per-batch metrics (numInputRows)
+    — the streaming twin of observe()-based batch quality metrics."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    progress = []
+
+    class Collect(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            progress.append(event.progress.numInputRows)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = Collect()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.jsonl").write_text('{"k": 1}\n{"k": 2}\n')
+        stream = spark.readStream.schema("k long").json(str(src))
+        q = (
+            stream.groupBy("k").count()
+            .writeStream.format("memory").queryName("listener_out")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deadline = __import__("time").time() + 20
+        while not progress and __import__("time").time() < deadline:
+            __import__("time").sleep(0.5)
+        assert sum(progress) == 2
+    finally:
+        spark.streams.removeListener(listener)
