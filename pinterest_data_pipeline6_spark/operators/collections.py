@@ -196,15 +196,18 @@ def sequence_day_gaps(spark: SparkSession, sf: str) -> DataFrame:
         "priority",
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d"),
     )
-    actual = od.distinct()
+    # left join + conditional count, NOT anti-join + regroup: a group
+    # with zero gaps must still emit (priority, n_days, 0) — the
+    # anti-join formulation silently drops it (caught by running the
+    # oracle differential at sf0.1, where the calendar is gap-free)
+    actual = od.distinct().withColumn("hit", F.lit(1))
     return (
-        cal.join(actual, ["priority", "d"], "left_anti")
+        cal.join(actual, ["priority", "d"], "left")
         .groupBy("priority")
-        .agg(F.count("*").alias("n_gap_days"))
-        .join(
-            cal.groupBy("priority").agg(F.count("*").alias("n_days")), "priority"
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.col("hit").isNull().cast("int")).alias("n_gap_days"),
         )
-        .select("priority", "n_days", "n_gap_days")
         .orderBy("priority")
     )
 

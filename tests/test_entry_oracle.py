@@ -70,8 +70,15 @@ def test_every_oracle_has_query():
     assert not extra, f"oracle_sql without queries entry: {extra}"
 
 
+# oracles whose SQL addresses raw files by absolute path (DuckDB has no
+# view-relative file access); they only line up at the driver's gate SF
+PATH_PINNED_SF001 = {"binary_file_inventory"}
+
+
 @pytest.mark.parametrize("name", sorted(k for k in QUERIES if k in ORACLES))
 def test_query_matches_oracle(spark, duck, name):
+    if name in PATH_PINNED_SF001 and not SF_DIR.rstrip("/").endswith("sf0.01"):
+        pytest.skip("oracle path pinned to sf0.01 (read_blob needs a literal path)")
     sdf = QUERIES[name](spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
