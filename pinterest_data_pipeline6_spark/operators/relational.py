@@ -536,15 +536,20 @@ def analytic_window_family(spark: SparkSession, sf: str) -> DataFrame:
 def stats_agg_family(spark: SparkSession, sf: str) -> DataFrame:
     """Statistical aggregate family per return flag: sample stddev /
     variance, Pearson correlation, sample covariance, and a
-    deterministic arg-max (max_by keyed on the unique (orderkey,
-    linenumber) composite so ties cannot exist). All are single-pass
-    partial+final hash aggregates — the moment sketches (n, Σx, Σx²,
-    Σxy) merge associatively, so the plan is one shuffle of tiny
-    per-flag states regardless of input size."""
+    deterministic arg-max. The testdata generator emits duplicate
+    (orderkey, linenumber) pairs (found by running the oracle sweep at
+    sf0.001), so the max_by key folds in the shipdate's epoch day:
+    any remaining tie has an identical shipdate and therefore an
+    identical answer on both engines. All are single-pass partial+final
+    hash aggregates — the moment sketches (n, Σx, Σx², Σxy) merge
+    associatively, so the plan is one shuffle of tiny per-flag states
+    regardless of input size."""
     li = table(spark, sf, "lineitem")
     qty = F.col("l_quantity").cast("double")
     price = F.col("l_extendedprice").cast("double")
-    rowid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    rowid = (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 1048576 + F.datediff(
+        F.col("l_shipdate"), F.lit("1970-01-01")
+    )
     return (
         li.groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
@@ -998,7 +1003,8 @@ ORACLE: dict[str, str] = {
                ROUND(VAR_SAMP(CAST(l_quantity AS DOUBLE)), 4) AS var_qty,
                ROUND(CORR(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price,
                ROUND(COVAR_SAMP(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 2) AS covar_qty_price,
-               MAX_BY(l_shipdate, l_orderkey * 8 + l_linenumber) AS last_shipdate
+               MAX_BY(l_shipdate, (l_orderkey * 8 + l_linenumber) * 1048576
+                      + date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)) AS last_shipdate
         FROM lineitem
         GROUP BY l_returnflag
     """,
