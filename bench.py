@@ -89,20 +89,30 @@ def main() -> None:
 
     headline = round(sum(timings[q] for q in HEADLINE if q in timings), 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": headline,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_label(SF_DIR),
-                "total_all_queries": total,
-                "n_queries": len(timings),
-                "n_headline": len(HEADLINE),
-            }
-        )
-    )
+    # Full per-query detail goes to a side file; the printed line carries
+    # only the headline set. (Round 1 printed all ~98 timings on the one
+    # line, which overflowed the driver's capture buffer and the recorded
+    # BENCH had "parsed": null — keep this line comfortably short.)
+    detail = {
+        "metric": "headline_query_wall_time",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "total_all_queries": total,
+        "n_queries": len(timings),
+        "n_headline": len(HEADLINE),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    compact = dict(detail)
+    compact["queries"] = {
+        q: round(timings[q], 3) for q in HEADLINE if q in timings
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

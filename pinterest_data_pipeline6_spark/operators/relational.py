@@ -669,22 +669,25 @@ def merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB the base side would additionally be bucketed by
     o_orderkey so the anti join is co-located with at-rest layout.
     Output: per-status row count + decimal-exact price sum proving
-    exactly the changed keys took the new values."""
+    exactly the changed keys took the new values. The re-priced value
+    stays at scale 4 (exact product of two scale-2 decimals) — a lossy
+    down-cast to scale 2 would hit exact-half ties that Spark rounds
+    HALF_UP but DuckDB truncates, so the sum is kept exact instead."""
     orders = table(spark, sf, "orders")
     changes = orders.filter(F.col("o_orderkey") % 20 == 0).select(
         "o_orderkey",
         F.lit("U").alias("o_orderstatus"),
         (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.10).cast("decimal(4,2)"))
-        .cast("decimal(18,2)")
+        .cast("decimal(20,4)")
         .alias("o_totalprice"),
     )
-    base = orders.select("o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"))
+    base = orders.select("o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(20,4)").alias("o_totalprice"))
     merged = base.join(changes, "o_orderkey", "left_anti").unionByName(changes)
     return (
         merged.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice").cast("double"), 2).alias("sum_price"),
+            F.round(F.sum("o_totalprice").cast("double"), 4).alias("sum_price"),
         )
         .orderBy("status")
     )
@@ -1052,16 +1055,16 @@ ORACLE: dict[str, str] = {
         WITH changes AS (
             SELECT o_orderkey, 'U' AS o_orderstatus,
                    CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                        * CAST(1.10 AS DECIMAL(4,2)) AS DECIMAL(18,2)) AS o_totalprice
+                        * CAST(1.10 AS DECIMAL(4,2)) AS DECIMAL(20,4)) AS o_totalprice
             FROM orders WHERE o_orderkey % 20 = 0
         ), merged AS (
             SELECT o_orderkey, o_orderstatus,
-                   CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+                   CAST(o_totalprice AS DECIMAL(20,4)) AS o_totalprice
             FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
             UNION ALL SELECT * FROM changes
         )
         SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS sum_price
         FROM merged GROUP BY o_orderstatus
     """,
     "fuzzy_name_pairs": """

@@ -83,6 +83,9 @@ def load_testdata_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
 # (PARQUET_TYPE_ILLEGAL on read), so these are read as raw nano longs via the
 # legacy conf and truncated to microsecond timestamps — the oracle SQL applies
 # the same truncation (CAST(ts AS TIMESTAMP) in DuckDB) so orderings agree.
+# The conversion is type-gated at read time: a regenerated dataset that ships
+# the same column as TIMESTAMP(MICROS) loads as a timestamp directly and
+# needs (and tolerates) no rewrite.
 _TS_NANO_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -117,8 +120,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
-        # integer DIV keeps full precision (ns values overflow double)
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        # only rewrite when the column actually arrived as nano longs;
+        # integer DIV keeps full precision (ns values overflow double)
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        else:
+            # TIMESTAMP(MICROS) parquet loads as TIMESTAMP_NTZ; normalize
+            # to session-UTC TIMESTAMP so downstream epoch functions
+            # (unix_micros etc.) resolve — wall-clock values are unchanged
+            # because the session timezone is pinned to UTC above
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
