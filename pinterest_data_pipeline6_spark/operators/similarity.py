@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pinterest_data_pipeline6_spark.operators.dedup import _cosine
+from pinterest_data_pipeline6_spark.operators.dedup import _dot64, _norm64
 from pinterest_data_pipeline6_spark.operators.textops import H64_SQL, _h64_spark
 from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
@@ -42,11 +42,19 @@ def knn_brute_force(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-10 for each query vector (vec_id < 5), self
     excluded. Broadcast the 5 queries; one corpus scan, one small
     window."""
-    emb = widen_small_scan(table(spark, sf, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    emb = widen_small_scan(table(spark, sf, "embeddings")).withColumn(
+        "nrm", _norm64(F.col("embedding"))
     )
-    cos = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # per-side norms computed once per row; the per-pair expression is
+    # one unrolled dot + a multiply (bit-identical to the oracle's fold)
+    cos = F.round(
+        _dot64(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
     scored = (
         F.broadcast(q)
         .join(emb, F.col("vec_id") != F.col("query_id"))
@@ -120,13 +128,21 @@ def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     bucket join replaces the full-corpus scan — candidates are
     co-partitioned by signature, embeddings never shuffle globally."""
     emb = widen_small_scan(table(spark, sf, "embeddings"))
-    signed = emb.select("vec_id", "embedding", _signature(F.col("embedding")).alias("bucket"))
+    signed = emb.select(
+        "vec_id",
+        "embedding",
+        _signature(F.col("embedding")).alias("bucket"),
+        _norm64(F.col("embedding")).alias("nrm"),
+    )
     q = signed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
-    cos = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    cos = F.round(
+        _dot64(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
     scored = (
         F.broadcast(q)
         .join(
@@ -153,19 +169,23 @@ def _cell_assignment(spark: SparkSession, sf: str) -> DataFrame:
     build would k-means them offline); every vector joins its
     max-cosine centroid, ties to the lower cell id. The centroid side
     broadcasts; assignment is one corpus scan."""
-    emb = widen_small_scan(table(spark, sf, "embeddings"))
-    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    emb = widen_small_scan(table(spark, sf, "embeddings")).withColumn(
+        "nrm", _norm64(F.col("embedding"))
     )
-    cos = _cosine(F.col("cv"), F.col("embedding"))
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos = _dot64(F.col("cv"), F.col("embedding")) / (F.col("cnrm") * F.col("nrm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
     return (
         F.broadcast(cents)
         .join(emb, how="cross")
-        .select("vec_id", "embedding", "cell", cos.alias("cos"))
+        .select("vec_id", "embedding", "nrm", "cell", cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cell").cast("int").alias("cell"))
+        .select("vec_id", "embedding", "nrm", F.col("cell").cast("int").alias("cell"))
     )
 
 
@@ -190,8 +210,11 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("cell").alias("qcell"),
+        F.col("nrm").alias("qnrm"),
     )
-    cos = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    cos = F.round(
+        _dot64(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
     scored = (
         F.broadcast(q)
         .join(
@@ -213,9 +236,16 @@ def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     path that replaces dedup.embedding_cosine_stats' label blocking):
     only bucket-mates are compared; emits per-bucket pair stats."""
     emb = widen_small_scan(table(spark, sf, "embeddings"))
-    signed = emb.select("vec_id", "embedding", _signature(F.col("embedding")).alias("bucket"))
+    signed = emb.select(
+        "vec_id",
+        "embedding",
+        _signature(F.col("embedding")).alias("bucket"),
+        _norm64(F.col("embedding")).alias("nrm"),
+    )
     a, b = signed.alias("a"), signed.alias("b")
-    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = _dot64(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,
