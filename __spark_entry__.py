@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         events,
         multimodal,
+        privacy,
         relational,
         similarity,
         subqueries,
@@ -52,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     out.update(collections.QUERIES)
     out.update(subqueries.QUERIES)
+    out.update(privacy.QUERIES)
     out.update(curation.QUERIES)
     return out
 
@@ -64,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         events,
         multimodal,
+        privacy,
         relational,
         similarity,
         subqueries,
@@ -79,5 +82,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLE)
     out.update(collections.ORACLE)
     out.update(subqueries.ORACLE)
+    out.update(privacy.ORACLE)
     out.update(curation.ORACLE)
     return out

@@ -55,8 +55,8 @@ def _shingles(toks: Column) -> Column:
     )
 
 
-def _exploded_shingles(docs: DataFrame, *keep: str) -> DataFrame:
-    """(keep..., shingle) with one row per 3-gram occurrence — the
+def _exploded_shingles(docs: DataFrame, *keep: str, n: int = 3) -> DataFrame:
+    """(keep..., shingle) with one row per word n-gram occurrence — the
     codegen formulation of shingling: explode the START INDEX first,
     then build each shingle with slice+concat_ws in a plain projection.
     A transform() lambda evaluates interpreted per element; this shape
@@ -67,13 +67,13 @@ def _exploded_shingles(docs: DataFrame, *keep: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return (
         docs.select(*keep, toks.alias("toks"))
-        .filter(F.size("toks") >= 3)
+        .filter(F.size("toks") >= n)
         .select(
             *keep,
             "toks",
-            F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
         )
-        .select(*keep, F.concat_ws(" ", F.slice("toks", F.col("i"), 3)).alias("shingle"))
+        .select(*keep, F.concat_ws(" ", F.slice("toks", F.col("i"), n)).alias("shingle"))
     )
 
 

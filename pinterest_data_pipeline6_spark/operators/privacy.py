@@ -1,0 +1,233 @@
+"""Privacy & data-governance operators for a training-data pipeline:
+PII detection/redaction, benchmark decontamination, and source-mixture
+weighting. Beyond-reference capabilities (the reference repo has no
+privacy surface — SURVEY.md §2 covers cleaning only), but standard
+requirements for any corpus feeding model training at 100 TB.
+
+Spark-first shapes:
+
+- **PII redaction**: pure Catalyst regex ops (`regexp_extract_all`,
+  `regexp_replace`) — per-row, embarrassingly parallel, whole-stage
+  codegen, no shuffle until the per-source rollup. The synthetic corpus
+  carries no PII, so a deterministic injection step (keyed on doc_id)
+  plants emails/phones first; both engines derive the identical
+  augmented text, then redact it with the identical pattern. Patterns
+  stay in the common Java-regex ∩ RE2 subset (no lookaround, no
+  backrefs) so Spark and DuckDB match the same spans.
+- **decontamination**: GPT-3-style exact n-gram overlap — a corpus
+  document is contaminated if ANY of its 8-gram shingles appears in the
+  benchmark split. Formulated as shingle-hash left-semi join: the
+  benchmark side is tiny relative to the corpus, so at scale it
+  broadcasts and the corpus is never shuffled; the flag-count rollup is
+  the only aggregation.
+- **mixture weights**: temperature-scaled source sampling
+  (w_s ∝ n_s^alpha, alpha=0.5 — the multilingual-sampling trick that
+  up-weights small sources) — two hash aggs and a broadcast of one
+  scalar; the window-total formulation keeps it a single pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pinterest_data_pipeline6_spark.operators.dedup import _exploded_shingles
+from pinterest_data_pipeline6_spark.operators.textops import H64_SQL
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
+
+# Java-regex ∩ RE2 subset — identical match semantics in Spark and DuckDB
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PHONE_RE = "555-[0-9]{4}"
+
+DECONTAM_N = 8  # exact n-gram width for benchmark-overlap flagging
+BENCHMARK_SOURCES = ("src0", "src1")  # stand-in benchmark split
+MIX_ALPHA = 0.5  # temperature for source re-weighting
+MIX_BUDGET = 1000  # sampled-doc budget the weights are scaled to
+
+
+def _augmented(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII markers: every 7th doc gains an
+    email, every 11th a phone number (both keyed on doc_id, so the
+    oracle derives the identical augmented text)."""
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("aug", F.concat(F.col("text"), email, phone))
+
+
+def pii_redaction_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub accounting per source: how many docs carried PII, how
+    many emails/phones were found, and the total redacted-text length
+    (which proves the rewrite applied the same spans in both engines).
+    At 100 TB this is a map-only pass — the regexes run inside codegen
+    on each partition; only per-source partial counts shuffle."""
+    docs = _augmented(table(spark, sf, "documents"))
+    n_emails = F.size(F.regexp_extract_all(F.col("aug"), F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(F.col("aug"), F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return (
+        docs.select(
+            "source",
+            n_emails.alias("ne"),
+            n_phones.alias("np"),
+            F.length(redacted).alias("rlen"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("ne") + F.col("np") > 0, 1).otherwise(0)).alias("n_with_pii"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+            F.sum("rlen").alias("redacted_len"),
+        )
+        .orderBy("source")
+    )
+
+
+def decontamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ANY exact
+    8-gram with the benchmark split (sources src0/src1) — the standard
+    exact-substring contamination rule. Per lang: corpus size, flagged
+    count, clean count.
+
+    Plan shape at scale: benchmark shingle hashes (small, deduped)
+    BROADCAST into a left-semi join against the exploded corpus
+    shingles; the corpus never shuffles on the shingle key, and the
+    per-doc flag is a distinct on doc_id after the semi join. Hash is
+    engine-local (equality-only join key), so each engine may use its
+    native 64-bit hash."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    bench = docs.filter(F.col("source").isin(*BENCHMARK_SOURCES))
+    corpus = docs.filter(~F.col("source").isin(*BENCHMARK_SOURCES))
+    bench_sh = (
+        _exploded_shingles(bench, "doc_id", n=DECONTAM_N)
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    corpus_sh = _exploded_shingles(corpus, "doc_id", "lang", n=DECONTAM_N).select(
+        "doc_id", "lang", F.xxhash64("shingle").alias("h")
+    )
+    flagged = (
+        corpus_sh.join(F.broadcast(bench_sh), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("flagged", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_corpus_docs"),
+            F.sum(F.coalesce(F.col("flagged"), F.lit(0))).alias("n_flagged"),
+            F.sum(F.when(F.col("flagged").isNull(), 1).otherwise(0)).alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
+def source_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixing: weight_s ∝ count_s^0.5,
+    normalized, with the expected draw count for a 1000-doc budget —
+    the up-weight-the-tail sampling rule used for multilingual /
+    multi-source training mixes. One hash agg + a window total (the
+    total broadcasts; no second scan of the data)."""
+    docs = table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.pow(F.col("n_docs").cast("double"), MIX_ALPHA)
+    total = F.sum(w).over(Window.partitionBy())
+    return (
+        counts.select(
+            "source",
+            "n_docs",
+            F.round(w / total, 6).alias("weight"),
+            F.round(F.lit(MIX_BUDGET) * w / total, 2).alias("expected_draws"),
+        )
+        .orderBy("source")
+    )
+
+
+_BENCH_IN = ", ".join(f"'{s}'" for s in BENCHMARK_SOURCES)
+
+_SHINGLES8_SQL = f"""list_transform(
+    generate_series(1, len(string_split(text,' ')) - {DECONTAM_N - 1}),
+    i -> array_to_string(string_split(text,' ')[i:i+{DECONTAM_N - 1}], ' '))"""
+
+ORACLE: dict[str, str] = {
+    "pii_redaction_stats": f"""
+        WITH aug AS (
+            SELECT source,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0
+                        THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS aug
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
+               CAST(SUM(ne) AS BIGINT) AS n_emails,
+               CAST(SUM(np) AS BIGINT) AS n_phones,
+               CAST(SUM(rlen) AS BIGINT) AS redacted_len
+        FROM (
+            SELECT source,
+                   len(regexp_extract_all(aug, '{EMAIL_RE}')) AS ne,
+                   len(regexp_extract_all(aug, '{PHONE_RE}')) AS np,
+                   length(regexp_replace(regexp_replace(aug, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                                         '{PHONE_RE}', '[PHONE]', 'g')) AS rlen
+            FROM aug
+        )
+        GROUP BY source
+    """,
+    # same flag rule, engine-native hash (equality-only join key): the
+    # portable md5-bigint keeps DuckDB's side deterministic
+    "decontamination_overlap": f"""
+        WITH bench_sh AS (
+            SELECT DISTINCT {H64_SQL.format(expr="shingle")} AS h
+            FROM (SELECT unnest({_SHINGLES8_SQL}) AS shingle
+                  FROM documents WHERE source IN ({_BENCH_IN}))
+        ),
+        corpus AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE source NOT IN ({_BENCH_IN})
+        ),
+        flagged AS (
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, {H64_SQL.format(expr="shingle")} AS h
+                  FROM (SELECT doc_id, unnest({_SHINGLES8_SQL}) AS shingle FROM corpus))
+            WHERE h IN (SELECT h FROM bench_sh)
+        )
+        SELECT c.lang, COUNT(*) AS n_corpus_docs,
+               CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        FROM corpus c LEFT JOIN flagged f ON c.doc_id = f.doc_id
+        GROUP BY c.lang
+    """,
+    "source_mixture_weights": f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        )
+        SELECT source, n_docs,
+               ROUND(pow(n_docs, {MIX_ALPHA}) / SUM(pow(n_docs, {MIX_ALPHA})) OVER (), 6)
+                   AS weight,
+               ROUND({MIX_BUDGET} * pow(n_docs, {MIX_ALPHA})
+                     / SUM(pow(n_docs, {MIX_ALPHA})) OVER (), 2) AS expected_draws
+        FROM counts
+    """,
+}
+
+QUERIES = {
+    "pii_redaction_stats": pii_redaction_stats,
+    "decontamination_overlap": decontamination_overlap,
+    "source_mixture_weights": source_mixture_weights,
+}
