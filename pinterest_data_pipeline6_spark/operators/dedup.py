@@ -339,9 +339,11 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         msgs = edges.join(labels, edges.u == labels.node).select(
             F.col("v").alias("node"), F.col("label")
         )
+        # LAZY checkpoint: the convergence-check aggregate is the action
+        # that materializes it — one Spark job per round, not two
         labels = (
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
             break
