@@ -147,6 +147,23 @@ def stream_stream_join(
     )
 
 
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, key: str, dim_cols: tuple[str, ...]
+) -> DataFrame:
+    """Stream-static broadcast enrichment: join each micro-batch against
+    a bounded dimension table (user profiles, geo lookup, model-version
+    metadata). The static side is re-resolved per micro-batch — with a
+    broadcast hint it ships to executors once per batch and the stream
+    side never shuffles, the production shape for dimension lookups at
+    any stream rate. Stateless: no watermark needed (unlike
+    stream-stream joins, nothing is buffered between batches).
+
+    Left join keeps unmatched stream rows (a missing dimension row must
+    not drop events — flag it downstream instead)."""
+    d = F.broadcast(dim.select(key, *dim_cols))
+    return stream.join(d, key, "left")
+
+
 def write_append(
     df: DataFrame,
     path: str,

@@ -188,6 +188,42 @@ def test_stream_stream_join_parity(spark, events_stream_dir):
     assert sunk.count() > 0
 
 
+def test_stream_static_enrich_parity(spark, events_stream_dir):
+    """Stream-static broadcast enrichment joins each micro-batch against
+    a bounded dimension; result equals the same join run in batch, and
+    unmatched stream rows survive (left join)."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline6_spark.streaming.jobs import enrich_with_static
+
+    # dimension: even user_ids only, so odd-user events test the left side
+    dim = (
+        spark.read.schema(_EV_SCHEMA)
+        .json(events_stream_dir)
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    stream = spark.readStream.schema(_EV_SCHEMA).json(events_stream_dir)
+    q = (
+        enrich_with_static(stream, dim, "user_id", ("tier",))
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table("enriched")
+    batch = enrich_with_static(
+        spark.read.schema(_EV_SCHEMA).json(events_stream_dir), dim, "user_id", ("tier",)
+    )
+    assert df_to_sorted_rows(sunk) == df_to_sorted_rows(batch)
+    assert sunk.filter("tier IS NULL").count() > 0  # left join kept odd users
+    assert sunk.count() == batch.count()
+
+
 def test_foreach_batch_upsert(spark, tmp_path):
     """foreachBatch merge sink: run 1 seeds the table; run 2 (same
     checkpoint, new source file with overlapping keys) upserts — the
