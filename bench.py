@@ -78,9 +78,12 @@ def main() -> None:
     SLOW_S = 3.0
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # headline queries are the recorded score: one extra rep so a
+        # single host stall can't pollute the min
+        base_reps = 3 if name in HEADLINE else 2
         best = float("inf")
         reps = 0
-        while reps < 2 or (best > SLOW_S and reps < 3):
+        while reps < base_reps or (best > SLOW_S and reps < base_reps + 1):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

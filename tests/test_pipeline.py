@@ -214,3 +214,36 @@ def test_run_batch_quality_report(spark, tmp_path_factory):
     for tbl, metrics in report.items():
         assert metrics["n_rows"] > 0, tbl
         assert metrics["n_null_ind"] == 0, tbl
+
+
+def test_events_ts_reader_handles_both_parquet_encodings(spark, tmp_path):
+    """The shared reader must serve `events.ts` as a session-UTC
+    TIMESTAMP whether the parquet shipped TIMESTAMP(NANOS) (read as
+    nano longs under the legacy conf and truncated) or
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ and normalized) — the
+    driver regenerated the dataset across rounds with a different
+    encoding and downstream epoch math must survive both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from pinterest_data_pipeline6_spark.sources.readers import _TABLE_CACHE, table
+
+    base = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in micros
+    micros = [base, base + 1_500_000, base + 3_000_000]
+    for sub, arr in {
+        "ns": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "us": pa.array(micros, pa.timestamp("us")),
+    }.items():
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array([1, 2, 3], pa.int64()), "ts": arr}),
+            str(d / "events.parquet"),
+        )
+        df = table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), sub
+        got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+        assert got == micros, sub
+    _TABLE_CACHE.clear()
