@@ -107,30 +107,27 @@ _MINHASH_A = [2 * i + 3 for i in range(N_MINHASH)]   # 3,5,..,33 — all coprime
 _MINHASH_B = [7919 * (i + 1) for i in range(N_MINHASH)]
 
 
-def _minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, m_0..m_15): min universal hash per permutation. ONE md5
-    per shingle (the 16 permutations are cheap arithmetic on it), one
-    explode, one partial+final min aggregate. Shingles come from the
-    codegen explode-index path WITHOUT de-duplication: MIN over a
-    multiset equals MIN over its set, so signatures are unchanged while
-    the array_distinct + interpreted-lambda pass disappears."""
-    docs = widen_small_scan(table(spark, sf, "documents"))
+def band_keys_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) for any relation with (doc_id,
+    text): the LSH bucket membership table — shared by the batch
+    candidate-pair query below and the streaming near-dup suppression
+    sink (streaming/jobs.py).
+
+    Signature construction: ONE md5 per shingle (the 16 permutations
+    are cheap arithmetic on it), one explode, one partial+final min
+    aggregate. Shingles come from the codegen explode-index path
+    WITHOUT de-duplication: MIN over a multiset equals MIN over its
+    set, so signatures are unchanged while the array_distinct +
+    interpreted-lambda pass disappears. Band keys are md5 digests over
+    each band's 4-minhash row."""
     exploded = _exploded_shingles(docs, "doc_id")
     base = (_h64_spark(F.col("shingle")) % MINHASH_P).alias("hb")
-    hashed = exploded.select("doc_id", base)
-    return hashed.groupBy("doc_id").agg(
+    sig = exploded.select("doc_id", base).groupBy("doc_id").agg(
         *[
             F.min((F.col("hb") * _MINHASH_A[i] + _MINHASH_B[i]) % MINHASH_P).alias(f"m_{i}")
             for i in range(N_MINHASH)
         ]
     )
-
-
-def minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on all 4 minhashes of any band.
-    The self-join keys on (band_idx, band_key) — only bucket-mates are
-    ever compared, which is what keeps this sub-O(n²) at scale."""
-    sig = _minhash_signature(spark, sf)
     band_keys = F.array(
         *[
             F.md5(
@@ -142,7 +139,14 @@ def minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
+def minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all 4 minhashes of any band.
+    The self-join keys on (band_idx, band_key) — only bucket-mates are
+    ever compared, which is what keeps this sub-O(n²) at scale."""
+    banded = band_keys_for(widen_small_scan(table(spark, sf, "documents")))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -269,6 +269,88 @@ def write_foreach_batch_dedup(
     return writer.start()
 
 
+def write_foreach_batch_neardup(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    bands_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate suppression — the MinHash/LSH stage of
+    the curation funnel as a sink: a document is accepted only if none
+    of its LSH band buckets is already occupied by a previously
+    accepted (or same-batch smaller-id) document. The accepted docs
+    land at ``path``; their band membership accumulates at
+    ``bands_path`` and IS the dedup state — no driver-side state, no
+    state store growth beyond the (tiny) band table.
+
+    Per micro-batch, three joins, all on the band key:
+      1. anti-join batch bands against the accumulated band table
+         (docs colliding with history are dropped);
+      2. within-batch domination (same band bucket → smallest doc_id
+         survives), the same rule as the batch curation funnel;
+      3. append survivors' rows and band memberships.
+
+    At 100 TB/day the band table is bucketed on band_key so step 1 is
+    co-located; with Delta/Iceberg steps 1+3 become one MERGE. The
+    exact-dedup counterpart is ``write_foreach_batch_dedup``."""
+    from pinterest_data_pipeline6_spark.operators.dedup import band_keys_for
+
+    spark = df.sparkSession
+
+    def neardup_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["doc_id"])
+        bands_all = band_keys_for(batch)
+        bands = bands_all
+        try:
+            seen = spark.read.parquet(bands_path).select("band_idx", "band_key").distinct()
+            # ANY collision with an accepted doc's bucket drops the WHOLE doc
+            collided = (
+                bands.join(seen, ["band_idx", "band_key"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            bands = bands.join(collided, "doc_id", "left_anti")
+        except Exception:  # first batch: no accumulated bands yet
+            pass
+        # within-batch domination: min doc_id per surviving bucket wins;
+        # a doc is dropped if ANY of its buckets holds a smaller id
+        dominated = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = (
+            bands.select("doc_id").distinct().join(dominated, "doc_id", "left_anti")
+        )
+        # docs with <3 tokens produce no shingles/bands: accept them
+        # (nothing to collide on) alongside the band survivors. Checked
+        # against the PRE-collision band table — a doc whose bands were
+        # all removed by a history collision is suppressed, not bandless
+        bandless = batch.select("doc_id").distinct().join(
+            bands_all.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        keep = survivors.unionByName(bandless).localCheckpoint(eager=True)
+        batch.join(keep, "doc_id", "left_semi").write.mode("append").parquet(path)
+        bands.join(keep, "doc_id", "left_semi").write.mode("append").parquet(bands_path)
+
+    writer = (
+        df.writeStream.foreachBatch(neardup_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     source_dirs: dict[str, str],

@@ -343,3 +343,51 @@ def test_streaming_query_listener_observes_progress(spark, tmp_path):
         assert sum(progress) == 2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_foreach_batch_neardup_suppression(spark, tmp_path):
+    """Streaming LSH near-dup sink: run 1 accepts the seed corpus;
+    run 2 (same checkpoint/state, new file) must suppress near-copies
+    of accepted docs (one word changed) and accept genuinely new ones."""
+    import json
+
+    from pinterest_data_pipeline6_spark.streaming.jobs import write_foreach_batch_neardup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "accepted")
+    bands = str(tmp_path / "bands")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    fresh = "completely different sentence about spark engines crunching massive parquet tables quickly"
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": fresh}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = write_foreach_batch_neardup(stream, sink, ck, bands)
+        q.awaitTermination()
+
+    run()
+    assert sorted(r[0] for r in spark.read.parquet(sink).select("doc_id").collect()) == [1, 2]
+
+    near_copy = base.replace("today", "tonight")  # most shingles shared
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": near_copy}) + "\n")
+        f.write(json.dumps({"doc_id": 4, "text": "tiny"}) + "\n")  # bandless: accepted
+        f.write(
+            json.dumps(
+                {
+                    "doc_id": 5,
+                    "text": "another unrelated paragraph mentioning gradient descent optimizers and tokenizer vocabularies",
+                }
+            )
+            + "\n"
+        )
+    run()
+    got = sorted(r[0] for r in spark.read.parquet(sink).select("doc_id").collect())
+    assert 3 not in got, got  # near-copy of accepted doc 1 suppressed
+    assert got == [1, 2, 4, 5], got
