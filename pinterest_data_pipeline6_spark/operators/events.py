@@ -307,7 +307,73 @@ def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential funnel: view → click (at/after the first view) →
+    purchase (at/after that click). One row: users entering each stage
+    plus stage-to-stage conversion rates — the product-analytics
+    workload every event pipeline ends up serving.
+
+    Ordering is enforced by carrying the previous stage's anchor
+    timestamp through an equi-join on user_id, then min-aggregating the
+    qualifying next-stage events. Three shuffles, all on user_id — at
+    scale the events table is bucketed on user_id so every stage is
+    co-located; each stage's output is one row per surviving user, so
+    the join sides shrink monotonically down the funnel."""
+    ev = table(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    def stage(prev: DataFrame, etype: str, anchor: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(anchor))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    viewed = (
+        ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    clicked = stage(viewed, "click", "t1", "t2")
+    purchased = stage(clicked, "purchase", "t2", "t3")
+    counts = (
+        viewed.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(clicked.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(purchased.agg(F.count("*").alias("n_purchased")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.round(F.col("n_clicked").cast("double") / F.col("n_viewed"), 6).alias("view_to_click"),
+        F.round(F.col("n_purchased").cast("double") / F.col("n_clicked"), 6).alias("click_to_purchase"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "funnel_conversion": """
+        WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        viewed AS (
+            SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+        ),
+        clicked AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM ev e JOIN viewed v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.t1
+            GROUP BY e.user_id
+        ),
+        purchased AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM ev e JOIN clicked c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+            GROUP BY e.user_id
+        )
+        SELECT n_viewed, n_clicked, n_purchased,
+               ROUND(CAST(n_clicked AS DOUBLE) / n_viewed, 6) AS view_to_click,
+               ROUND(CAST(n_purchased AS DOUBLE) / n_clicked, 6) AS click_to_purchase
+        FROM (SELECT COUNT(*) AS n_viewed FROM viewed),
+             (SELECT COUNT(*) AS n_clicked FROM clicked),
+             (SELECT COUNT(*) AS n_purchased FROM purchased)
+    """,
     "time_range_rolling": f"""
         WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         SELECT user_id, event_id,
@@ -465,4 +531,5 @@ QUERIES = {
     "json_props_extract": json_props_extract,
     "scd2_intervals": scd2_intervals,
     "time_range_rolling": time_range_rolling,
+    "funnel_conversion": funnel_conversion,
 }
