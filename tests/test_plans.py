@@ -249,3 +249,24 @@ def test_cached_dimension_reused_in_memory(spark):
         assert "InMemoryRelation" in plan
     finally:
         spark.catalog.uncacheTable("nation_cached")
+
+
+def test_decontamination_is_broadcast_semi_join(spark):
+    """The benchmark shingle set must broadcast into a left-semi join —
+    the corpus side never shuffles on the shingle key (the property
+    that makes exact n-gram decontamination viable at 100 TB)."""
+    from pinterest_data_pipeline6_spark.operators import privacy
+
+    plan = executed_plan(privacy.decontamination_overlap(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_funnel_stages_are_keyed_joins(spark):
+    """Every funnel stage chains through user_id equi-joins; the only
+    tolerated nested-loop is the final cross of three 1-row counts."""
+    from pinterest_data_pipeline6_spark.operators import events as ev
+
+    plan = executed_plan(ev.funnel_conversion(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
