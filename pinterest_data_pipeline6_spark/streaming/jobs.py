@@ -351,6 +351,44 @@ def write_foreach_batch_neardup(
     return writer.start()
 
 
+def run_streaming_curation(
+    spark: SparkSession,
+    source_dir: str,
+    sink_root: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The streaming form of the batch curation funnel
+    (operators/curation.py): an unbounded `documents` stream is
+    quality-gated row-locally (map-only, rejected docs never reach a
+    shuffle or the sink), then flows through the LSH near-dup
+    suppression sink — which subsumes exact dedup, since identical
+    normalized texts produce identical band keys. Output layout:
+
+        {sink_root}/accepted   accepted documents (parquet, append)
+        {sink_root}/bands      accumulated band state (the dedup memory)
+
+    The funnel ordering matches the batch lesson in docs/SCALE.md:
+    shrink the input of each stage before the next — the quality gate
+    runs before any signature work, and signatures are computed only
+    for docs that pass it."""
+    from pinterest_data_pipeline6_spark.operators.curation import _quality_flags
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = spark.readStream.schema(schema).json(source_dir)
+    gated = (
+        _quality_flags(stream)
+        .filter(F.col("passed_quality"))
+        .select("doc_id", F.col("norm").alias("text"), "lang", "source")
+    )
+    return write_foreach_batch_neardup(
+        gated,
+        path=f"{sink_root}/accepted",
+        checkpoint=f"{sink_root}/_ck/curation",
+        bands_path=f"{sink_root}/bands",
+        available_now=available_now,
+    )
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     source_dirs: dict[str, str],

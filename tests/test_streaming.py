@@ -391,3 +391,46 @@ def test_foreach_batch_neardup_suppression(spark, tmp_path):
     got = sorted(r[0] for r in spark.read.parquet(sink).select("doc_id").collect())
     assert 3 not in got, got  # near-copy of accepted doc 1 suppressed
     assert got == [1, 2, 4, 5], got
+
+
+def test_run_streaming_curation(spark, tmp_path):
+    """Composed streaming curation: low-quality docs are gated out
+    map-side, exact duplicates and near-duplicates of accepted docs are
+    suppressed across micro-batch runs, fresh quality docs land."""
+    import json
+
+    from pinterest_data_pipeline6_spark.streaming.jobs import run_streaming_curation
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    root = str(tmp_path / "curated")
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    low_quality = "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"
+    rows = [
+        {"doc_id": 1, "text": good, "lang": "en", "source": "s0", "n_chars": len(good)},
+        {"doc_id": 2, "text": low_quality, "lang": "en", "source": "s0", "n_chars": len(low_quality)},
+    ]
+    with open(src / "b1.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+    run_streaming_curation(spark, str(src), root).awaitTermination()
+    got1 = sorted(r[0] for r in spark.read.parquet(f"{root}/accepted").select("doc_id").collect())
+    assert got1 == [1], got1  # low-quality doc gated before any state
+
+    other = (
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen"
+    )
+    rows2 = [
+        {"doc_id": 3, "text": good.upper(), "lang": "en", "source": "s1", "n_chars": len(good)},  # exact dup after normalize
+        {"doc_id": 4, "text": good.replace("tango", "uniform"), "lang": "en", "source": "s1", "n_chars": len(good)},  # near-dup
+        {"doc_id": 5, "text": other, "lang": "en", "source": "s1", "n_chars": len(other)},  # fresh
+    ]
+    with open(src / "b2.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows2)
+    run_streaming_curation(spark, str(src), root).awaitTermination()
+    got2 = sorted(r[0] for r in spark.read.parquet(f"{root}/accepted").select("doc_id").collect())
+    assert got2 == [1, 5], got2
