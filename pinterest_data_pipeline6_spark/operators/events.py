@@ -349,7 +349,83 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def monthly_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month churn/retention: per month, how many active
+    users were retained from / new versus the previous month, and how
+    many of the previous month's users churned. One distinct
+    (user, month) projection, then a self equi-join on (user, month+1)
+    — the subscription-analytics staple. Both sides of the join are the
+    ALREADY-deduplicated activity table (rows = users x months, tiny
+    relative to events), shuffled on user_id."""
+    ev = table(spark, sf, "events")
+    act = ev.select(
+        "user_id", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.date_trunc("month", "ts").alias("m0"),
+    ).distinct()
+    nxt = act.select(
+        F.col("user_id").alias("p_user"),
+        F.date_format(F.add_months("m0", 1), "yyyy-MM").alias("p_next"),
+    )
+    cur = act.alias("c")
+    joined = cur.join(
+        nxt, (F.col("c.user_id") == F.col("p_user")) & (F.col("c.month") == F.col("p_next")), "left"
+    )
+    per_month = joined.groupBy("month").agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.col("p_user").isNotNull(), 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0)).alias("n_new"),
+    )
+    churned = (
+        nxt.join(
+            act.select(F.col("user_id").alias("u2"), F.col("month").alias("m2")),
+            (F.col("p_user") == F.col("u2")) & (F.col("p_next") == F.col("m2")),
+            "left_anti",
+        )
+        .groupBy(F.col("p_next").alias("month"))
+        .agg(F.count("*").alias("n_churned_into"))
+    )
+    return (
+        per_month.join(churned, "month", "left")
+        .select(
+            "month", "n_active", "n_retained", "n_new",
+            F.coalesce("n_churned_into", F.lit(0)).alias("n_churned_into"),
+        )
+        .orderBy("month")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "monthly_churn": """
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month,
+                   date_trunc('month', CAST(ts AS TIMESTAMP)) AS m0
+            FROM events
+        ),
+        nxt AS (
+            SELECT user_id AS p_user,
+                   strftime(m0 + INTERVAL 1 MONTH, '%Y-%m') AS p_next
+            FROM act
+        ),
+        per_month AS (
+            SELECT c.month, COUNT(*) AS n_active,
+                   CAST(SUM(CASE WHEN n.p_user IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                   CAST(SUM(CASE WHEN n.p_user IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+            FROM act c LEFT JOIN nxt n
+              ON c.user_id = n.p_user AND c.month = n.p_next
+            GROUP BY c.month
+        ),
+        churned AS (
+            SELECT p_next AS month, COUNT(*) AS n_churned_into
+            FROM nxt
+            WHERE NOT EXISTS (SELECT 1 FROM act a
+                              WHERE a.user_id = nxt.p_user AND a.month = nxt.p_next)
+            GROUP BY p_next
+        )
+        SELECT p.month, p.n_active, p.n_retained, p.n_new,
+               COALESCE(c.n_churned_into, 0) AS n_churned_into
+        FROM per_month p LEFT JOIN churned c ON p.month = c.month
+    """,
     "funnel_conversion": """
         WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         viewed AS (
@@ -532,4 +608,5 @@ QUERIES = {
     "scd2_intervals": scd2_intervals,
     "time_range_rolling": time_range_rolling,
     "funnel_conversion": funnel_conversion,
+    "monthly_churn": monthly_churn,
 }

@@ -823,7 +823,42 @@ def cube_priority_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ratio_to_report_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Ratio-to-report: each (priority, status) cell's share of its
+    priority's total and of the grand total — the share-of-total window
+    family (SUM OVER partition / SUM OVER ()) that every BI rollup
+    needs. The grand-total window is a single-partition exchange of the
+    ALREADY-AGGREGATED cells (tens of rows), never of the fact table —
+    the two-level shape that stays cheap at any scale."""
+    orders = table(spark, sf, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").alias("n_orders"))
+    w_prio = Window.partitionBy("priority")
+    w_all = Window.partitionBy()
+    return cells.select(
+        "priority",
+        "status",
+        "n_orders",
+        F.round(F.col("n_orders") / F.sum("n_orders").over(w_prio), 6).alias("share_of_priority"),
+        F.round(F.col("n_orders") / F.sum("n_orders").over(w_all), 6).alias("share_of_total"),
+    ).orderBy("priority", "status")
+
+
 ORACLE: dict[str, str] = {
+    "ratio_to_report_share": """
+        WITH cells AS (
+            SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT priority, status, n_orders,
+               ROUND(CAST(n_orders AS DOUBLE)
+                     / SUM(n_orders) OVER (PARTITION BY priority), 6) AS share_of_priority,
+               ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share_of_total
+        FROM cells
+    """,
     "q1_category_per_country": """
         SELECT n_name AS country, o_orderpriority AS category, COUNT(*) AS category_count
         FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1194,6 +1229,7 @@ QUERIES = {
     "pivot_status_by_priority": pivot_status_by_priority,
     "semi_anti_customer_activity": semi_anti_customer_activity,
     "cube_priority_status": cube_priority_status,
+    "ratio_to_report_share": ratio_to_report_share,
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
     "nation_revenue": nation_revenue,

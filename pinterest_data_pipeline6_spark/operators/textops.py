@@ -147,6 +147,42 @@ def quality_score_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def curriculum_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum binning: EQUI-HEIGHT difficulty deciles via ntile(10)
+    over the composite quality score (the ordered-training counterpart
+    of quality_score_buckets' equi-width histogram). Per decile: doc
+    count and the score range it spans — the bin boundaries a curriculum
+    sampler would draw from. ntile's global order carries doc_id as the
+    unique tie-break so both engines assign identical bins.
+
+    Scale note: a global ntile is a single-partition sort of (score,
+    doc_id) PAIRS, not documents — viable to ~10^9 rows; beyond that,
+    approx_percentile boundaries + a broadcast range join assign bins
+    without the global sort."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    mean_wlen = (F.col("n_chars") - (n_tok - 1)) / n_tok
+    wlen_score = F.least(mean_wlen / F.lit(6.0), F.lit(1.0))
+    score = F.round(0.4 * len_score + 0.4 * diversity + 0.2 * wlen_score, 6)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("score", "doc_id")
+    return (
+        docs.select("doc_id", score.alias("score"))
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("decile")
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document fingerprint: min/max portable hash over distinct word
     3-gram shingles (the winnowing primitive used by near-dup pipelines).
@@ -480,6 +516,22 @@ ORACLE: dict[str, str] = {
         )
         GROUP BY q_bucket
     """,
+    "curriculum_deciles": """
+        WITH scored AS (
+            SELECT doc_id, ROUND(
+                0.4 * LEAST(n_chars / 400.0, 1.0)
+              + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+              + 0.2 * LEAST(((n_chars - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE)) / 6.0, 1.0),
+              6) AS score
+            FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+        )
+        SELECT decile, COUNT(*) AS n_docs,
+               MIN(score) AS min_score, MAX(score) AS max_score
+        FROM (SELECT doc_id, score,
+                     NTILE(10) OVER (ORDER BY score, doc_id) AS decile
+              FROM scored)
+        GROUP BY decile
+    """,
     "doc_fingerprints": f"""
         SELECT doc_id,
                list_min(hashes) AS fp_min,
@@ -611,6 +663,7 @@ QUERIES = {
     "token_count_stats": token_count_stats,
     "lang_id_confusion": lang_id_confusion,
     "quality_score_buckets": quality_score_buckets,
+    "curriculum_deciles": curriculum_deciles,
     "doc_fingerprints": doc_fingerprints,
     "repetition_stats": repetition_stats,
     "stratified_sample_counts": stratified_sample_counts,
