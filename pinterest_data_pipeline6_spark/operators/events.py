@@ -349,6 +349,53 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pit_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2-historized dimension: the
+    non-error event stream per user is collapsed into validity
+    intervals (the scd2_intervals construction), then each ``error``
+    event is joined to its covering interval — "what state was the user
+    in when the error happened", the warehouse query every historized
+    dimension exists to answer. [valid_from, valid_to) semantics give
+    each fact exactly one covering interval; errors before a user's
+    first state survive the left join as state 'none'.
+
+    Plan shape: hash equi-join on user_id with the interval range as a
+    post-join filter (same as range_join_bursts — never a nested loop);
+    per-user interval counts are bounded by that user's change points,
+    so the filtered fan-out stays linear at scale."""
+    ev = table(spark, sf, "events")
+    dim = ev.filter(F.col("event_type") != "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = dim.withColumn(
+        "is_change",
+        F.coalesce(F.col("event_type") != F.lag("event_type").over(w), F.lit(True)),
+    ).filter("is_change")
+    intervals = changed.select(
+        F.col("user_id").alias("i_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("vfrom"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("vto"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    covered = errors.join(
+        intervals,
+        (F.col("user_id") == F.col("i_user"))
+        & (F.col("ts") >= F.col("vfrom"))
+        & (F.col("vto").isNull() | (F.col("ts") < F.col("vto"))),
+        "left",
+    )
+    return (
+        covered.groupBy(F.coalesce(F.col("state"), F.lit("none")).alias("state"))
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("state")
+    )
+
+
 def monthly_churn(spark: SparkSession, sf: str) -> DataFrame:
     """Month-over-month churn/retention: per month, how many active
     users were retained from / new versus the previous month, and how
@@ -395,6 +442,32 @@ def monthly_churn(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "pit_scd2_lookup": """
+        WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+                    FROM events),
+        changed AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM (
+                SELECT user_id, event_type, ts, event_id,
+                       COALESCE(event_type <> lag(event_type) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id), TRUE) AS is_change
+                FROM ev WHERE event_type <> 'error'
+            ) WHERE is_change
+        ),
+        intervals AS (
+            SELECT user_id AS i_user, event_type AS state, ts AS vfrom,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vto
+            FROM changed
+        )
+        SELECT COALESCE(state, 'none') AS state,
+               COUNT(*) AS n_errors,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM (SELECT user_id, ts FROM ev WHERE event_type = 'error') e
+        LEFT JOIN intervals i
+          ON e.user_id = i.i_user AND e.ts >= i.vfrom
+         AND (i.vto IS NULL OR e.ts < i.vto)
+        GROUP BY COALESCE(state, 'none')
+    """,
     "monthly_churn": """
         WITH act AS (
             SELECT DISTINCT user_id,
@@ -609,4 +682,5 @@ QUERIES = {
     "time_range_rolling": time_range_rolling,
     "funnel_conversion": funnel_conversion,
     "monthly_churn": monthly_churn,
+    "pit_scd2_lookup": pit_scd2_lookup,
 }
