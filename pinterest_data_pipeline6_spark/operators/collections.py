@@ -67,6 +67,27 @@ def hof_token_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def hof_exists_forall(spark: SparkSession, sf: str) -> DataFrame:
+    """The two array PREDICATE higher-order functions (exists/forall)
+    completing the HOF surface next to transform/filter/aggregate/
+    zip_with: per lang, docs containing at least one long token
+    (exists) and docs made only of short tokens (forall). Short-circuit
+    evaluation inside the cell — no explode, no row amplification."""
+    docs = table(spark, sf, "documents")
+    has_long = F.exists(_toks(), lambda x: F.length(x) > 8)
+    all_short = F.forall(_toks(), lambda x: F.length(x) <= 5)
+    return (
+        docs.select("lang", has_long.alias("hl"), all_short.alias("als"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("hl"), 1).otherwise(0)).alias("n_with_long_token"),
+            F.sum(F.when(F.col("als"), 1).otherwise(0)).alias("n_all_short"),
+        )
+        .orderBy("lang")
+    )
+
+
 def hof_position_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """zip_with over (1-based position sequence, token lengths): a
     position-weighted length sum per document, rolled up per source —
@@ -317,6 +338,16 @@ ORACLE: dict[str, str] = {
                    x -> length(x))), 0)) AS sum_long_len
         FROM documents GROUP BY lang
     """,
+    "hof_exists_forall": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+                                  x -> length(x) > 8)) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_long_token,
+               CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+                                  x -> length(x) > 5)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_all_short
+        FROM documents GROUP BY lang
+    """,
     "hof_position_weighted": """
         SELECT source, COUNT(*) AS n_docs,
                SUM(COALESCE(list_sum(list_transform(
@@ -450,6 +481,7 @@ ORACLE["morton_bucket_counts"] = _morton_oracle()
 
 QUERIES = {
     "hof_token_metrics": hof_token_metrics,
+    "hof_exists_forall": hof_exists_forall,
     "hof_position_weighted": hof_position_weighted,
     "posexplode_tokens": posexplode_tokens,
     "map_event_counts": map_event_counts,
