@@ -344,8 +344,14 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
         "n_viewed",
         "n_clicked",
         "n_purchased",
-        F.round(F.col("n_clicked").cast("double") / F.col("n_viewed"), 6).alias("view_to_click"),
-        F.round(F.col("n_purchased").cast("double") / F.col("n_clicked"), 6).alias("click_to_purchase"),
+        # try_divide: NULL (not ANSI error / inf) when a stage is empty,
+        # mirrored by NULLIF in the oracle so both engines agree on x/0
+        F.round(F.try_divide(F.col("n_clicked").cast("double"), F.col("n_viewed")), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.try_divide(F.col("n_purchased").cast("double"), F.col("n_clicked")), 6).alias(
+            "click_to_purchase"
+        ),
     )
 
 
@@ -517,8 +523,8 @@ ORACLE: dict[str, str] = {
             GROUP BY e.user_id
         )
         SELECT n_viewed, n_clicked, n_purchased,
-               ROUND(CAST(n_clicked AS DOUBLE) / n_viewed, 6) AS view_to_click,
-               ROUND(CAST(n_purchased AS DOUBLE) / n_clicked, 6) AS click_to_purchase
+               ROUND(CAST(n_clicked AS DOUBLE) / NULLIF(n_viewed, 0), 6) AS view_to_click,
+               ROUND(CAST(n_purchased AS DOUBLE) / NULLIF(n_clicked, 0), 6) AS click_to_purchase
         FROM (SELECT COUNT(*) AS n_viewed FROM viewed),
              (SELECT COUNT(*) AS n_clicked FROM clicked),
              (SELECT COUNT(*) AS n_purchased FROM purchased)

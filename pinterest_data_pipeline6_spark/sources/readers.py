@@ -108,19 +108,33 @@ def widen_small_scan(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     sc = spark.sparkContext
     target = sc.defaultParallelism
+
+    def _bytes_conf(key: str, default: int) -> int:
+        raw = spark.conf.get(key, str(default))
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        val = int(digits) if digits else default
+        if raw.lower().endswith(("m", "mb")):
+            val *= 1 << 20
+        elif raw.lower().endswith(("k", "kb")):
+            val *= 1 << 10
+        elif raw.lower().endswith(("g", "gb")):
+            val *= 1 << 30
+        return val
+
     try:
         files = df.inputFiles()
-        total = sum(os.path.getsize(unquote(urlparse(f).path)) for f in files)
-        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        digits = "".join(ch for ch in raw if ch.isdigit())
-        max_pb = int(digits) if digits else 134_217_728
-        if raw.lower().endswith(("m", "mb")):
-            max_pb *= 1 << 20
-        elif raw.lower().endswith(("k", "kb")):
-            max_pb *= 1 << 10
-        elif raw.lower().endswith(("g", "gb")):
-            max_pb *= 1 << 30
-        est_splits = max(len(files), -(-total // max_pb))
+        sizes = sum(os.path.getsize(unquote(urlparse(f).path)) for f in files)
+        # Mirror FilePartition.maxSplitBytes: each file pays an open cost,
+        # and the split size shrinks toward bytesPerCore so a scan big
+        # enough to feed every core is never estimated as one split. The
+        # old maxPartitionBytes-only estimate undercounted many-small-file
+        # inputs and re-shuffled scans that already had enough partitions.
+        max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 134_217_728)
+        open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4_194_304)
+        total = sizes + open_cost * len(files)
+        bytes_per_core = total // max(1, target)
+        max_split = min(max_pb, max(open_cost, bytes_per_core))
+        est_splits = -(-total // max(1, max_split))  # ceil; bin-packed bound
     except Exception:  # non-file source — fall back to the exact probe
         est_splits = df.rdd.getNumPartitions()
     if est_splits < target:
@@ -143,11 +157,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (year/date_trunc/date_format) downstream of these tables must match
     DuckDB's timezone-naive arithmetic regardless of which SparkSession
     the caller built (the oracle harness uses its own)."""
+    # Pin BEFORE the cache lookup: a cache hit must still pin the
+    # calling session (a sibling SparkSession.newSession shares the
+    # applicationId, and a caller may have changed the tz between calls).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, str(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = str(Path(sf_dir) / f"{name}.parquet")
     nano_cols = _TS_NANO_COLS.get(name, ())
     if nano_cols:

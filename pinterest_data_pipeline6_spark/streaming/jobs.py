@@ -37,6 +37,20 @@ _SCHEMAS = {"pin": RAW_PIN_SCHEMA, "geo": RAW_GEO_SCHEMA, "user": RAW_USER_SCHEM
 _CLEANERS = {"pin": clean_pin, "geo": clean_geo, "user": clean_user}
 
 
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """True if a previously-written parquet sink exists at ``path``.
+
+    Explicit existence probe (Hadoop FS, so any scheme works) instead of
+    a broad try/except around the read: a corrupt file, schema drift, or
+    a transient FS failure must PROPAGATE and fail the micro-batch —
+    silently treating those as "first batch" would disable dedup state
+    for the batch and admit duplicates."""
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(jconf).exists(jpath)
+
+
 def read_payload_stream(spark: SparkSession, entity: str, path: str) -> DataFrame:
     """Unbounded read of JSON-line payloads + ST1 deserialization:
     string value → from_json(declared schema) → struct flatten. The
@@ -206,11 +220,14 @@ def write_foreach_batch_upsert(
     spark = df.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        # Idempotent under foreachBatch's at-least-once replay: the
+        # rewrite is a full overwrite keyed on `key`, so re-running a
+        # batch converges to the same table.
         dedup = batch.dropDuplicates([key])
-        try:
+        if _sink_exists(spark, path):
             existing = spark.read.parquet(path)
             merged = existing.join(dedup, key, "left_anti").unionByName(dedup)
-        except Exception:
+        else:
             merged = dedup
         # materialize before overwriting the dir the plan reads from
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
@@ -249,13 +266,16 @@ def write_foreach_batch_dedup(
     spark = df.sparkSession
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        # Idempotent under replay: a re-run batch's digests are already
+        # in the sink, so the anti-join drops every row the first
+        # attempt appended.
         d = batch.withColumn(
             "digest", F.md5(F.concat_ws("\x1f", *digest_cols))
         ).dropDuplicates(["digest"])
-        try:
+        if _sink_exists(spark, path):
             seen = spark.read.parquet(path).select("digest").distinct()
             fresh = d.join(seen, "digest", "left_anti")
-        except Exception:  # first batch: sink does not exist yet
+        else:
             fresh = d
         fresh.write.mode("append").parquet(path)
 
@@ -302,7 +322,7 @@ def write_foreach_batch_neardup(
         batch = batch.dropDuplicates(["doc_id"])
         bands_all = band_keys_for(batch)
         bands = bands_all
-        try:
+        if _sink_exists(spark, bands_path):  # first batch: no band state yet
             seen = spark.read.parquet(bands_path).select("band_idx", "band_key").distinct()
             # ANY collision with an accepted doc's bucket drops the WHOLE doc
             collided = (
@@ -311,8 +331,6 @@ def write_foreach_batch_neardup(
                 .distinct()
             )
             bands = bands.join(collided, "doc_id", "left_anti")
-        except Exception:  # first batch: no accumulated bands yet
-            pass
         # within-batch domination: min doc_id per surviving bucket wins;
         # a doc is dropped if ANY of its buckets holds a smaller id
         dominated = (
@@ -338,7 +356,23 @@ def write_foreach_batch_neardup(
             bands_all.select("doc_id").distinct(), "doc_id", "left_anti"
         )
         keep = survivors.unionByName(bandless).localCheckpoint(eager=True)
-        batch.join(keep, "doc_id", "left_semi").write.mode("append").parquet(path)
+        # Idempotence under foreachBatch's at-least-once replay, with a
+        # PER-SINK anti-join (one shared keep-set would be wrong: after a
+        # crash between the two appends, the accepted docs must be
+        # excluded from the accepted append but still get their band
+        # rows appended, or the band state is permanently short):
+        #   * full replay — the history-collision step above already
+        #     empties `bands`, and `written` empties the accepted side;
+        #   * crash between the appends — `written` suppresses the
+        #     duplicate accepted rows while `bands` (absent from
+        #     bands_path) is appended, completing the batch.
+        # localCheckpoint materializes the anti-join before the append
+        # job lists the directory it also reads.
+        keep_acc = keep
+        if _sink_exists(spark, path):
+            written = spark.read.parquet(path).select("doc_id").distinct()
+            keep_acc = keep.join(written, "doc_id", "left_anti").localCheckpoint(eager=True)
+        batch.join(keep_acc, "doc_id", "left_semi").write.mode("append").parquet(path)
         bands.join(keep, "doc_id", "left_semi").write.mode("append").parquet(bands_path)
 
     writer = (
