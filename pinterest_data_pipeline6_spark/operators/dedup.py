@@ -312,46 +312,107 @@ def embedding_cosine_stats(spark: SparkSession, sf: str) -> DataFrame:
 MAX_CC_ITERATIONS = 20
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its STRICTLY LARGER
+    neighbors to its minimum neighbor (including itself). Edges stay
+    oriented (hi, lo) with hi > lo; the emitted (v, m) pairs satisfy
+    m <= u < v so the invariant holds by construction."""
+    nbr = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    m = nbr.groupBy("u").agg(F.min("v").alias("mv"))
+    m = m.select("u", F.least("mv", "u").alias("m"))
+    return (
+        nbr.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller neighbors (and
+    itself) to the minimum of those neighbors. Operates directly on the
+    (hi, lo) orientation — each edge lives at its larger endpoint."""
+    m = e.groupBy("hi").agg(F.min("lo").alias("m"))
+    links = (
+        e.join(m, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    self_links = m.select("hi", F.col("m").alias("lo"))
+    return links.union(self_links).distinct()
+
+
+def _connected_components(
+    edges: DataFrame, max_rounds: int = MAX_CC_ITERATIONS
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) rounds regardless of component DIAMETER —
+    the property plain min-label propagation lacks (a length-k chain
+    costs k propagation rounds but ~log k star rounds; see
+    tests/test_partitioning.py's adversarial chain fixture).
+
+    ``edges`` is any two-column (u, v) pair list, either orientation,
+    self-loops tolerated. Returns ``(labels, rounds)`` where labels maps
+    every node of the graph to its component's MINIMUM node id — at the
+    fixpoint the edge set is a union of stars rooted at component
+    minima. Per round: three shuffles on node ids (neighborhood build +
+    two min-aggregates), each carrying two bigints per edge;
+    ``localCheckpoint`` truncates lineage and the convergence probe
+    reads two scalars (count + edge-hash sum), never data."""
+    e = (
+        edges.select(
+            F.greatest(F.col("u"), F.col("v")).alias("hi"),
+            F.least(F.col("u"), F.col("v")).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame):
+        # decimal(38) accumulator: a bigint SUM of 64-bit hashes
+        # overflows (and THROWS under ANSI mode) on a few dozen edges
+        return df.agg(
+            F.count("*"),
+            F.sum(F.xxhash64(F.col("hi"), F.col("lo")).cast("decimal(38,0)")),
+        ).first()
+
+    prev = _sig(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        # LAZY checkpoint: the signature probe is the one action that
+        # materializes the round — one Spark job per round, not two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        rounds += 1
+        cur = _sig(e)
+        if cur == prev:  # star fixpoint: small/large stars are no-ops
+            break
+        prev = cur
+    labels = (
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+        .union(e.select(F.col("lo").alias("node"), F.col("lo").alias("label")))
+        .distinct()
+    )
+    return labels, rounds
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the MinHash/LSH candidate-pair graph —
     the step that turns pairwise near-dup hits into KEEP/DROP decisions
     (every doc in a component collapses onto the min-doc_id
     representative). Emits (rep, cluster_size) per component.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels (one join + one min
-    aggregate per round), converging in O(component diameter) rounds —
-    near-dup clusters are small and dense, so this is 2-4 rounds in
-    practice. ``localCheckpoint`` truncates the per-round lineage so the
-    plan does not grow with iterations. The driver-side loop only
-    compares two scalar sums per round (no data collected). At 100 TB
-    the same loop runs with the large-star/small-star optimization to
-    bound rounds at O(log n); the per-round shuffle is on the node id.
-    """
+    Clustering is the alternating large-star/small-star algorithm
+    (``_connected_components``): O(log n) rounds bounds the driver loop
+    even on adversarial high-diameter pair graphs, where the previous
+    min-label propagation needed O(diameter) rounds and silently hit
+    MAX_CC_ITERATIONS on chains longer than 20."""
     pairs = minhash_band_pairs(spark, sf).localCheckpoint()
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(MAX_CC_ITERATIONS):
-        msgs = edges.join(labels, edges.u == labels.node).select(
-            F.col("v").alias("node"), F.col("label")
-        )
-        # LAZY checkpoint: the convergence-check aggregate is the action
-        # that materializes it — one Spark job per round, not two
-        labels = (
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=False)
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
-            break
-        prev_sum = new_sum
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels, _ = _connected_components(edges)
     return (
         labels.groupBy(F.col("label").alias("rep"))
         .agg(F.count("*").alias("cluster_size"))

@@ -364,9 +364,13 @@ def pandas_udf_norms(spark: SparkSession, sf: str) -> DataFrame:
 
     @pandas_udf("double")
     def l2_norm(vecs: pd.Series) -> pd.Series:
-        return vecs.map(
-            lambda v: float(np.sqrt(np.sum(np.square(np.asarray(v, dtype=np.float64)))))
-        )
+        # one 2-D reduction per Arrow batch — no per-row Python loop
+        # (fixed-dim embeddings stack into a dense matrix; np.stack
+        # raises on ragged input, which would mean corrupt data)
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", mat, mat)), index=vecs.index)
 
     emb = widen_small_scan(table(spark, sf, "embeddings"))
     return (

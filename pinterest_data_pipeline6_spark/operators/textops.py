@@ -147,7 +147,9 @@ def quality_score_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def curriculum_deciles(spark: SparkSession, sf: str) -> DataFrame:
+def curriculum_deciles(
+    spark: SparkSession, sf: str, exact_plan: bool = False
+) -> DataFrame:
     """Curriculum binning: EQUI-HEIGHT difficulty deciles via ntile(10)
     over the composite quality score (the ordered-training counterpart
     of quality_score_buckets' equi-width histogram). Per decile: doc
@@ -155,10 +157,19 @@ def curriculum_deciles(spark: SparkSession, sf: str) -> DataFrame:
     sampler would draw from. ntile's global order carries doc_id as the
     unique tie-break so both engines assign identical bins.
 
-    Scale note: a global ntile is a single-partition sort of (score,
-    doc_id) PAIRS, not documents — viable to ~10^9 rows; beyond that,
-    approx_percentile boundaries + a broadcast range join assign bins
-    without the global sort."""
+    Scale path (default): EXACT ntile semantics without the global
+    single-partition sort. The (score, doc_id) projection is
+    range-partitioned, each partition computes local row_numbers in
+    parallel, and the per-partition row counts (one tiny scalar-only
+    driver job — #partitions values, never data) convert local ranks to
+    global ranks; ntile's bucket-size arithmetic (first N%10 buckets get
+    one extra row) is then applied row-locally. Every stage is a
+    distributed shuffle of 24-byte pairs — nothing ever funnels through
+    one task, so the plan survives 100 TB where ``ntile(10) OVER
+    (ORDER BY ...)`` dies. ``exact_plan=True`` keeps the textbook global
+    ntile for plan-comparison tests; both paths are bit-identical to the
+    DuckDB oracle because the distributed form reproduces ntile's exact
+    assignment (unique (score, doc_id) order ⇒ deterministic ranks)."""
     docs = table(spark, sf, "documents")
     toks = _tokens()
     n_tok = F.size(toks)
@@ -169,17 +180,72 @@ def curriculum_deciles(spark: SparkSession, sf: str) -> DataFrame:
     score = F.round(0.4 * len_score + 0.4 * diversity + 0.2 * wlen_score, 6)
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("score", "doc_id")
+    scored = docs.select("doc_id", score.alias("score"))
+    if exact_plan:
+        w = Window.orderBy("score", "doc_id")
+        binned = scored.withColumn("decile", F.ntile(10).over(w))
+    else:
+        binned = _distributed_ntile(scored, n_buckets=10)
     return (
-        docs.select("doc_id", score.alias("score"))
-        .withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        binned.groupBy("decile")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("score").alias("min_score"),
             F.max("score").alias("max_score"),
         )
         .orderBy("decile")
+    )
+
+
+def _distributed_ntile(scored: DataFrame, n_buckets: int) -> DataFrame:
+    """Exact ntile(n) over (score, doc_id) with no single-partition stage.
+
+    1. ``repartitionByRange(score, doc_id)`` — the only data shuffle;
+    2. per-partition ``row_number`` (window keyed on the partition id, so
+       every partition sorts independently);
+    3. per-partition counts → prefix-sum offsets on the driver (one
+       scalar-only job over #partitions rows) → broadcast-joined back;
+    4. ntile's bucket arithmetic on the global rank, in exact integer
+       form (``pmod``-based floor-div keeps bigint math away from double
+       rounding).
+    """
+    from pyspark.sql.window import Window
+
+    spark = scored.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        scored.repartitionByRange(nparts, "score", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, rank_offset long")
+    w = Window.partitionBy("pid").orderBy("score", "doc_id")
+    g = F.col("rank_offset") + F.row_number().over(w)
+
+    def idiv(a: Column, b: int) -> Column:
+        # exact floor-division for bigints: (a - a mod b) is divisible
+        # by b, so the double division below is exact
+        return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+    q, r = divmod(total, n_buckets)
+    if q == 0:  # fewer rows than buckets: ntile gives each row its rank
+        decile = g
+    else:
+        boundary = r * (q + 1)
+        decile = F.when(g <= F.lit(boundary), idiv(g + q, q + 1)).otherwise(
+            F.lit(r) + idiv(g - boundary + q - 1, q)
+        )
+    return ranged.join(F.broadcast(off_df), "pid").withColumn(
+        "decile", decile.cast("int")
     )
 
 

@@ -51,12 +51,61 @@ def _sink_exists(spark: SparkSession, path: str) -> bool:
     return jpath.getFileSystem(jconf).exists(jpath)
 
 
-def read_payload_stream(spark: SparkSession, entity: str, path: str) -> DataFrame:
+def kafka_source_options(
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Translate the reference's Kinesis source settings (STREAM:38-46:
+    ``format('kinesis')`` + ``initialPosition='earliest'`` + one stream
+    per entity) into the Kafka connector's option surface:
+
+    - stream name → ``subscribe`` topic
+    - ``initialPosition: earliest`` → ``startingOffsets: earliest``
+      (ST4 replay-from-start semantics)
+    - endpoint/region → ``kafka.bootstrap.servers``
+    - optional throughput cap → ``maxOffsetsPerTrigger`` (the knob that
+      keeps a backlogged topic from producing an unbounded first batch)
+
+    Pure translation, unit-testable with no broker; ``read_payload_
+    stream(source='kafka')`` consumes it verbatim."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def read_payload_stream(
+    spark: SparkSession,
+    entity: str,
+    path: str,
+    source: str = "file",
+    kafka_options: dict[str, str] | None = None,
+) -> DataFrame:
     """Unbounded read of JSON-line payloads + ST1 deserialization:
     string value → from_json(declared schema) → struct flatten. The
-    ``text`` source yields the same one-string-column contract as a
-    Kafka/Kinesis ``CAST(data AS STRING)`` (STREAM:49)."""
-    raw = spark.readStream.text(path)
+    default ``text`` source yields the same one-string-column contract
+    as a Kafka/Kinesis ``CAST(data AS STRING)`` (STREAM:49).
+
+    ``source='kafka'`` swaps in the real connector (``kafka_options``
+    from :func:`kafka_source_options`; the connector jar must be on the
+    classpath — not shipped in this sandbox, so only the file path is
+    exercised by tests). Everything downstream of the ``value`` column
+    is IDENTICAL between the two sources — that contract is the point."""
+    if source == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in (kafka_options or {}).items():
+            reader = reader.option(k, v)
+        raw = reader.load().selectExpr("CAST(value AS STRING) AS value")
+    elif source == "file":
+        raw = spark.readStream.text(path)
+    else:
+        raise ValueError(f"unknown source {source!r} (expected 'file' or 'kafka')")
     return raw.select(
         F.from_json(F.col("value"), _SCHEMAS[entity]).alias("data")
     ).select("data.*")

@@ -170,3 +170,64 @@ def test_morton_properties(spark):
         cur = py_morton(k, k)
         assert cur > prev
         prev = cur
+
+
+# ---------------------------------------------------------------------------
+# connected components: alternating large-star/small-star
+# ---------------------------------------------------------------------------
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """Adversarial high-diameter fixture: a 64-node chain needs 63
+    rounds of plain min-label propagation but must converge in
+    <= 2*log2(n)+2 alternating star rounds (Kiveris et al.)."""
+    import math
+
+    from pinterest_data_pipeline6_spark.operators.dedup import _connected_components
+
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "u long, v long")
+    labels, rounds = _connected_components(edges)
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2
+    out = labels.groupBy("label").count().collect()
+    assert len(out) == 1
+    assert out[0]["label"] == 0 and out[0]["count"] == n
+
+
+def test_cc_matches_union_find(spark):
+    """Mixed graph (chain + star + random multigraph with self-loops)
+    against a driver-side union-find reference: every node must map to
+    its component's minimum id."""
+    import random
+
+    from pinterest_data_pipeline6_spark.operators.dedup import _connected_components
+
+    random.seed(7)
+    edges = (
+        [(i, i + 1) for i in range(10)]
+        + [(100, 100 + i) for i in range(1, 8)]
+        + [(200 + random.randrange(30), 200 + random.randrange(30)) for _ in range(40)]
+    )
+    labels, _ = _connected_components(spark.createDataFrame(edges, "u long, v long"))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            nodes.update((a, b))
+    comp: dict[int, set[int]] = {}
+    for x in nodes:
+        comp.setdefault(find(x), set()).add(x)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert set(got) == nodes
+    assert all(got[x] == min(comp[find(x)]) for x in nodes)

@@ -270,3 +270,22 @@ def test_funnel_stages_are_keyed_joins(spark):
     plan = executed_plan(ev.funnel_conversion(spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_curriculum_deciles_has_no_global_sort(spark):
+    """Default curriculum_deciles must never funnel rows through one
+    task: the distributed-ntile path range-partitions and ranks per
+    partition, so no ntile window and no SinglePartition exchange may
+    appear (the exact_plan=True variant exists only as the textbook
+    comparison form)."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    plan = executed_plan(textops.curriculum_deciles(spark, SF))
+    low = plan.lower()
+    assert "ntile" not in low
+    assert "singlepartition" not in low
+    assert "rangepartitioning" in low
+    # the comparison form DOES carry the global window (sanity check
+    # that the assertion above is actually discriminating)
+    exact = executed_plan(textops.curriculum_deciles(spark, SF, exact_plan=True))
+    assert "ntile" in exact.lower()
