@@ -181,6 +181,61 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+N_EXPORT_SHARDS = 32
+
+
+def _shard_col() -> "F.Column":
+    """Portable deterministic shard id: h64(doc_id) mod N_EXPORT_SHARDS.
+    Content-stable (same doc → same shard on every run and engine),
+    unlike hash()/rand()-based assignment."""
+    return F.pmod(
+        _h64_spark(F.col("doc_id").cast("string")), F.lit(N_EXPORT_SHARDS)
+    ).cast("int")
+
+
+def export_shard_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-assignment accounting for training-data export: per shard,
+    document and token counts. Hash sharding is the last stage of every
+    curation pipeline — training jobs read shard files round-robin, so
+    shard balance IS the loader's load balance. The histogram is the
+    auditable check that the hash spreads evenly (a skewed shard means a
+    straggler reader every epoch).
+
+    Map-only assignment + one small aggregate; at 100 TB the companion
+    ``write_training_shards`` writes the same assignment as a
+    hive-partitioned layout with one shuffle on the shard key."""
+    docs = table(spark, sf, "documents")
+    return (
+        docs.select(
+            _shard_col().alias("shard"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(docs: DataFrame, path: str) -> int:
+    """Materialize the hash-shard export layout: repartition on the
+    shard id (one shuffle, co-locating each shard's docs into one task)
+    then hive-partition by ``shard`` so readers open exactly the shards
+    they own. Returns the number of shard directories written."""
+    sharded = docs.withColumn("shard", _shard_col())
+    (
+        sharded.repartition(N_EXPORT_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    from pathlib import Path
+
+    return len([p for p in Path(path).glob("shard=*") if p.is_dir()])
+
+
 def write_dataset_card(
     spark: SparkSession,
     sf: str,
@@ -307,8 +362,18 @@ ORACLE: dict[str, str] = {
         FROM q LEFT JOIN flags f ON q.doc_id = f.doc_id
         GROUP BY q.lang, q.source
     """,
+    "export_shard_histogram": f"""
+        SELECT CAST({H64_SQL.format(expr="CAST(doc_id AS VARCHAR)")} % {N_EXPORT_SHARDS} AS INT)
+                   AS shard,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS n_tokens
+        FROM documents
+        GROUP BY shard
+        ORDER BY shard
+    """,
 }
 
 QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
+    "export_shard_histogram": export_shard_histogram,
 }

@@ -160,6 +160,52 @@ def minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+EDIT_PREFIX = 160  # chars of text compared per pair (bounds the O(n*m) DP)
+EDIT_MAX = 40  # max edit distance to count a candidate as verified
+
+
+def neardup_edit_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Verification stage after LSH blocking: score every MinHash
+    candidate pair with Levenshtein distance over a fixed-length text
+    prefix and report how many candidates survive — the
+    candidate-generation → cheap-verify two-phase every production
+    near-dup pipeline runs (banding buys recall, verification buys
+    precision).
+
+    Scale shape: the candidate set is already sub-O(n²) (band-bucket
+    equi-join); this stage adds two broadcast-or-shuffle hash joins to
+    attach prefixes and a row-local DP per pair. The prefix cap bounds
+    the per-pair cost at EDIT_PREFIX² cells regardless of document
+    length — full-text edit distance on 100 KB docs would be 10^10
+    cells/pair, which no engine should run."""
+    pairs = minhash_band_pairs(spark, sf)
+    prefixes = table(spark, sf, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, EDIT_PREFIX).alias("prefix")
+    )
+    joined = (
+        pairs.join(
+            prefixes.select(
+                F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pref_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            prefixes.select(
+                F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pref_b")
+            ),
+            "doc_b",
+        )
+        .select(F.levenshtein(F.col("pref_a"), F.col("pref_b")).alias("dist"))
+    )
+    return joined.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("dist") <= EDIT_MAX).cast("int")).alias("n_verified"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+        F.min("dist").alias("min_dist"),
+        F.max("dist").alias("max_dist"),
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash per document: per-token hash, signed bit votes
     (token multiplicity counts), sign of each vote sets the bit."""
@@ -487,6 +533,30 @@ ORACLE: dict[str, str] = {
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     """,
+    "neardup_edit_verify": f"""
+        WITH sig AS ({_SIG_SQL}),
+        banded AS ({_BAND_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
+                               substr(db.text, 1, {EDIT_PREFIX})) AS dist
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+        )
+        SELECT COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN dist <= {EDIT_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_verified,
+               ROUND(AVG(CAST(dist AS DOUBLE)), 4) AS avg_dist,
+               MIN(dist) AS min_dist,
+               MAX(dist) AS max_dist
+        FROM scored
+    """,
     "simhash_fingerprints": f"""
         SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash
         FROM (
@@ -557,6 +627,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "minhash_band_pairs": minhash_band_pairs,
+    "neardup_edit_verify": neardup_edit_verify,
     "simhash_fingerprints": simhash_fingerprints,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_cosine_stats": embedding_cosine_stats,

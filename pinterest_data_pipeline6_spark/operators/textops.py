@@ -249,6 +249,65 @@ def _distributed_ntile(scored: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 16  # packing parallelism unit (lang x shard)
+
+
+def sequence_packing_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-packing accounting under the concat-and-chunk scheme
+    (the packing every large pretraining pipeline uses: concatenate
+    documents in a deterministic order, slice at a fixed token budget,
+    let documents straddle slice boundaries): per language — packed
+    bins, total tokens, boundary-straddling docs and their fraction,
+    and the fill ratio of the final partial bin.
+
+    Packing order is (shard, doc_id) where shard is a portable hash of
+    doc_id: the cumulative-sum window runs per (lang, shard), so the
+    sort parallelism is langs x PACK_SHARDS regardless of corpus size —
+    never a global single-partition window (same design as
+    _distributed_ntile). A doc straddles a boundary iff its [start,
+    end) token interval crosses a multiple of PACK_BUDGET."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf, "documents")
+    shard = F.pmod(_h64_spark(F.col("doc_id").cast("string")), F.lit(PACK_SHARDS))
+    n_tok = F.size(_tokens())
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    toks = docs.select(
+        "lang", "doc_id", shard.alias("shard"), n_tok.alias("n_tok")
+    ).withColumn("cum_end", F.sum("n_tok").over(w))
+    start = F.col("cum_end") - F.col("n_tok")
+    straddles = (
+        F.floor(start / PACK_BUDGET) != F.floor((F.col("cum_end") - 1) / PACK_BUDGET)
+    ).cast("int")
+    per_shard = toks.select(
+        "lang",
+        "shard",
+        "n_tok",
+        straddles.alias("straddle"),
+        F.col("cum_end").alias("cum_end"),
+    ).groupBy("lang", "shard").agg(
+        F.sum("n_tok").alias("shard_tokens"),
+        F.sum("straddle").alias("n_straddle"),
+        F.count("*").alias("n_docs"),
+    )
+    bins = F.ceil(F.col("shard_tokens") / PACK_BUDGET)
+    return (
+        per_shard.groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("shard_tokens").alias("total_tokens"),
+            F.sum(bins).alias("n_bins"),
+            F.sum("n_straddle").alias("n_straddle"),
+            F.round(F.sum("n_straddle") / F.sum("n_docs"), 4).alias("straddle_frac"),
+            F.round(
+                F.sum("shard_tokens") / (F.sum(bins) * PACK_BUDGET), 4
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document fingerprint: min/max portable hash over distinct word
     3-gram shingles (the winnowing primitive used by near-dup pipelines).
@@ -722,6 +781,42 @@ ORACLE: dict[str, str] = {
         )
         WHERE rank <= {BIGRAM_K}
     """,
+    "sequence_packing_bins": f"""
+        WITH toks AS (
+            SELECT lang,
+                   doc_id,
+                   {H64_SQL.format(expr="CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS shard,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT lang, shard, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_end
+            FROM toks
+        ),
+        per_shard AS (
+            SELECT lang, shard,
+                   SUM(n_tok) AS shard_tokens,
+                   SUM(CASE WHEN FLOOR((cum_end - n_tok) / {PACK_BUDGET})
+                             <> FLOOR((cum_end - 1) / {PACK_BUDGET})
+                        THEN 1 ELSE 0 END) AS n_straddle,
+                   COUNT(*) AS n_docs
+            FROM cum GROUP BY lang, shard
+        )
+        SELECT lang,
+               SUM(n_docs) AS n_docs,
+               SUM(shard_tokens) AS total_tokens,
+               SUM(CEIL(CAST(shard_tokens AS DOUBLE) / {PACK_BUDGET})) AS n_bins,
+               SUM(n_straddle) AS n_straddle,
+               ROUND(CAST(SUM(n_straddle) AS DOUBLE) / SUM(n_docs), 4) AS straddle_frac,
+               ROUND(CAST(SUM(shard_tokens) AS DOUBLE)
+                     / (SUM(CEIL(CAST(shard_tokens AS DOUBLE) / {PACK_BUDGET})) * {PACK_BUDGET}),
+                     4) AS fill_ratio
+        FROM per_shard
+        GROUP BY lang
+        ORDER BY lang
+    """,
 }
 
 QUERIES = {
@@ -737,4 +832,5 @@ QUERIES = {
     "udtf_chunk_stats": udtf_chunk_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "bigram_lm_counts": bigram_lm_counts,
+    "sequence_packing_bins": sequence_packing_bins,
 }

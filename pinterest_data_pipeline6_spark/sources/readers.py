@@ -28,9 +28,18 @@ RAW_SCHEMAS: dict[str, StructType] = {
 }
 
 
-def read_raw_json(spark: SparkSession, entity: str, path: str) -> DataFrame:
-    """JSON directory scan with a declared schema (reference semantics:
-    one JSON object per record — BATCH:40-48, but schema-first)."""
+def read_raw_json(
+    spark: SparkSession, entity: str, path: str, infer: bool = False
+) -> DataFrame:
+    """JSON directory scan (reference semantics: one JSON object per
+    record — BATCH:40-48). Schema-first by default so the first job can
+    push down and prune; ``infer=True`` is the SURVEY §1.3 optional
+    inference path (the reference's behavior) for exploring payloads
+    whose shape isn't declared yet — it costs one extra full scan and
+    types every ambiguous field by sampling, so it never belongs in a
+    recurring pipeline, only in a notebook."""
+    if infer:
+        return spark.read.option("inferSchema", "true").json(path)
     return spark.read.schema(RAW_SCHEMAS[entity]).json(path)
 
 

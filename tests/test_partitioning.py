@@ -231,3 +231,33 @@ def test_cc_matches_union_find(spark):
     got = {r["node"]: r["label"] for r in labels.collect()}
     assert set(got) == nodes
     assert all(got[x] == min(comp[find(x)]) for x in nodes)
+
+
+def test_training_shard_export_roundtrip(spark, tmp_path):
+    """write_training_shards: hive layout with one dir per hash shard,
+    row-lossless, and the on-disk counts equal export_shard_histogram
+    (the written layout IS the audited assignment)."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        N_EXPORT_SHARDS,
+        export_shard_histogram,
+        write_training_shards,
+    )
+    from pinterest_data_pipeline6_spark.sources.readers import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    out = str(tmp_path / "shards")
+    n_dirs = write_training_shards(docs, out)
+    assert n_dirs == N_EXPORT_SHARDS
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    hist = {r["shard"]: r["n_docs"] for r in export_shard_histogram(spark, sf).collect()}
+    written = {r["shard"]: r["count"] for r in back.groupBy("shard").count().collect()}
+    assert written == hist
+    # partition pruning: a shard predicate must become a PartitionFilter
+    # on the scan (directory pruning), not a post-scan row filter
+    from pinterest_data_pipeline6_spark.plans import executed_plan
+
+    plan = executed_plan(back.filter(back.shard == 3))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "shard" in pf[0]

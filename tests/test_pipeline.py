@@ -64,6 +64,19 @@ def test_json_source_declared_schema(spark, tmp_path):
     assert df.count() == 50
 
 
+def test_json_source_inference_path(spark, tmp_path):
+    """SURVEY §1.3: the optional inference path (the reference's own
+    behavior) discovers columns without a declared schema — same rows,
+    superset-compatible columns, sampled types."""
+    paths = fixtures.write_fixtures_jsonl(tmp_path, n_rows=50, seed=5, dedup_safe=True)
+    declared = read_raw_json(spark, "pin", paths["pin"])
+    inferred = read_raw_json(spark, "pin", paths["pin"], infer=True)
+    assert inferred.count() == 50
+    assert set(declared.columns) <= set(inferred.columns)
+    # inference types integers by sampling (long, not the declared int)
+    assert inferred.schema["index"].dataType.typeName() in ("long", "integer")
+
+
 def test_rm_checkpoint(tmp_path):
     ck = tmp_path / "ck"
     (ck / "offsets").mkdir(parents=True)
