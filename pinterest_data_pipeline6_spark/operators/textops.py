@@ -250,7 +250,10 @@ def _distributed_ntile(scored: DataFrame, n_buckets: int) -> DataFrame:
 
 
 PACK_BUDGET = 512  # tokens per packed training sequence
-PACK_SHARDS = 16  # packing parallelism unit (lang x shard)
+PACK_SHARDS = 16  # packing parallelism unit (lang x shard). Sized for the
+# test corpus; at 100 TB this is O(cluster cores) — thousands — since each
+# (lang, shard) window is one task's sort. The constant is the ONLY thing
+# that changes: assignment stays h64(doc_id) % PACK_SHARDS.
 
 
 def sequence_packing_bins(spark: SparkSession, sf: str) -> DataFrame:
@@ -303,6 +306,49 @@ def sequence_packing_bins(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.sum("shard_tokens") / (F.sum(bins) * PACK_BUDGET), 4
             ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+VOCAB_K = 20  # terms kept per language vocabulary (sized so the synthetic
+# corpus, ~31 distinct terms/lang, actually produces OOV mass; production
+# values are 10^4-10^5 — the plan shape is identical)
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage / OOV accounting: build a frequency-top-K
+    vocabulary per language, then report what fraction of token
+    OCCURRENCES falls outside it — the metric that decides a
+    tokenizer's vocab size before anyone trains it.
+
+    One explode → one (lang, term) count aggregate, then everything
+    else happens on the COUNTS table (rows = distinct terms, orders of
+    magnitude smaller than the corpus): a per-lang rank window picks the
+    vocab and a final per-lang aggregate folds total vs in-vocab
+    occurrences. The corpus-sized data crosses exactly one shuffle; the
+    rank window's per-lang partition holds term-count rows, not tokens."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf, "documents")
+    counts = (
+        docs.select("lang", F.explode(_tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    in_vocab = F.col("rank") <= VOCAB_K
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_distinct_terms"),
+            F.sum(F.when(in_vocab, 1).otherwise(0)).alias("vocab_size"),
+            F.sum("n").alias("total_tokens"),
+            F.sum(F.when(~in_vocab, F.col("n")).otherwise(0)).alias("oov_tokens"),
+            F.round(
+                F.sum(F.when(~in_vocab, F.col("n")).otherwise(0)) / F.sum("n"), 4
+            ).alias("oov_rate"),
         )
         .orderBy("lang")
     )
@@ -817,6 +863,32 @@ ORACLE: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "tokenizer_vocab_coverage": f"""
+        WITH counts AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        agg AS (
+            SELECT lang, term, COUNT(*) AS n FROM counts GROUP BY lang, term
+        ),
+        ranked AS (
+            SELECT lang, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, term ASC) AS rank
+            FROM agg
+        )
+        SELECT lang,
+               COUNT(*) AS n_distinct_terms,
+               CAST(SUM(CASE WHEN rank <= {VOCAB_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_size,
+               SUM(n) AS total_tokens,
+               SUM(CASE WHEN rank > {VOCAB_K} THEN n ELSE 0 END) AS oov_tokens,
+               ROUND(CAST(SUM(CASE WHEN rank > {VOCAB_K} THEN n ELSE 0 END) AS DOUBLE)
+                     / SUM(n), 4) AS oov_rate
+        FROM ranked
+        GROUP BY lang
+        ORDER BY lang
+    """,
 }
 
 QUERIES = {
@@ -833,4 +905,5 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bigram_lm_counts": bigram_lm_counts,
     "sequence_packing_bins": sequence_packing_bins,
+    "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
 }

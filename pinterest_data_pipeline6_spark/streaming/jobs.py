@@ -472,6 +472,46 @@ def run_streaming_curation(
     )
 
 
+def write_stream_shards(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming shard-router sink: route each micro-batch's documents
+    into the SAME content-stable hash-shard layout that the batch
+    ``write_training_shards`` produces (hive ``shard=N`` directories,
+    shard = h64(doc_id) mod N_EXPORT_SHARDS) — the continuous-ingest
+    path of the training-data export story. Because assignment is a
+    pure function of doc_id, batch and streaming writers can feed the
+    SAME table and a late-arriving doc always lands in its one shard.
+
+    Uses the native partitioned file sink (not foreachBatch): append
+    mode + checkpoint gives exactly-once file output, and the sink
+    tracks files per shard directory. At scale the micro-batch
+    repartition on shard keeps one writer task per shard per trigger,
+    bounding small-file growth; a periodic ``compact_files`` pass per
+    shard directory handles the rest."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        N_EXPORT_SHARDS,
+        _shard_col,
+    )
+
+    sharded = df.withColumn("shard", _shard_col()).repartition(
+        N_EXPORT_SHARDS, "shard"
+    )
+    writer = (
+        sharded.writeStream.format("parquet")
+        .outputMode("append")
+        .partitionBy("shard")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     source_dirs: dict[str, str],

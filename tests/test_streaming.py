@@ -434,3 +434,35 @@ def test_run_streaming_curation(spark, tmp_path):
     run_streaming_curation(spark, str(src), root).awaitTermination()
     got2 = sorted(r[0] for r in spark.read.parquet(f"{root}/accepted").select("doc_id").collect())
     assert got2 == [1, 5], got2
+
+
+def test_stream_shard_router_matches_batch_layout(spark, tmp_path):
+    """write_stream_shards must land every doc in the same shard dir the
+    batch writer would pick (content-stable assignment), with append-mode
+    exactly-once file tracking."""
+    import json
+
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        export_shard_histogram,
+    )
+    from pinterest_data_pipeline6_spark.streaming.jobs import write_stream_shards
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = [r.asDict() for r in docs.collect()]
+    with open(src / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = write_stream_shards(
+        stream, str(tmp_path / "out"), str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == len(rows)
+    hist = {r["shard"]: r["n_docs"] for r in export_shard_histogram(spark, sf).collect()}
+    written = {r["shard"]: r["count"] for r in back.groupBy("shard").count().collect()}
+    assert written == hist
