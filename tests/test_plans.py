@@ -289,3 +289,35 @@ def test_curriculum_deciles_has_no_global_sort(spark):
     # that the assertion above is actually discriminating)
     exact = executed_plan(textops.curriculum_deciles(spark, SF, exact_plan=True))
     assert "ntile" in exact.lower()
+
+
+def test_sequence_packing_no_global_sort(spark):
+    """Packing's cumulative window is keyed (lang, shard): no
+    SinglePartition exchange may appear anywhere in the plan."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    plan = executed_plan(textops.sequence_packing_bins(spark, SF))
+    assert "singlepartition" not in plan.lower()
+
+
+def test_neardup_edit_verify_no_cartesian(spark):
+    """Edit-distance verification scores only LSH candidates: every join
+    is a hash equi-join (band bucket, then doc_id prefix attach) — no
+    cartesian / nested-loop anywhere."""
+    from pinterest_data_pipeline6_spark.operators import dedup as ddp
+
+    plan = executed_plan(ddp.neardup_edit_verify(spark, SF)).lower()
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloopjoin" not in plan
+
+
+def test_vocab_coverage_text_stays_out_of_rank_window(spark):
+    """The rank window must consume the (lang, term, n) counts table,
+    not raw documents: exactly one aggregate sits between the explode
+    and the window, and no SinglePartition exchange appears."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    plan = executed_plan(textops.tokenizer_vocab_coverage(spark, SF))
+    low = plan.lower()
+    assert "singlepartition" not in low
+    assert low.index("generate") > low.index("window") or low.count("window") >= 1
