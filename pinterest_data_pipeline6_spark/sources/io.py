@@ -36,19 +36,30 @@ def read_csv(
 
 
 def delta_available(spark: SparkSession) -> bool:
-    """True if the delta-spark package is on the classpath."""
+    """True if the delta-spark package is on the classpath.
+
+    Must force an actual JVM class LOAD: py4j attribute traversal
+    (``_jvm.org.apache...DeltaLog``) never raises for a missing class —
+    it returns a ``JavaPackage`` stub — so the previous bare-attribute
+    probe reported True on every classpath and the gate was dead."""
     try:
-        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
         return True
     except Exception:
         return False
 
 
 def read_table_any(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Format-dispatching load; ``delta`` silently degrades to parquet
-    when the Delta package is absent (the storage layout the reference
-    relies on is 'columnar table at rest' — SURVEY.md §1.1)."""
+    """Format-dispatching load. ``delta`` resolves in order: real
+    delta-spark if on the classpath → the in-repo delta-lite log reader
+    if the directory carries a ``_delta_log`` (sources/delta_lite.py —
+    snapshot semantics, honors remove actions) → plain parquet (the
+    layout-only fallback; SURVEY.md §1.1)."""
     if fmt == "delta" and not delta_available(spark):
+        if (Path(path) / "_delta_log").is_dir():
+            from pinterest_data_pipeline6_spark.sources.delta_lite import read_delta
+
+            return read_delta(spark, path)
         fmt = "parquet"
     return spark.read.format(fmt).load(path)
 
