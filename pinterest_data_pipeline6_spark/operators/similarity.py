@@ -604,7 +604,67 @@ ORACLE: dict[str, str] = {
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         GROUP BY a.bucket
     """,
+    "embedding_quantization_error": """
+        WITH v AS (
+            SELECT label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+                   GREATEST(list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+            FROM embeddings
+        ),
+        per_vec AS (
+            SELECT label, scale,
+                   list_reduce(list_transform(xd,
+                       x -> pow(x - round(x / scale) * scale, 2)),
+                       (a, b) -> a + b) / len(xd) AS mse
+            FROM v
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(AVG(mse), 10) AS avg_mse,
+               ROUND(AVG(scale), 6) AS avg_scale
+        FROM per_vec
+        GROUP BY label
+        ORDER BY label
+    """,
 }
+
+def embedding_quantization_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 symmetric-quantization accounting: per label, the mean
+    squared dequantization error and mean scale when each vector is
+    quantized to round(x/scale) with scale = max|x|/127 — the size/
+    recall tradeoff every vector index (IVF-PQ, scalar-quantized HNSW)
+    measures before committing to a codec.
+
+    All math is row-local left-fold arithmetic (same fold order as the
+    cosine paths, so the DuckDB twin is bit-compatible); the only
+    shuffle is the final per-label aggregate."""
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(xd, lambda v: F.abs(v))), F.lit(1e-30)
+    ) / F.lit(127.0)
+    vecs = emb.select("label", xd.alias("xd"), scale.alias("scale"))
+    sq_err = F.aggregate(
+        F.col("xd"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(x - F.round(x / F.col("scale"), 0) * F.col("scale"), 2),
+    )
+    per_vec = vecs.select(
+        "label",
+        (sq_err / F.size(F.col("xd"))).alias("mse"),
+        F.col("scale").alias("scale"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("mse"), 10).alias("avg_mse"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )
+
 
 QUERIES = {
     "knn_brute_force": knn_brute_force,
@@ -617,4 +677,5 @@ QUERIES = {
     "grouped_zscore_outliers": grouped_zscore_outliers,
     "kmeans_embeddings": kmeans_embeddings,
     "pandas_udaf_weighted_price": pandas_udaf_weighted_price,
+    "embedding_quantization_error": embedding_quantization_error,
 }

@@ -354,6 +354,65 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def bigram_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """LM-perplexity quality filter: score every document by the mean
+    negative log conditional probability of its bigrams under the
+    corpus's own bigram LM (the bigram_lm_counts model WITHOUT the
+    top-k cut), then histogram docs into integer NLL buckets per
+    language — the classic 'drop high-perplexity docs' gate of web-scale
+    curation, expressed engine-side.
+
+    Two shuffles carry model-sized or doc-keyed rows: (lang, bigram)
+    counts build the LM (vocabulary-bounded), the bigram-instance
+    stream joins against it on (lang, bigram) — at 100 TB the LM side
+    is broadcast-or-bucketed, the instance side is the corpus — and the
+    per-doc mean is one hash agg on doc_id. Buckets are floor(mean
+    NLL): integer boundaries make the cross-engine compare immune to
+    last-ulp libm differences in ln()."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    bg = (
+        docs.select("doc_id", "lang", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.slice("toks", F.col("i"), 2)).alias("bigram"),
+        )
+    )
+    counts = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    prefix = (
+        counts.select(
+            "lang",
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            "n",
+        )
+        .groupBy("lang", "w1")
+        .agg(F.sum("n").alias("n_prefix"))
+    )
+    lm = counts.withColumn(
+        "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    ).join(prefix, ["lang", "w1"]).select(
+        "lang", "bigram", (-F.log(F.col("n") / F.col("n_prefix"))).alias("nll")
+    )
+    per_doc = (
+        bg.join(lm, ["lang", "bigram"])
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("nll").alias("mean_nll"))
+    )
+    return (
+        per_doc.select("lang", F.floor("mean_nll").cast("int").alias("nll_bucket"))
+        .groupBy("lang", "nll_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "nll_bucket")
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document fingerprint: min/max portable hash over distinct word
     3-gram shingles (the winnowing primitive used by near-dup pipelines).
@@ -863,6 +922,38 @@ ORACLE: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "bigram_perplexity_buckets": """
+        WITH bg AS (
+            SELECT doc_id, lang, unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')
+                   )) AS bigram
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+        prefix AS (
+            SELECT lang, string_split(bigram, ' ')[1] AS w1, SUM(n) AS n_prefix
+            FROM counts GROUP BY lang, w1
+        ),
+        lm AS (
+            SELECT c.lang, c.bigram,
+                   -ln(CAST(c.n AS DOUBLE) / p.n_prefix) AS nll
+            FROM counts c
+            JOIN prefix p ON c.lang = p.lang
+                         AND string_split(c.bigram, ' ')[1] = p.w1
+        ),
+        per_doc AS (
+            SELECT b.doc_id, b.lang, AVG(lm.nll) AS mean_nll
+            FROM bg b JOIN lm ON b.lang = lm.lang AND b.bigram = lm.bigram
+            GROUP BY b.doc_id, b.lang
+        )
+        SELECT lang, CAST(FLOOR(mean_nll) AS INT) AS nll_bucket,
+               COUNT(*) AS n_docs
+        FROM per_doc
+        GROUP BY lang, nll_bucket
+        ORDER BY lang, nll_bucket
+    """,
     "tokenizer_vocab_coverage": f"""
         WITH counts AS (
             SELECT lang, unnest(string_split(text, ' ')) AS term
@@ -906,4 +997,5 @@ QUERIES = {
     "bigram_lm_counts": bigram_lm_counts,
     "sequence_packing_bins": sequence_packing_bins,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
+    "bigram_perplexity_buckets": bigram_perplexity_buckets,
 }
