@@ -222,6 +222,33 @@ def table_version(path: str | Path) -> int:
     return _replay(path)["version"]
 
 
+def vacuum_delta(path: str | Path, keep_versions: int = 1) -> int:
+    """Delete data files no longer referenced by the last
+    ``keep_versions`` snapshots (the VACUUM maintenance op — real Delta
+    gates on retention TIME; version count is the test-friendly
+    equivalent). Time travel to vacuumed-away versions stops working,
+    exactly as with real VACUUM. Returns the number of files deleted.
+
+    Safe ordering: the active set is computed from the log BEFORE any
+    unlink, and only files absent from every retained snapshot are
+    touched — a concurrent reader of a retained version never loses a
+    file under it."""
+    root = Path(path)
+    versions = _versions(root)
+    if not versions:
+        return 0
+    retained = versions[-keep_versions:]
+    keep: set[str] = set()
+    for v in retained:
+        keep.update(_replay(root, v)["files"])
+    deleted = 0
+    for f in root.glob("*.parquet"):
+        if f.name not in keep:
+            f.unlink()
+            deleted += 1
+    return deleted
+
+
 def write_stream_delta_append(
     df: DataFrame,
     path: str,

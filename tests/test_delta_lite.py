@@ -125,3 +125,18 @@ def test_delta_gate_is_honest_and_read_table_any_routes(spark, tmp_path):
     # log-aware read: overwrite means 3 rows, NOT the 10 a naive
     # parquet directory scan of all data files would return
     assert read_table_any(spark, str(t), fmt="delta").count() == 3
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    from pinterest_data_pipeline6_spark.sources.delta_lite import vacuum_delta
+
+    t = tmp_path / "t"
+    write_delta(spark.range(10), t)
+    write_delta(spark.range(100, 105), t, mode="overwrite")
+    n = vacuum_delta(t, keep_versions=1)
+    assert n >= 1  # version-0 files gone
+    # the retained snapshot is intact...
+    assert read_delta(spark, t).count() == 5
+    # ...and time travel to the vacuumed version now fails on read
+    with pytest.raises(Exception):
+        read_delta(spark, t, version=0).count()
