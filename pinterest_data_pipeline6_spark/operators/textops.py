@@ -362,13 +362,14 @@ def bigram_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     language — the classic 'drop high-perplexity docs' gate of web-scale
     curation, expressed engine-side.
 
-    Two shuffles carry model-sized or doc-keyed rows: (lang, bigram)
-    counts build the LM (vocabulary-bounded), the bigram-instance
-    stream joins against it on (lang, bigram) — at 100 TB the LM side
-    is broadcast-or-bucketed, the instance side is the corpus — and the
-    per-doc mean is one hash agg on doc_id. Buckets are floor(mean
-    NLL): integer boundaries make the cross-engine compare immune to
-    last-ulp libm differences in ln()."""
+    The exploded instance stream is aggregated ONCE into per-doc
+    bigram counts before anything else — the LM totals derive from that
+    (already reduced) relation, and the scoring join runs
+    (doc, bigram, cnt) x LM instead of instance x LM, so repeated
+    bigrams inside a document never cross a join or a second shuffle.
+    The per-doc mean is the cnt-weighted average. Buckets are
+    floor(mean NLL): integer boundaries make the cross-engine compare
+    immune to last-ulp libm differences in ln()."""
     docs = widen_small_scan(table(spark, sf, "documents"))
     bg = (
         docs.select("doc_id", "lang", _tokens().alias("toks"))
@@ -385,7 +386,10 @@ def bigram_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.concat_ws(" ", F.slice("toks", F.col("i"), 2)).alias("bigram"),
         )
     )
-    counts = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    bg_doc = bg.groupBy("doc_id", "lang", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    counts = bg_doc.groupBy("lang", "bigram").agg(F.sum("cnt").alias("n"))
     prefix = (
         counts.select(
             "lang",
@@ -401,9 +405,11 @@ def bigram_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         "lang", "bigram", (-F.log(F.col("n") / F.col("n_prefix"))).alias("nll")
     )
     per_doc = (
-        bg.join(lm, ["lang", "bigram"])
+        bg_doc.join(lm, ["lang", "bigram"])
         .groupBy("doc_id", "lang")
-        .agg(F.avg("nll").alias("mean_nll"))
+        .agg(
+            (F.sum(F.col("cnt") * F.col("nll")) / F.sum("cnt")).alias("mean_nll")
+        )
     )
     return (
         per_doc.select("lang", F.floor("mean_nll").cast("int").alias("nll_bucket"))
@@ -931,7 +937,13 @@ ORACLE: dict[str, str] = {
             FROM documents
             WHERE len(string_split(text, ' ')) >= 2
         ),
-        counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+        bg_doc AS (
+            SELECT doc_id, lang, bigram, COUNT(*) AS cnt
+            FROM bg GROUP BY doc_id, lang, bigram
+        ),
+        counts AS (
+            SELECT lang, bigram, SUM(cnt) AS n FROM bg_doc GROUP BY lang, bigram
+        ),
         prefix AS (
             SELECT lang, string_split(bigram, ' ')[1] AS w1, SUM(n) AS n_prefix
             FROM counts GROUP BY lang, w1
@@ -944,8 +956,9 @@ ORACLE: dict[str, str] = {
                          AND string_split(c.bigram, ' ')[1] = p.w1
         ),
         per_doc AS (
-            SELECT b.doc_id, b.lang, AVG(lm.nll) AS mean_nll
-            FROM bg b JOIN lm ON b.lang = lm.lang AND b.bigram = lm.bigram
+            SELECT b.doc_id, b.lang,
+                   SUM(b.cnt * lm.nll) / SUM(b.cnt) AS mean_nll
+            FROM bg_doc b JOIN lm ON b.lang = lm.lang AND b.bigram = lm.bigram
             GROUP BY b.doc_id, b.lang
         )
         SELECT lang, CAST(FLOOR(mean_nll) AS INT) AS nll_bucket,
