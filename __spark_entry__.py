@@ -26,15 +26,13 @@ SF0001 = "/root/testdata/sf0.001"
 # window re-checking the long-stable relational/events retargets, so the
 # LLM-pipeline families never received an external correctness row.
 #
-# ``_DRIVER_WINDOW`` rotates the window: round 3 promotes every
-# never-checked entry that has a DuckDB oracle.  57 entries were
-# never checked but only 50 fit, so 7 are deferred to round 4:
-# ``kmeans_embeddings`` and ``media_feature_rollup`` (no oracle SQL —
-# the driver only gives them a weak rows-only row) plus five
-# function-parity collections entries whose building blocks are already
-# exercised by checked entries (posexplode/map_explode vs
-# ``array_pack_access``; unpivot/sequence/map_event vs the checked HOF
-# and events families).
+# ``_rotate`` below therefore orders the registry STALEST-FIRST from the
+# CORRECTNESS_r*.json artifacts themselves — never-checked entries claim
+# the window, then least-recently-checked — so the rotation maintains
+# itself round over round.  ``_DRIVER_WINDOW`` survives as the curated
+# TIE-BREAK among never-checked entries (round 3's priority: dedup /
+# similarity / textops / privacy / curation / pit_scd2 / multimodal /
+# subqueries / the distinctive collections entries first).
 _DRIVER_WINDOW: list[str] = [
     # dedup (6) — flagship LLM-pipeline family, never driver-checked
     "dedup_exact_text",
@@ -97,12 +95,44 @@ _DRIVER_WINDOW: list[str] = [
 ]
 
 
+def _last_checked() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS_r*.json contains it (the
+    rounds are numbered by file order; absent = 0 = never checked)."""
+    import json
+    from pathlib import Path
+
+    here = Path(__file__).resolve().parent
+    last: dict[str, int] = {}
+    for i, p in enumerate(sorted(here.glob("CORRECTNESS_r*.json"))):
+        try:
+            for name in json.loads(p.read_text()):
+                last[name] = i + 1
+        except Exception:  # malformed driver artifact: ignore, stay stale
+            pass
+    return last
+
+
 def _rotate(full: dict) -> dict:
-    """Reorder ``full`` so ``_DRIVER_WINDOW`` names come first (in window
-    order), followed by the remaining entries in their original order."""
-    window = [k for k in _DRIVER_WINDOW if k in full]
-    rest = [k for k in full if k not in set(window)]
-    return {k: full[k] for k in [*window, *rest]}
+    """STALEST-FIRST rotation of the registry so the driver's 50-entry
+    CORRECTNESS window always lands on the entries with the weakest
+    external signal. Sort key per entry:
+
+    1. the last round it received a driver correctness row (0 = never —
+       these always claim the window first);
+    2. its rank in the hand-ordered ``_DRIVER_WINDOW`` (breaks ties
+       among never-checked entries so round 3's curated priority holds);
+    3. original registry order (stable fallback).
+
+    Self-maintaining: each round's CORRECTNESS_r*.json pushes the
+    just-checked entries to the back, so the next round's prefix
+    automatically covers whatever is left, then cycles oldest-first."""
+    last = _last_checked()
+    rank = {name: i for i, name in enumerate(_DRIVER_WINDOW)}
+    orig = {name: i for i, name in enumerate(full)}
+    ordered = sorted(
+        full, key=lambda k: (last.get(k, 0), rank.get(k, len(rank)), orig[k])
+    )
+    return {k: full[k] for k in ordered}
 
 
 def entry(spark: SparkSession) -> DataFrame:
