@@ -321,3 +321,33 @@ def test_vocab_coverage_text_stays_out_of_rank_window(spark):
     low = plan.lower()
     assert "singlepartition" not in low
     assert low.index("generate") > low.index("window") or low.count("window") >= 1
+
+
+# Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: the
+# nested-loop side is a broadcast constant-size relation (the 5 query
+# vectors, the k centroids/cells, or a 1-row aggregate), so the "loop"
+# is O(constant) per probe row — not a scaling hazard.
+INTENTIONAL_BNLJ = {
+    "knn_brute_force",      # 5 broadcast query vectors x corpus scan
+    "ivf_cell_histogram",   # k broadcast centroids x corpus
+    "knn_ivf",              # k broadcast centroids x corpus
+    "kmeans_embeddings",    # k broadcast centroids per Lloyd round
+    "funnel_conversion",    # 1-row stage-count aggregates crossJoined
+}
+
+
+def test_no_accidental_cartesian_in_any_registry_query(spark):
+    """Registry-wide plan hygiene: no query may compile to a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only on
+    the documented constant-broadcast allowlist. Guards every FUTURE
+    operator against silently shipping an all-pairs plan."""
+    import __spark_entry__ as E
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        plan = executed_plan(fn(spark, SF)).lower()
+        if "cartesianproduct" in plan:
+            offenders[name] = "cartesian"
+        elif "broadcastnestedloopjoin" in plan and name not in INTENTIONAL_BNLJ:
+            offenders[name] = "nested-loop join off the allowlist"
+    assert not offenders, offenders
