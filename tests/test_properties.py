@@ -84,3 +84,44 @@ def test_connected_components_matches_union_find(spark, edges):
         comp.setdefault(find(x), set()).add(x)
     want = {x: min(comp[find(x)]) for x in nodes}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 40)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([8, 32, 128]),
+)
+def test_packing_accounting_matches_python_reference(spark, docs, budget):
+    """The concat-and-chunk accounting (bins, straddles) must equal a
+    straightforward Python packer for any (doc_id, n_tok) sequence —
+    one shard, one lang, so the window arithmetic itself is on trial."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tok long")
+    w = Window.partitionBy(F.lit(1)).orderBy("doc_id")
+    cum = df.withColumn("cum_end", F.sum("n_tok").over(w))
+    start = F.col("cum_end") - F.col("n_tok")
+    straddle = (
+        F.floor(start / budget) != F.floor((F.col("cum_end") - 1) / budget)
+    ).cast("int")
+    got = cum.agg(
+        F.sum("n_tok").alias("total"),
+        F.sum(straddle).alias("n_straddle"),
+        F.ceil(F.sum("n_tok") / budget).alias("n_bins"),
+    ).first()
+
+    total, straddles, offset = 0, 0, 0
+    for _, n in sorted(docs):
+        if offset // budget != (offset + n - 1) // budget:
+            straddles += 1
+        offset += n
+        total += n
+    assert got["total"] == total
+    assert got["n_straddle"] == straddles
+    assert got["n_bins"] == -(-total // budget)
