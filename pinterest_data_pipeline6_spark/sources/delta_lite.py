@@ -222,6 +222,41 @@ def table_version(path: str | Path) -> int:
     return _replay(path)["version"]
 
 
+def merge_delta(
+    df: DataFrame,
+    path: str | Path,
+    key: str,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> bool:
+    """Keyed upsert (the MERGE INTO shape) as one atomic delta-lite
+    commit: the new snapshot is existing-rows-not-matching-``key``
+    unioned with ``df``, published as an overwrite — readers see the
+    pre-merge or post-merge table, never a mix, and time travel still
+    reaches the pre-merge version. This is what the parquet foreachBatch
+    upsert sink (streaming/jobs.py::write_foreach_batch_upsert) becomes
+    once the table carries a log; real Delta does the same with
+    file-level pruning instead of a full rewrite."""
+    existing = None
+    try:
+        existing = read_delta(df.sparkSession, path)
+    except ValueError:  # table does not exist yet
+        pass
+    if existing is not None:
+        dedup = df.dropDuplicates([key])
+        merged = existing.join(dedup, key, "left_anti").unionByName(
+            dedup, allowMissingColumns=False
+        )
+        # materialize before the commit stages files (the plan reads the
+        # same parquet files the overwrite will supersede)
+        merged = merged.localCheckpoint(eager=True)
+    else:
+        merged = df.dropDuplicates([key])
+    return write_delta(
+        merged, path, mode="overwrite", txn_app=txn_app, txn_version=txn_version
+    )
+
+
 def vacuum_delta(path: str | Path, keep_versions: int = 1) -> int:
     """Delete data files no longer referenced by the last
     ``keep_versions`` snapshots (the VACUUM maintenance op — real Delta

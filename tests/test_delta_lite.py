@@ -140,3 +140,23 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     # ...and time travel to the vacuumed version now fails on read
     with pytest.raises(Exception):
         read_delta(spark, t, version=0).count()
+
+
+def test_merge_upsert_is_atomic_and_time_travelable(spark, tmp_path):
+    from pinterest_data_pipeline6_spark.sources.delta_lite import merge_delta
+
+    t = tmp_path / "t"
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    merge_delta(base, t, key="k")
+    upd = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    merge_delta(upd, t, key="k")
+    rows = {r["k"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # the pre-merge snapshot is still reachable
+    old = {r["k"]: r["v"] for r in read_delta(spark, t, version=0).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+    # replay of the same merge batch is suppressed by the txn guard
+    assert merge_delta(upd, t, key="k", txn_app="m", txn_version=0) is True
+    assert merge_delta(upd, t, key="k", txn_app="m", txn_version=0) is False
