@@ -232,6 +232,59 @@ def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # 32-bit fingerprint → 4 bands of 8 bits
+HAMMING_MAX = 6  # pairs this close in Hamming distance count as near-dups
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash candidate generation + verification — the pairing stage
+    the fingerprints exist for. Pigeonhole: a pair within Hamming
+    distance 3 differs in at most 3 of the 4 byte-bands, so it MUST
+    agree on at least one band — banding has perfect recall there, and
+    catches any 4-6-bit pair whose flips cluster into <= 3 bands. The
+    band-bucket equi-join keeps the candidate set sub-O(n²) exactly
+    like MinHash banding; candidates are verified with bit_count(xor),
+    one integer op per pair. Emits the funnel summary (candidates,
+    verified-close, distance stats)."""
+    sim = simhash_fingerprints(spark, sf)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])
+        ).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band_idx",
+        F.expr("(simhash >> (band_idx * 8)) & 255").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    scored = pairs.select(hamming.alias("hamming"))
+    return scored.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("hamming") <= HAMMING_MAX).cast("int")).alias("n_close"),
+        F.min("hamming").alias("min_hamming"),
+        F.round(F.avg("hamming"), 4).alias("avg_hamming"),
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard over blocked candidate pairs
     ((lang, n_chars DIV 100) blocking); emits pairs >= 0.2.
@@ -567,6 +620,40 @@ ORACLE: dict[str, str] = {
             GROUP BY doc_id
         )
     """,
+    "simhash_hamming_pairs": f"""
+        WITH sim AS (
+            SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash
+            FROM (
+                SELECT doc_id, {_VOTE_SQL}
+                FROM (SELECT doc_id, {H64_SQL.format(expr="tok")} AS h
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                            FROM documents))
+                GROUP BY doc_id
+            )
+        ),
+        bands AS (
+            SELECT doc_id, simhash, band_idx,
+                   (simhash >> (band_idx * 8)) & 255 AS band_val
+            FROM sim, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band_idx)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS hamming
+            FROM pairs
+        )
+        SELECT COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN hamming <= {HAMMING_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_close,
+               MIN(hamming) AS min_hamming,
+               ROUND(AVG(CAST(hamming AS DOUBLE)), 4) AS avg_hamming
+        FROM scored
+    """,
     "ngram_jaccard_pairs": f"""
         WITH d AS (
             SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS sz,
@@ -629,6 +716,7 @@ QUERIES = {
     "minhash_band_pairs": minhash_band_pairs,
     "neardup_edit_verify": neardup_edit_verify,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_cosine_stats": embedding_cosine_stats,
     "dedup_clusters": dedup_clusters,
