@@ -508,8 +508,11 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     (``_connected_components``): O(log n) rounds bounds the driver loop
     even on adversarial high-diameter pair graphs, where the previous
     min-label propagation needed O(diameter) rounds and silently hit
-    MAX_CC_ITERATIONS on chains longer than 20."""
-    pairs = minhash_band_pairs(spark, sf).localCheckpoint()
+    MAX_CC_ITERATIONS on chains longer than 20. The pair graph flows
+    lazily into the CC's own eager orientation checkpoint — one
+    materialization, not two (a prior ``localCheckpoint`` here made the
+    minhash pipeline land twice)."""
+    pairs = minhash_band_pairs(spark, sf)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     labels, _ = _connected_components(edges)
     return (
