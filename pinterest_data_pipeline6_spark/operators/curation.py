@@ -236,6 +236,43 @@ def write_training_shards(docs: DataFrame, path: str) -> int:
     return len([p for p in Path(path).glob("shard=*") if p.is_dir()])
 
 
+SPLIT_BOUNDS = (90, 95)  # percent bounds: [0,90) train, [90,95) val, rest test
+
+
+def dataset_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split accounting: each document is
+    routed by a content-stable hash of its doc_id into train/val/test
+    at 90/5/5, and the operator reports per-(lang, split) doc and token
+    counts — the reproducibility contract a dataset card records.
+
+    Hash-gated splitting (h64 mod 100 against fixed bounds) is the
+    production idiom: map-only, no shuffle for the assignment itself,
+    the SAME doc lands in the same split on every run, engine, and
+    scale — unlike randomSplit, whose assignment changes with partition
+    layout. One small aggregate; at 100 TB the split column also
+    becomes the export layout's partition key."""
+    docs = table(spark, sf, "documents")
+    pct = F.pmod(_h64_spark(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(pct < SPLIT_BOUNDS[0], "train")
+        .when(pct < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 def write_dataset_card(
     spark: SparkSession,
     sf: str,
@@ -362,6 +399,19 @@ ORACLE: dict[str, str] = {
         FROM q LEFT JOIN flags f ON q.doc_id = f.doc_id
         GROUP BY q.lang, q.source
     """,
+    "dataset_split_counts": f"""
+        SELECT lang,
+               CASE WHEN {H64_SQL.format(expr="CAST(doc_id AS VARCHAR)")} % 100
+                         < {SPLIT_BOUNDS[0]} THEN 'train'
+                    WHEN {H64_SQL.format(expr="CAST(doc_id AS VARCHAR)")} % 100
+                         < {SPLIT_BOUNDS[1]} THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS n_tokens
+        FROM documents
+        GROUP BY lang, split
+        ORDER BY lang, split
+    """,
     "export_shard_histogram": f"""
         SELECT CAST({H64_SQL.format(expr="CAST(doc_id AS VARCHAR)")} % {N_EXPORT_SHARDS} AS INT)
                    AS shard,
@@ -376,4 +426,5 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "export_shard_histogram": export_shard_histogram,
+    "dataset_split_counts": dataset_split_counts,
 }
