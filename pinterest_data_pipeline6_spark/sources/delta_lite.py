@@ -32,6 +32,15 @@ writer=2); ``sources/io.py``'s ``delta_available`` gate still routes to
 real delta-spark when present. The point is that the table CONTRACT the
 reference depends on — atomic visibility, historical reads, replay
 safety — runs and is tested in this repo.
+
+Scale note: the ``os.link`` publish is atomic on POSIX filesystems and
+HDFS-mounted paths; object stores without atomic rename-if-absent (S3)
+need a coordinating LogStore exactly as real Delta does — the commit
+protocol here is the single-writer-per-version contract, and only the
+publish primitive is storage-specific. Log replay cost grows linearly
+with version count because checkpoint parquet files are not
+implemented; for the reference's table lifecycles (one batch overwrite
++ one streaming appender) that is tens of versions, not thousands.
 """
 
 from __future__ import annotations
