@@ -5,11 +5,14 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Query registries live next to the operators they exercise:
-- ``operators/relational.py`` — SURVEY.md §2.12 Q1-Q8 retargets +
-  per-operator coverage entries (scans, cleaning rules, case buckets).
-- ``operators/events.py`` — windowed/sessionized event analytics
-  (batch twins of the streaming operators, SURVEY.md §2.9).
+Query registries live next to the operators they exercise, one
+``QUERIES``/``ORACLE`` pair per module under ``operators/``:
+relational (SURVEY.md §2.12 Q1-Q8 retargets + per-operator coverage),
+events (windows/sessions/SCD2), textops (tokens/quality/packing/LM),
+dedup (exact/MinHash/SimHash/Jaccard/CC), similarity (kNN/ANN/UDF
+surface), multimodal (binary columns), collections (HOF/array/map),
+subqueries (EXISTS/LATERAL/grouping sets), privacy (PII/decontam/
+mixtures), curation (funnel/shards/splits).
 """
 
 from __future__ import annotations
