@@ -261,3 +261,25 @@ def test_training_shard_export_roundtrip(spark, tmp_path):
     plan = executed_plan(back.filter(back.shard == 3))
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "shard" in pf[0]
+
+
+def test_widen_small_scan_estimate(spark, tmp_path):
+    """The maxSplitBytes-mirroring estimate (openCostInBytes +
+    bytesPerCore): a many-small-files input that Spark already splits
+    across the cluster must NOT be re-shuffled, while a single tiny
+    file MUST be widened to defaultParallelism."""
+    from pinterest_data_pipeline6_spark.sources.readers import widen_small_scan
+
+    target = spark.sparkContext.defaultParallelism
+    many = tmp_path / "many"
+    spark.range(10_000).repartition(40).write.parquet(str(many))
+    df_many = spark.read.parquet(str(many))
+    # 40 files x 4MB open cost ≈ 160MB estimated input → >= target splits
+    assert widen_small_scan(df_many) is df_many  # returned untouched
+
+    one = tmp_path / "one"
+    spark.range(100).coalesce(1).write.parquet(str(one))
+    df_one = spark.read.parquet(str(one))
+    widened = widen_small_scan(df_one)
+    assert widened is not df_one
+    assert widened.rdd.getNumPartitions() == target
