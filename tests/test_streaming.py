@@ -466,3 +466,35 @@ def test_stream_shard_router_matches_batch_layout(spark, tmp_path):
     hist = {r["shard"]: r["n_docs"] for r in export_shard_histogram(spark, sf).collect()}
     written = {r["shard"]: r["count"] for r in back.groupBy("shard").count().collect()}
     assert written == hist
+
+
+def test_dedup_sink_replay_with_fresh_checkpoint_is_idempotent(spark, tmp_path):
+    """At-least-once replay simulation: processing the SAME payloads a
+    second time through a FRESH checkpoint (so every batch re-fires)
+    must not duplicate sink rows — the sink's digest anti-join, not the
+    checkpoint, carries the exactly-once guarantee."""
+    import json
+
+    from pinterest_data_pipeline6_spark.streaming.jobs import (
+        read_payload_stream,
+        write_foreach_batch_dedup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"index": i, "unique_id": f"u{i % 7}", "title": f"t{i}", "description": "d",
+         "poster_name": "p", "follower_count": "10", "tag_list": "a",
+         "is_image_or_video": "image", "image_src": "s", "downloaded": 1,
+         "save_location": "Local save in /x", "category": "c"}
+        for i in range(20)
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "out")
+    for ck in ("ck1", "ck2"):  # second run = full replay, fresh offsets
+        df = read_payload_stream(spark, "pin", str(src))
+        q = write_foreach_batch_dedup(df, out, str(tmp_path / ck), ("unique_id",))
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 7
