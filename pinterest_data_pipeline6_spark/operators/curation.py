@@ -320,6 +320,40 @@ def write_dataset_card(
     return manifest
 
 
+SAMPLE_K_PER_SOURCE = 10
+
+
+def weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): every doc gets key = ln(u)/w with u a hash-derived
+    uniform in (0,1] and w = n_chars, and the k largest keys per source
+    form the sample — longer docs are proportionally more likely, yet
+    the draw is exactly reproducible across engines and runs (the
+    auditable alternative to ``rand()`` sampling, which can never be
+    replayed).
+
+    Scale shape: the key is row-local arithmetic on a 60-bit portable
+    hash; top-k per source is one window shuffle on the stratum key with
+    the rank filter right after it (WindowGroupLimit pushes the k-cut
+    into the partial sort), so nothing global ever materializes."""
+    docs = table(spark, sf, "documents")
+    u = (
+        _h64_spark(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))) % 1_000_000
+        + 1
+    ) / F.lit(1_000_000.0)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("key"), "doc_id")
+    return (
+        docs.select(
+            "source", "doc_id", F.col("n_chars").alias("weight"), key.alias("key")
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= SAMPLE_K_PER_SOURCE)
+        .select("source", "rnk", "doc_id", "weight", F.round("key", 6).alias("samp_key"))
+        .orderBy("source", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle: the same funnel, clause for clause
 # ---------------------------------------------------------------------------
@@ -344,6 +378,23 @@ _thr_sql = "CASE " + " ".join(
 ) + f" ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END"
 
 ORACLE: dict[str, str] = {
+    "weighted_sample_topk": f"""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars AS weight,
+                   ln((({H64_SQL.format(expr="'samp:' || CAST(doc_id AS VARCHAR)")})
+                       % 1000000 + 1) / 1000000.0) / n_chars AS key
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, doc_id, weight, key,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY key DESC, doc_id) AS INT) AS rnk
+            FROM keyed
+        )
+        SELECT source, rnk, doc_id, weight, ROUND(key, 6) AS samp_key
+        FROM ranked
+        WHERE rnk <= {SAMPLE_K_PER_SOURCE}
+    """,
     "corpus_curation_pipeline": f"""
         WITH q AS (
             SELECT doc_id, lang, source, lower(trim(text)) AS norm,
@@ -427,4 +478,5 @@ QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "export_shard_histogram": export_shard_histogram,
     "dataset_split_counts": dataset_split_counts,
+    "weighted_sample_topk": weighted_sample_topk,
 }

@@ -522,6 +522,116 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 16  # pseudo-paragraph length for span-level dedup
+
+
+def span_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level (sub-document) duplication accounting: each document
+    is cut into disjoint 16-token spans, each span is hashed, and a span
+    occurrence counts as duplicated when its text occurs more than once
+    anywhere in the corpus. Per source: span count, duplicated-span
+    count, duplicated fraction.
+
+    This is the substring-granularity contamination signal document-level
+    dedup misses (boilerplate headers, license blocks, templated intros).
+    Scale shape: explode is linear in token count, the global frequency
+    pass is ONE partial+final count agg keyed on the 60-bit span hash
+    (shuffle carries hashes, never span text), and the attribution join
+    is hash-equi on the same key — no pairwise step anywhere.
+    """
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = F.split(F.col("text"), " ")
+    spans = (
+        docs.select("source", toks.alias("toks"))
+        .select(
+            "source",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.size("toks") - 1) / SPAN_TOKENS))
+            ).alias("i"),
+        )
+        .select(
+            "source",
+            _h64_spark(
+                F.concat_ws(" ", F.slice("toks", F.col("i") * SPAN_TOKENS + 1, SPAN_TOKENS))
+            ).alias("h"),
+        )
+    )
+    freq = spans.groupBy("h").agg(F.count("*").alias("n_occ"))
+    return (
+        spans.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n_occ") > 1).cast("bigint")).alias("n_dup_spans"),
+            F.round(F.avg((F.col("n_occ") > 1).cast("double")), 4).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram of exact-duplicate group sizes: group docs by text
+    digest, then roll group sizes up into (size → groups, docs, excess
+    copies). The removable-copy count (``n_excess``) is the headline
+    number a dedup pass reports before anyone runs it.
+
+    Two hash aggregates back to back; the first shuffles 16-byte
+    digests, the second shuffles one row per digest group — strictly
+    shrinking data volume, the safest possible shape at 100 TB."""
+    docs = table(spark, sf, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    groups = docs.select(digest.alias("digest")).groupBy("digest").agg(
+        F.count("*").alias("csize")
+    )
+    return (
+        groups.groupBy("csize")
+        .agg(F.count("*").alias("n_groups"))
+        .select(
+            "csize",
+            "n_groups",
+            (F.col("csize") * F.col("n_groups")).alias("n_docs"),
+            ((F.col("csize") - 1) * F.col("n_groups")).alias("n_excess"),
+        )
+        .orderBy("csize")
+    )
+
+
+def bow_dedup_gain(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonicalization-sensitivity accounting: distinct docs under the
+    exact digest vs under a bag-of-words digest (tokens sorted before
+    hashing — catches reordered/shuffled near-copies that exact dedup
+    misses, e.g. templated docs with permuted fields). ``bow_gain`` is
+    the extra collapse the cheaper canonical form would buy per source.
+
+    The sort is per-row over one document's tokens (no shuffle); both
+    distinct counts ride the same single hash aggregate, and the
+    shuffle carries two 16-byte digests per doc."""
+    docs = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "source",
+            F.md5(F.col("text")).alias("e"),
+            F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("b"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("e").alias("n_exact_unique"),
+            F.count_distinct("b").alias("n_bow_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_unique",
+            "n_bow_unique",
+            (F.col("n_exact_unique") - F.col("n_bow_unique")).alias("bow_gain"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (SQL assembled with plain loops — the generated
 # text mirrors the Spark expression tree clause for clause)
@@ -712,6 +822,54 @@ ORACLE: dict[str, str] = {
           ON a.label = b.label AND a.vec_id < b.vec_id
         GROUP BY a.label
     """,
+    "span_dedup_stats": f"""
+        WITH spans AS (
+            SELECT source,
+                   {H64_SQL.format(expr="span")} AS h
+            FROM (
+                SELECT source,
+                       unnest(list_transform(
+                           generate_series(0, (len(toks) - 1) // {SPAN_TOKENS}),
+                           i -> array_to_string(
+                               toks[CAST(i * {SPAN_TOKENS} + 1 AS INT)
+                                    :CAST(i * {SPAN_TOKENS} + {SPAN_TOKENS} AS INT)],
+                               ' '))) AS span
+                FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+            )
+        ),
+        freq AS (SELECT h, COUNT(*) AS n_occ FROM spans GROUP BY h)
+        SELECT source,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               ROUND(AVG(CASE WHEN n_occ > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_frac
+        FROM spans JOIN freq USING (h)
+        GROUP BY source
+    """,
+    "dup_cluster_size_histogram": """
+        SELECT csize,
+               COUNT(*) AS n_groups,
+               CAST(csize * COUNT(*) AS BIGINT) AS n_docs,
+               CAST((csize - 1) * COUNT(*) AS BIGINT) AS n_excess
+        FROM (
+            SELECT md5(lower(trim(text))) AS digest, COUNT(*) AS csize
+            FROM documents GROUP BY digest
+        )
+        GROUP BY csize
+    """,
+    "bow_dedup_gain": """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT e) AS n_exact_unique,
+               COUNT(DISTINCT b) AS n_bow_unique,
+               COUNT(DISTINCT e) - COUNT(DISTINCT b) AS bow_gain
+        FROM (
+            SELECT source,
+                   md5(text) AS e,
+                   md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS b
+            FROM documents
+        )
+        GROUP BY source
+    """,
 }
 
 QUERIES = {
@@ -723,4 +881,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_cosine_stats": embedding_cosine_stats,
     "dedup_clusters": dedup_clusters,
+    "span_dedup_stats": span_dedup_stats,
+    "dup_cluster_size_histogram": dup_cluster_size_histogram,
+    "bow_dedup_gain": bow_dedup_gain,
 }

@@ -453,7 +453,59 @@ def monthly_churn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+DECAY_TAU_US = 30 * 86400 * 1_000_000  # 30-day exponential decay constant
+TOP_DECAY_USERS = 25
+
+
+def time_decay_user_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user
+    (Σ value·e^(−age/30d), age measured against the corpus max
+    timestamp) — the recency-weighted ranking signal feature stores
+    compute for feeds and retention models. Emits the top 25 users.
+
+    Scale shape: the anchor timestamp is a one-row aggregate
+    cross-joined back as a BROADCAST (never a window over the whole
+    table); scoring is then row-local and the per-user rollup is one
+    hash agg. Per the module's determinism policy, each contribution is
+    rounded and summed as DECIMAL so the per-user total is independent
+    of partial-agg merge order, then the ranked top-k carries user_id
+    as tie-break."""
+    ev = table(spark, sf, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    age_us = F.unix_micros(F.col("anchor")) - F.unix_micros(F.col("ts"))
+    contrib = F.round(
+        F.col("value") * F.exp(-(age_us / F.lit(float(DECAY_TAU_US)))), 6
+    ).cast("decimal(28,6)")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("user_id", contrib.alias("contrib"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("contrib").cast("double"), 4).alias("decay_score"),
+        )
+        .orderBy(F.desc("decay_score"), "user_id")
+        .limit(TOP_DECAY_USERS)
+    )
+
+
 ORACLE: dict[str, str] = {
+    "time_decay_user_scores": f"""
+        WITH scored AS (
+            SELECT user_id,
+                   CAST(ROUND(value * exp(-((epoch_us((SELECT MAX(ts) FROM events))
+                                             - epoch_us(ts))
+                                            / {float(DECAY_TAU_US)})), 6)
+                        AS DECIMAL(28,6)) AS contrib
+            FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS decay_score
+        FROM scored
+        GROUP BY user_id
+        ORDER BY decay_score DESC, user_id
+        LIMIT {TOP_DECAY_USERS}
+    """,
     "pit_scd2_lookup": """
         WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
                     FROM events),
@@ -695,4 +747,5 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "monthly_churn": monthly_churn,
     "pit_scd2_lookup": pit_scd2_lookup,
+    "time_decay_user_scores": time_decay_user_scores,
 }

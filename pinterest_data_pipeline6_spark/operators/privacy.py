@@ -155,6 +155,38 @@ def source_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def corpus_drift_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift monitor: KL divergence (base 2, add-one
+    smoothed) between the language mix of two corpus halves (doc_id
+    parity stands in for snapshot A vs snapshot B). Emits the per-
+    language KL contribution — the drill-down a data-governance
+    dashboard shows when the aggregate drift alarm fires.
+
+    One scan, one hash agg to a #languages-row table; the totals come
+    from an unpartitioned window over that tiny aggregate (bounded by
+    language cardinality, never by corpus size), so the plan is flat
+    regardless of input scale."""
+    docs = table(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("bigint")).alias("n_p"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("bigint")).alias("n_q"),
+    )
+    w = Window.partitionBy()
+    p = (F.col("n_p") + 1) / (F.sum("n_p").over(w) + F.count("*").over(w))
+    q = (F.col("n_q") + 1) / (F.sum("n_q").over(w) + F.count("*").over(w))
+    return (
+        counts.select(
+            "lang",
+            "n_p",
+            "n_q",
+            F.round(p, 6).alias("p"),
+            F.round(q, 6).alias("q"),
+            F.round(p * F.log2(p / q), 6).alias("kl_term"),
+        )
+        .orderBy("lang")
+    )
+
+
 _BENCH_IN = ", ".join(f"'{s}'" for s in BENCHMARK_SOURCES)
 
 _SHINGLES8_SQL = f"""list_transform(
@@ -224,10 +256,30 @@ ORACLE: dict[str, str] = {
                      / SUM(pow(n_docs, {MIX_ALPHA})) OVER (), 2) AS expected_draws
         FROM counts
     """,
+    "corpus_drift_kl": """
+        WITH counts AS (
+            SELECT lang,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_q
+            FROM documents GROUP BY lang
+        ),
+        smoothed AS (
+            SELECT lang, n_p, n_q,
+                   (n_p + 1) / (SUM(n_p) OVER () + COUNT(*) OVER ()) AS p,
+                   (n_q + 1) / (SUM(n_q) OVER () + COUNT(*) OVER ()) AS q
+            FROM counts
+        )
+        SELECT lang, n_p, n_q,
+               ROUND(p, 6) AS p,
+               ROUND(q, 6) AS q,
+               ROUND(p * log2(p / q), 6) AS kl_term
+        FROM smoothed
+    """,
 }
 
 QUERIES = {
     "pii_redaction_stats": pii_redaction_stats,
     "decontamination_overlap": decontamination_overlap,
     "source_mixture_weights": source_mixture_weights,
+    "corpus_drift_kl": corpus_drift_kl,
 }

@@ -711,6 +711,170 @@ def _lang_pred_sql() -> str:
     """
 
 
+def token_entropy_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (the information-density
+    quality signal: low entropy = repetitive/templated text), rolled up
+    per language. Entirely row-local higher-order functions — the only
+    shuffle is the final per-language aggregate.
+
+    Cross-engine determinism: the per-doc fold runs over the SORTED
+    distinct token list (DuckDB's ``list_distinct`` does not preserve
+    order, so an unsorted fold would sum in a different order), and the
+    per-doc entropy is rounded to 6 decimals before min/max/avg. The
+    ``+ 0.0`` normalizes IEEE ``-0.0`` (single-distinct-token docs) so
+    both engines emit the same sign."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    terms = F.array_sort(F.array_distinct(toks))
+
+    def _term(t: Column) -> Column:
+        p = F.size(F.filter(toks, lambda x: x == t)) / n
+        return p * F.log2(p)
+
+    ent = F.round(-F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + _term(t)), 6) + 0.0
+    return (
+        docs.select("lang", ent.alias("ent"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ent"), 4).alias("avg_entropy"),
+            F.min("ent").alias("min_entropy"),
+            F.max("ent").alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+ZIPF_TOP_TERMS = 100
+
+
+def zipf_slope_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit per language: regress ln(frequency) on
+    ln(rank) over the top-100 terms — natural text sits near slope -1,
+    so a drifting slope is a cheap corpus-health monitor (templated or
+    machine-generated text flattens it).
+
+    Shape at scale: one explode + term-count hash agg (the classic
+    wordcount), a per-language window for ranks (each language's term
+    table shuffles once, top-100 filter immediately after), then the
+    built-in ``regr_slope``/``regr_intercept``/``regr_r2`` aggregates —
+    single-pass moment sketches that merge associatively, so the
+    regression itself is one partial+final agg over 100 rows per
+    language."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf, "documents")
+    tf = (
+        docs.select("lang", F.explode(_tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "term")
+    ranked = tf.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= ZIPF_TOP_TERMS
+    )
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("r").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.regr_slope(ln_c, ln_r), 4).alias("zipf_slope"),
+            F.round(F.regr_intercept(ln_c, ln_r), 4).alias("zipf_intercept"),
+            F.round(F.regr_r2(ln_c, ln_r), 4).alias("fit_r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+NUCLEUS_MASS = 0.9
+
+
+def nucleus_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary coverage per language: how many
+    distinct terms, ranked by frequency, cover 90% of all token
+    occurrences — the head/tail split a tokenizer-vocabulary or
+    sampling-truncation decision is based on.
+
+    One explode + term-count agg, then a per-language running-total
+    window (shuffles once per language partition, never globally); a
+    term belongs to the nucleus while the mass BEFORE it is still under
+    the threshold, so the boundary term is included exactly once on
+    both engines."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf, "documents")
+    tf = (
+        docs.select("lang", F.explode(_tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("c"), "term")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = F.sum("c").over(w_cum)
+    tot = F.sum("c").over(w_tot)
+    in_nucleus = ((cum - F.col("c")).cast("double") < NUCLEUS_MASS * tot).cast("bigint")
+    return (
+        tf.select("lang", "c", cum.alias("cum"), tot.alias("tot"), in_nucleus.alias("nuc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.max("tot").alias("total_tokens"),
+            F.sum("nuc").alias("nucleus_terms"),
+            F.round(F.sum("nuc") / F.count("*"), 4).alias("nucleus_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+RAG_CHUNK_TOKENS = 64
+RAG_CHUNK_STRIDE = 48
+
+
+def chunk_overlap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style sliding-window chunking accounting (64-token chunks,
+    stride 48 → 16-token overlap): chunks per doc, overlap volume, and
+    the token-expansion factor re-emitting overlapped chunks costs.
+
+    The chunk count and emitted-token total have closed integer forms
+    (every non-final chunk is full, the final chunk is the remainder;
+    emitted = n + 16·(chunks−1)), so the whole operator is row-local
+    64-bit arithmetic + one aggregate — zero shuffles before the rollup,
+    and nothing about it changes at 100 TB."""
+    docs = table(spark, sf, "documents")
+    n = F.size(_tokens())
+    extra = F.greatest(n - RAG_CHUNK_TOKENS, F.lit(0))
+    n_chunks = (F.lit(1) + F.floor((extra + RAG_CHUNK_STRIDE - 1) / F.lit(RAG_CHUNK_STRIDE))).cast(
+        "bigint"
+    )
+    emitted = n + (RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE) * (n_chunks - 1)
+    return (
+        docs.select(
+            "source",
+            n.alias("n_tokens"),
+            n_chunks.alias("n_chunks"),
+            emitted.alias("emitted"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.sum(F.col("emitted") - F.col("n_tokens")).alias("overlap_tokens"),
+            F.round(F.sum("emitted") / F.sum("n_tokens"), 4).alias("expansion"),
+            F.round(
+                F.avg(F.col("emitted") / (F.col("n_chunks") * F.lit(float(RAG_CHUNK_TOKENS)))),
+                4,
+            ).alias("avg_fill"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLE: dict[str, str] = {
     "bpe_token_counts": f"""
         SELECT lang,
@@ -993,6 +1157,90 @@ ORACLE: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "token_entropy_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(ent), 4) AS avg_entropy,
+               MIN(ent) AS min_entropy,
+               MAX(ent) AS max_entropy
+        FROM (
+            SELECT lang,
+                   ROUND(-list_reduce(
+                       list_transform(list_sort(list_distinct(toks)),
+                           t -> (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+                                 / len(toks))
+                                * log2(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+                                       / len(toks))),
+                       (x, y) -> x + y), 6) + 0.0 AS ent
+            FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+        )
+        GROUP BY lang
+    """,
+    "zipf_slope_per_lang": f"""
+        WITH tf AS (
+            SELECT lang, term, COUNT(*) AS c
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+            GROUP BY lang, term
+        ),
+        ranked AS (
+            SELECT lang, c,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, term) AS r
+            FROM tf
+        )
+        SELECT lang, COUNT(*) AS n_terms,
+               ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+                   AS zipf_slope,
+               ROUND(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+                   AS zipf_intercept,
+               ROUND(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+                   AS fit_r2
+        FROM ranked
+        WHERE r <= {ZIPF_TOP_TERMS}
+        GROUP BY lang
+    """,
+    "nucleus_vocab_coverage": f"""
+        WITH tf AS (
+            SELECT lang, term, COUNT(*) AS c
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+            GROUP BY lang, term
+        ),
+        ranked AS (
+            SELECT lang, c,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, term
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(c) OVER (PARTITION BY lang) AS tot
+            FROM tf
+        )
+        SELECT lang, COUNT(*) AS vocab_size,
+               CAST(MAX(tot) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN CAST(cum - c AS DOUBLE) < {NUCLEUS_MASS} * tot
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nucleus_terms,
+               ROUND(CAST(SUM(CASE WHEN CAST(cum - c AS DOUBLE) < {NUCLEUS_MASS} * tot
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+                   AS nucleus_frac
+        FROM ranked
+        GROUP BY lang
+    """,
+    "chunk_overlap_stats": f"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+               CAST(SUM(emitted - n_tokens) AS BIGINT) AS overlap_tokens,
+               ROUND(CAST(SUM(emitted) AS DOUBLE) / SUM(n_tokens), 4) AS expansion,
+               ROUND(AVG(CAST(emitted AS DOUBLE)
+                         / (n_chunks * {float(RAG_CHUNK_TOKENS)})), 4) AS avg_fill
+        FROM (
+            SELECT source, n AS n_tokens,
+                   1 + extra_chunks AS n_chunks,
+                   n + {RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE} * extra_chunks AS emitted
+            FROM (
+                SELECT source, n,
+                       CASE WHEN n > {RAG_CHUNK_TOKENS}
+                            THEN (n - {RAG_CHUNK_TOKENS} + {RAG_CHUNK_STRIDE - 1}) // {RAG_CHUNK_STRIDE}
+                            ELSE 0 END AS extra_chunks
+                FROM (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
+            )
+        )
+        GROUP BY source
+    """,
 }
 
 QUERIES = {
@@ -1011,4 +1259,8 @@ QUERIES = {
     "sequence_packing_bins": sequence_packing_bins,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
     "bigram_perplexity_buckets": bigram_perplexity_buckets,
+    "token_entropy_stats": token_entropy_stats,
+    "zipf_slope_per_lang": zipf_slope_per_lang,
+    "nucleus_vocab_coverage": nucleus_vocab_coverage,
+    "chunk_overlap_stats": chunk_overlap_stats,
 }
