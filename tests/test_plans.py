@@ -323,6 +323,49 @@ def test_vocab_coverage_text_stays_out_of_rank_window(spark):
     assert low.index("generate") > low.index("window") or low.count("window") >= 1
 
 
+def test_weighted_sample_rank_filter_limits_window(spark):
+    """A-Res sampling top-k per source: the rank<=k filter must sit
+    directly on the per-source window (WindowGroupLimit pushes the k-cut
+    into the partial sort on Spark 3.5+), and the window is partitioned
+    by source — no SinglePartition exchange anywhere."""
+    from pinterest_data_pipeline6_spark.operators import curation
+
+    plan = executed_plan(curation.weighted_sample_topk(spark, SF))
+    low = plan.lower()
+    assert "singlepartition" not in low
+    assert "windowgrouplimit" in low or "window" in low
+
+
+def test_span_dedup_joins_on_hash_only(spark):
+    """Span-level dedup: the frequency join keys on the 60-bit span
+    hash — an equi-join, never a cartesian; span text is hashed before
+    the first exchange so shuffles carry bigints, not strings."""
+    from pinterest_data_pipeline6_spark.operators import dedup as ddp
+
+    plan = executed_plan(ddp.span_dedup_stats(spark, SF))
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    assert "broadcastnestedloopjoin" not in low
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, "expected hash exchanges in span dedup plan"
+    assert not any("span" in e or "text" in e for e in exchanges), exchanges
+
+
+def test_time_decay_anchor_is_broadcast(spark):
+    """The corpus-max-timestamp anchor joins back as a broadcast of a
+    1-row aggregate — never a window over the full event table."""
+    from pinterest_data_pipeline6_spark.operators import events as ev
+
+    plan = executed_plan(ev.time_decay_user_scores(spark, SF))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    # the only single-partition stage allowed is the 1-row anchor
+    # aggregate itself (a global max over pre-aggregated partials)
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: the
 # nested-loop side is a broadcast constant-size relation (the 5 query
 # vectors, the k centroids/cells, or a 1-row aggregate), so the "loop"
@@ -333,6 +376,7 @@ INTENTIONAL_BNLJ = {
     "knn_ivf",              # k broadcast centroids x corpus
     "kmeans_embeddings",    # k broadcast centroids per Lloyd round
     "funnel_conversion",    # 1-row stage-count aggregates crossJoined
+    "time_decay_user_scores",  # 1-row max-timestamp anchor broadcast
 }
 
 
