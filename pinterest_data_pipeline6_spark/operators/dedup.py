@@ -444,7 +444,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _connected_components(
-    edges: DataFrame, max_rounds: int = MAX_CC_ITERATIONS
+    edges: DataFrame, max_rounds: int = MAX_CC_ITERATIONS, oriented: bool = False
 ) -> tuple[DataFrame, int]:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond"):
@@ -460,16 +460,27 @@ def _connected_components(
     minima. Per round: three shuffles on node ids (neighborhood build +
     two min-aggregates), each carrying two bigints per edge;
     ``localCheckpoint`` truncates lineage and the convergence probe
-    reads two scalars (count + edge-hash sum), never data."""
-    e = (
-        edges.select(
-            F.greatest(F.col("u"), F.col("v")).alias("hi"),
-            F.least(F.col("u"), F.col("v")).alias("lo"),
+    reads two scalars (count + edge-hash sum), never data.
+
+    ``oriented=True`` asserts the caller already guarantees u > v with
+    no self-loops or duplicate pairs (e.g. ``minhash_band_pairs``, whose
+    a<b join condition + distinct produce exactly that) — skipping the
+    normalization saves ONE FULL SHUFFLE of the pair set, which at scale
+    is the largest relation this operator ever touches."""
+    if oriented:
+        e = edges.select(F.col("u").alias("hi"), F.col("v").alias("lo"))
+    else:
+        e = (
+            edges.select(
+                F.greatest(F.col("u"), F.col("v")).alias("hi"),
+                F.least(F.col("u"), F.col("v")).alias("lo"),
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
         )
-        .filter(F.col("hi") != F.col("lo"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # lazy: the initial signature probe below is the action that
+    # materializes the orientation — one job instead of two
+    e = e.localCheckpoint(eager=False)
 
     def _sig(df: DataFrame):
         # decimal(38) accumulator: a bigint SUM of 64-bit hashes
@@ -513,8 +524,11 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     materialization, not two (a prior ``localCheckpoint`` here made the
     minhash pipeline land twice)."""
     pairs = minhash_band_pairs(spark, sf)
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    labels, _ = _connected_components(edges)
+    # the band join's a<b condition + distinct already yield oriented,
+    # self-loop-free, deduplicated pairs: doc_b > doc_a maps directly to
+    # (hi, lo), so the CC skips its normalization shuffle entirely
+    edges = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    labels, _ = _connected_components(edges, oriented=True)
     return (
         labels.groupBy(F.col("label").alias("rep"))
         .agg(F.count("*").alias("cluster_size"))
