@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pinterest_data_pipeline6_spark.operators import (
         collections,
         curation,
+        dataquality,
         dedup,
         events,
         multimodal,
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(subqueries.QUERIES)
     out.update(privacy.QUERIES)
     out.update(curation.QUERIES)
+    out.update(dataquality.QUERIES)
     return _rotate(out)
 
 
@@ -180,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
     from pinterest_data_pipeline6_spark.operators import (
         collections,
         curation,
+        dataquality,
         dedup,
         events,
         multimodal,
@@ -201,4 +204,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(subqueries.ORACLE)
     out.update(privacy.ORACLE)
     out.update(curation.ORACLE)
+    out.update(dataquality.ORACLE)
     return _rotate(out)

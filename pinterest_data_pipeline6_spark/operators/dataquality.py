@@ -1,0 +1,274 @@
+"""Data-quality / expectations operators: a Deequ-style constraint
+suite, a column profiler, and an event-time freshness monitor.
+
+Beyond-reference capability (the reference repo validates nothing — its
+cleaning notebook assumes well-formed rows; SURVEY.md §2.13 documents
+the quirks that assumption produces). Any pipeline feeding a 100 TB
+training corpus runs exactly this layer in front of ingestion, so it is
+first-class here, same as dedup/privacy/curation.
+
+Spark-first shapes:
+
+- **expectations**: every single-table rule (completeness, uniqueness,
+  range, set membership, regex pattern) folds into ONE aggregation pass
+  over `orders` — conditional sums inside a single partial+final hash
+  agg, so 100 TB of orders is scanned once no matter how many rules run.
+  The two cross-table rules (referential integrity and the
+  ship-after-order invariant) share ONE left join of lineitem→orders:
+  an orphan is a null probe result, a date inversion is a predicate on
+  the matched row — one shuffle pays for both rules. The rule ledger
+  itself is built by unpivoting the one-row aggregate with `stack`
+  (rows = rules, never a second scan).
+- **column profile**: per-column null counts, distinct counts, min/max
+  — again one aggregation pass; the per-column layout comes from
+  `stack` over the single aggregate row. COUNT(DISTINCT a, b, c...)
+  with several distinct-columns plans as one Expand (multiplies rows by
+  #distinct-aggs) — acceptable for a profile pass; a cheaper
+  `approx_count_distinct` variant is the knob at 100 TB (exact kept
+  here for oracle parity).
+- **freshness**: max event-time per type vs the corpus watermark —
+  a #event-types-row aggregate; the global watermark comes from an
+  unpartitioned window over that tiny aggregate (never a second scan
+  of the events table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+# Set-membership rule: 'P' is deliberately OUTSIDE the allowed set so
+# the violation path is exercised on real testdata (orders contains
+# O/F/P) — a rule suite whose rules can never fail tests nothing.
+ALLOWED_STATUS = ("O", "F")
+PRIORITY_RE = "^[1-5]-"
+FRESH_WINDOW_H = 24 * 7  # "recent" horizon for the freshness monitor
+
+
+def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint ledger: one row per rule with checked/violation counts
+    and a pass flag. Five single-table rules ride one scan of orders;
+    the two cross-table rules share one lineitem→orders left join."""
+    orders = table(spark, sf, "orders")
+    lineitem = table(spark, sf, "lineitem")
+
+    bad = F.lit(0).cast("bigint")
+    o_agg = orders.agg(
+        F.count(F.lit(1)).alias("o_n"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("v_null"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("v_dup"),
+        F.sum((~(F.col("o_totalprice") > 0)).cast("bigint")).alias("v_range"),
+        F.sum((~F.col("o_orderstatus").isin(*ALLOWED_STATUS)).cast("bigint")).alias("v_set"),
+        F.sum((~F.col("o_orderpriority").rlike(PRIORITY_RE)).cast("bigint")).alias("v_re"),
+    )
+    # One left join answers both cross-table rules: null probe side =
+    # referential orphan; matched row with l_shipdate < o_orderdate =
+    # ordering invariant violation.
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left",
+    )
+    l_agg = joined.agg(
+        F.count(F.lit(1)).alias("l_n"),
+        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("v_orphan"),
+        F.sum(
+            (F.col("o_orderkey").isNotNull() & (F.col("l_shipdate") < F.col("o_orderdate"))).cast(
+                "bigint"
+            )
+        ).alias("v_ship"),
+    )
+    one_row = o_agg.crossJoin(l_agg)
+    ledger = one_row.select(
+        F.expr(
+            """stack(7,
+                'orders.o_custkey.not_null',      o_n, v_null,
+                'orders.o_orderkey.unique',       o_n, v_dup,
+                'orders.o_totalprice.positive',   o_n, v_range,
+                'orders.o_orderstatus.in_set',    o_n, v_set,
+                'orders.o_orderpriority.pattern', o_n, v_re,
+                'lineitem.l_orderkey.ref_orders', l_n, v_orphan,
+                'lineitem.l_shipdate.after_order',l_n, v_ship
+            ) AS (rule, n_checked, n_violations)"""
+        )
+    ).select(
+        "rule",
+        F.col("n_checked").cast("bigint").alias("n_checked"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == bad).cast("int").alias("passed"),
+    )
+    return ledger.orderBy("rule")
+
+
+def dq_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column profile of orders (nulls, exact distinct count, min
+    and max rendered as strings) from one aggregation pass, unpivoted
+    into a row per column."""
+    orders = table(spark, sf, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nul_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dst_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nul_{c}, dst_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack_args})"
+                " AS (col_name, n_nulls, n_distinct, min_value, max_value)"
+            ),
+        )
+        .select(
+            "col_name",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_nulls").cast("bigint").alias("n_nulls"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("col_name")
+    )
+
+
+def freshness_lag_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time freshness per event type: latest event, lag in hours
+    behind the corpus watermark (global max ts), and how many events
+    landed inside the trailing 7-day horizon. One hash agg to a
+    #types-row table; the watermark is a window over that aggregate."""
+    events = table(spark, sf, "events")
+    # recency is measured against each type's own span end (the signal a
+    # monitor uses to detect "source went quiet then burst"); the
+    # per-type watermark rides a window over the raw rows, which Spark
+    # plans as one shuffle shared with the groupBy on the same key.
+    with_mx = events.withColumn(
+        "mx_us", F.max(F.unix_micros("ts")).over(Window.partitionBy("event_type"))
+    )
+    per_type = with_mx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("max_ts"),
+        F.sum(
+            ((F.col("mx_us") - F.unix_micros("ts")) <= FRESH_WINDOW_H * 3600 * 1_000_000)
+            .cast("bigint")
+        ).alias("n_recent"),
+    )
+    w = Window.partitionBy()
+    lag_h = (F.max(F.unix_micros("max_ts")).over(w) - F.unix_micros("max_ts")) / 3.6e9
+    return per_type.select(
+        "event_type",
+        "n_events",
+        F.col("max_ts").cast("string").alias("max_ts"),
+        F.round(lag_h, 2).alias("lag_hours"),
+        "n_recent",
+    ).orderBy("event_type")
+
+
+_STATUS_IN = ", ".join(f"'{s}'" for s in ALLOWED_STATUS)
+
+ORACLE: dict[str, str] = {
+    "dq_expectations": f"""
+        WITH o AS (
+            SELECT COUNT(*) AS o_n,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup,
+                   CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                   CAST(SUM(CASE WHEN o_orderstatus NOT IN ({_STATUS_IN}) THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+                   CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '{PRIORITY_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+            FROM orders
+        ),
+        l AS (
+            SELECT COUNT(*) AS l_n,
+                   CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_orphan,
+                   CAST(SUM(CASE WHEN oo.o_orderkey IS NOT NULL
+                                  AND li.l_shipdate < oo.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+            FROM lineitem li LEFT JOIN orders oo ON li.l_orderkey = oo.o_orderkey
+        ),
+        ledger AS (
+            SELECT 'orders.o_custkey.not_null' AS rule, o_n AS n_checked, v_null AS n_violations FROM o
+            UNION ALL SELECT 'orders.o_orderkey.unique', o_n, v_dup FROM o
+            UNION ALL SELECT 'orders.o_totalprice.positive', o_n, v_range FROM o
+            UNION ALL SELECT 'orders.o_orderstatus.in_set', o_n, v_set FROM o
+            UNION ALL SELECT 'orders.o_orderpriority.pattern', o_n, v_re FROM o
+            UNION ALL SELECT 'lineitem.l_orderkey.ref_orders', l_n, v_orphan FROM l
+            UNION ALL SELECT 'lineitem.l_shipdate.after_order', l_n, v_ship FROM l
+        )
+        SELECT rule, n_checked, n_violations,
+               CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+        FROM ledger ORDER BY rule
+    """,
+    "dq_column_profile": """
+        WITH one AS (
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_o_orderkey,
+                   COUNT(DISTINCT o_orderkey) AS dst_o_orderkey,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_o_orderkey,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_o_orderkey,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_o_custkey,
+                   COUNT(DISTINCT o_custkey) AS dst_o_custkey,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS min_o_custkey,
+                   CAST(MAX(o_custkey) AS VARCHAR) AS max_o_custkey,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_o_orderstatus,
+                   COUNT(DISTINCT o_orderstatus) AS dst_o_orderstatus,
+                   CAST(MIN(o_orderstatus) AS VARCHAR) AS min_o_orderstatus,
+                   CAST(MAX(o_orderstatus) AS VARCHAR) AS max_o_orderstatus,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_o_totalprice,
+                   COUNT(DISTINCT o_totalprice) AS dst_o_totalprice,
+                   CAST(MIN(o_totalprice) AS VARCHAR) AS min_o_totalprice,
+                   CAST(MAX(o_totalprice) AS VARCHAR) AS max_o_totalprice,
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_o_orderpriority,
+                   COUNT(DISTINCT o_orderpriority) AS dst_o_orderpriority,
+                   CAST(MIN(o_orderpriority) AS VARCHAR) AS min_o_orderpriority,
+                   CAST(MAX(o_orderpriority) AS VARCHAR) AS max_o_orderpriority
+            FROM orders
+        )
+        SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value
+        FROM (
+            SELECT 'o_orderkey' AS col_name, n_rows, nul_o_orderkey AS n_nulls,
+                   dst_o_orderkey AS n_distinct, min_o_orderkey AS min_value, max_o_orderkey AS max_value FROM one
+            UNION ALL SELECT 'o_custkey', n_rows, nul_o_custkey, dst_o_custkey, min_o_custkey, max_o_custkey FROM one
+            UNION ALL SELECT 'o_orderstatus', n_rows, nul_o_orderstatus, dst_o_orderstatus, min_o_orderstatus, max_o_orderstatus FROM one
+            UNION ALL SELECT 'o_totalprice', n_rows, nul_o_totalprice, dst_o_totalprice, min_o_totalprice, max_o_totalprice FROM one
+            UNION ALL SELECT 'o_orderpriority', n_rows, nul_o_orderpriority, dst_o_orderpriority, min_o_orderpriority, max_o_orderpriority FROM one
+        ) ORDER BY col_name
+    """,
+    "freshness_lag_stats": f"""
+        WITH per_type AS (
+            SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS max_ts,
+                   CAST(SUM(CASE WHEN mx_us - epoch_us(ts)
+                                      <= {FRESH_WINDOW_H}::BIGINT * 3600 * 1000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_recent
+            FROM (SELECT event_type, ts,
+                         MAX(epoch_us(ts)) OVER (PARTITION BY event_type) AS mx_us
+                  FROM events)
+            GROUP BY event_type
+        )
+        SELECT event_type, n_events,
+               CAST(max_ts AS VARCHAR) AS max_ts,
+               ROUND((MAX(epoch_us(max_ts)) OVER () - epoch_us(max_ts)) / 3.6e9, 2)
+                   AS lag_hours,
+               n_recent
+        FROM per_type ORDER BY event_type
+    """,
+}
+
+QUERIES = {
+    "dq_expectations": dq_expectations,
+    "dq_column_profile": dq_column_profile,
+    "freshness_lag_stats": freshness_lag_stats,
+}

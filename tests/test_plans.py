@@ -377,7 +377,36 @@ INTENTIONAL_BNLJ = {
     "kmeans_embeddings",    # k broadcast centroids per Lloyd round
     "funnel_conversion",    # 1-row stage-count aggregates crossJoined
     "time_decay_user_scores",  # 1-row max-timestamp anchor broadcast
+    "dq_expectations",      # 1-row rule aggregates crossJoined into the ledger
 }
+
+
+def test_dq_expectations_scan_and_join_shape(spark):
+    """The rule suite must stay at three file scans (orders for the
+    single-table rules, orders keys + lineitem for the shared
+    cross-table join) and hash-join the referential check — more scans
+    means a rule grew its own pass over the data."""
+    from pinterest_data_pipeline6_spark.operators import dataquality
+
+    plan = executed_plan(dataquality.dq_expectations(spark, SF))
+    assert plan.count("FileScan parquet") <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_column_profile_single_scan(spark):
+    """All per-column metrics fold into one scan of orders."""
+    from pinterest_data_pipeline6_spark.operators import dataquality
+
+    plan = executed_plan(dataquality.dq_column_profile(spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_freshness_single_scan_of_events(spark):
+    """Watermark + recency + per-type agg all ride one events scan."""
+    from pinterest_data_pipeline6_spark.operators import dataquality
+
+    plan = executed_plan(dataquality.freshness_lag_stats(spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
 
 
 def test_no_accidental_cartesian_in_any_registry_query(spark):
