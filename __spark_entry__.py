@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dataquality,
         dedup,
         events,
+        graph,
         multimodal,
         privacy,
         relational,
@@ -174,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(privacy.QUERIES)
     out.update(curation.QUERIES)
     out.update(dataquality.QUERIES)
+    out.update(graph.QUERIES)
     return _rotate(out)
 
 
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         dataquality,
         dedup,
         events,
+        graph,
         multimodal,
         privacy,
         relational,
@@ -205,4 +208,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(privacy.ORACLE)
     out.update(curation.ORACLE)
     out.update(dataquality.ORACLE)
+    out.update(graph.ORACLE)
     return _rotate(out)

@@ -424,3 +424,20 @@ def test_no_accidental_cartesian_in_any_registry_query(spark):
         elif "broadcastnestedloopjoin" in plan and name not in INTENTIONAL_BNLJ:
             offenders[name] = "nested-loop join off the allowlist"
     assert not offenders, offenders
+
+
+def test_common_neighbors_topk_is_takeordered(spark):
+    """Global top-10 link-prediction pairs must compile to
+    TakeOrderedAndProject, never a full sort of all candidate pairs."""
+    from pinterest_data_pipeline6_spark.operators import graph
+
+    assert has_take_ordered(graph.common_neighbors_topk(spark, SF))
+
+
+def test_triangle_joins_are_hash_joins(spark):
+    """The wedge-close chain must stay equi-join (hash/sort-merge)."""
+    from pinterest_data_pipeline6_spark.operators import graph
+
+    plan = executed_plan(graph.triangle_counts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
