@@ -666,6 +666,70 @@ def embedding_quantization_error(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RP_OUT = 8  # Johnson-Lindenstrauss target dimensionality (64 → 8)
+
+
+def _rp_sign(j: int, i: int) -> float:
+    """±1 entry (projection j, input dim i) of the deterministic
+    Rademacher projection matrix, derived from md5 exactly like the
+    LSH hyperplanes so both engines embed identical literals."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp|{j}|{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+_RP_SIGNS: list[list[float]] = [
+    [_rp_sign(j, i) for i in range(1, DIM + 1)] for j in range(RP_OUT)
+]
+
+
+def random_projection_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketching: project each 64-d embedding to
+    8-d with a deterministic ±1 (Rademacher) matrix and report, for a
+    1-in-25 sample of vectors, the original L2 norm, the 1/sqrt(k)-
+    rescaled projected norm, and their ratio (the JL distortion that a
+    dimensionality-reduced ANN index would see).
+
+    Row-local only: each projection is a zip_with left-fold against a
+    literal sign array (constant-folded, whole-stage codegen, term
+    order identical to the oracle's explicit left-assoc sum), so at
+    100 TB this is a map-only pass — no shuffle at all; the sample
+    filter prunes rows before any compute the optimizer can't push."""
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
+    sample = emb.where(F.col("vec_id") % 25 == 0)
+
+    def _fold_dot(signs: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+
+    sq_norm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    proj_sq = F.lit(0.0)
+    for j in range(RP_OUT):
+        d = _fold_dot(_RP_SIGNS[j])
+        proj_sq = proj_sq + d * d
+    norm = F.sqrt(sq_norm)
+    pnorm = F.sqrt(proj_sq / RP_OUT)
+    return sample.select(
+        "vec_id",
+        "label",
+        F.round(norm, 6).alias("norm"),
+        F.round(pnorm, 6).alias("proj_norm"),
+        F.round(pnorm / norm, 6).alias("distortion"),
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -678,4 +742,35 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "pandas_udaf_weighted_price": pandas_udaf_weighted_price,
     "embedding_quantization_error": embedding_quantization_error,
+    "random_projection_stats": random_projection_stats,
 }
+
+
+def _rp_oracle_sql() -> str:
+    """Oracle for random_projection_stats: explicit left-assoc sums
+    over the same literal ±1 matrix (see _SIG_SQL for the precedent —
+    fold order matches Spark's zip_with/aggregate term for term)."""
+    sq_norm = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(DIM)
+    )
+    dots = []
+    for j in range(RP_OUT):
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({_RP_SIGNS[j][i]!r})"
+            for i in range(DIM)
+        )
+        dots.append(f"({dot})")
+    proj_sq = " + ".join(f"{d} * {d}" for d in dots)
+    return f"""
+        SELECT vec_id, label,
+               ROUND(sqrt({sq_norm}), 6) AS norm,
+               ROUND(sqrt(({proj_sq}) / {RP_OUT}), 6) AS proj_norm,
+               ROUND(sqrt(({proj_sq}) / {RP_OUT}) / sqrt({sq_norm}), 6) AS distortion
+        FROM embeddings
+        WHERE vec_id % 25 = 0
+        ORDER BY vec_id
+    """
+
+
+ORACLE["random_projection_stats"] = _rp_oracle_sql()

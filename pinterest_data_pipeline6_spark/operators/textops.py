@@ -1243,6 +1243,72 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def skyline_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D Pareto skyline of documents over (n_chars, n_tokens): the
+    docs no other doc strictly dominates (>= on both metrics, > on at
+    least one) — the frontier a curation UI shows when trading length
+    against token density.
+
+    Aggregate-first formulation so the global sort never touches the
+    corpus: (1) one hash agg to max-tokens per distinct n_chars value —
+    a table bounded by the length-metric cardinality, not corpus size;
+    (2) the running-max dominance window runs over THAT tiny aggregate
+    (single-partition, but on #distinct-lengths rows); (3) the skyline
+    (n_chars, max_tokens) set — small by construction — broadcast-joins
+    back to the metric rows to recover doc ids. A naive NOT EXISTS
+    self-join is O(n^2) at scale; this is one agg + one tiny window +
+    one broadcast join."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf, "documents")
+    m = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("m1"),
+        F.size(F.split(F.col("text"), " ")).alias("m2"),
+    )
+    agg = m.groupBy("m1").agg(F.max("m2").alias("mx2"))
+    w = (
+        Window.orderBy(F.desc("m1"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        agg.withColumn("best_above", F.max("mx2").over(w))
+        .where(F.col("mx2") > F.coalesce(F.col("best_above"), F.lit(-1)))
+        .select(F.col("m1").alias("sky_m1"), F.col("mx2").alias("sky_mx2"))
+    )
+    return (
+        m.join(
+            F.broadcast(sky),
+            (F.col("m1") == F.col("sky_m1")) & (F.col("m2") == F.col("sky_mx2")),
+        )
+        .select("doc_id", F.col("m1").alias("n_chars"), F.col("m2").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["skyline_docs"] = """
+    WITH m AS (
+        SELECT doc_id, n_chars AS m1, len(string_split(text, ' ')) AS m2
+        FROM documents
+    ),
+    agg AS (SELECT m1, MAX(m2) AS mx2 FROM m GROUP BY m1),
+    sky AS (
+        SELECT m1, mx2
+        FROM (
+            SELECT m1, mx2,
+                   MAX(mx2) OVER (ORDER BY m1 DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS best_above
+            FROM agg
+        )
+        WHERE mx2 > COALESCE(best_above, -1)
+    )
+    SELECT m.doc_id, m.m1 AS n_chars, m.m2 AS n_tokens
+    FROM m JOIN sky s ON m.m1 = s.m1 AND m.m2 = s.mx2
+    ORDER BY m.doc_id
+"""
+
+
 QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "token_count_stats": token_count_stats,
@@ -1263,4 +1329,5 @@ QUERIES = {
     "zipf_slope_per_lang": zipf_slope_per_lang,
     "nucleus_vocab_coverage": nucleus_vocab_coverage,
     "chunk_overlap_stats": chunk_overlap_stats,
+    "skyline_docs": skyline_docs,
 }

@@ -441,3 +441,25 @@ def test_triangle_joins_are_hash_joins(spark):
     plan = executed_plan(graph.triangle_counts(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_projection_is_map_only(spark):
+    """JL sketching must be one scan with no join and no shuffle other
+    than the final presentation sort."""
+    from pinterest_data_pipeline6_spark.operators import similarity
+
+    plan = executed_plan(similarity.random_projection_stats(spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_skyline_joins_back_via_broadcast(spark):
+    """The skyline set is tiny by construction — the join recovering
+    doc ids must broadcast it, and the dominance window must run over
+    the aggregated (distinct-length) table, not the corpus."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    df = textops.skyline_docs(spark, SF)
+    assert has_broadcast_join(df)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
