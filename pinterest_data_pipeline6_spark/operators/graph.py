@@ -62,21 +62,21 @@ def _bipartite_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def pagerank_bipartite(spark: SparkSession, sf: str) -> DataFrame:
-    """PageRank (damping 0.85, PR_ITERS fixed rounds, rank seeded 1.0)
-    on the undirected contracted part–supplier graph. Returns
-    (node, degree, pr) ordered by node.
+def pagerank_undirected(directed_edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Core PageRank over a DIRECTED (src, dst) edge list (callers pass
+    both directions for undirected graphs): damping PR_DAMP, rank
+    seeded 1.0, fixed ``iters`` rounds. Returns (node, deg, pr)
+    unrounded/unsorted — presentation belongs to the caller.
 
     One lazy plan: degrees once, then per round one equi-join of the
-    directed edge list with the current rank table and one hash agg on
-    the destination — partial aggregation makes the contribution sum
+    edge list with the current rank table and one hash agg on the
+    destination — partial aggregation makes the contribution sum
     map-side combinable, so the shuffle carries per-(partition, dst)
     partials, not per-edge rows."""
-    e = _bipartite_edges(spark, sf)
-    bi = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    bi = directed_edges
     deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         contribs = (
             bi.join(ranks, bi.src == ranks.node)
             .join(deg.withColumnRenamed("src", "dnode"), F.col("dnode") == F.col("node"))
@@ -85,8 +85,17 @@ def pagerank_bipartite(spark: SparkSession, sf: str) -> DataFrame:
         ranks = contribs.groupBy("dst").agg(
             (F.lit(1 - PR_DAMP) + F.lit(PR_DAMP) * F.sum("c")).alias("pr")
         ).select(F.col("dst").alias("node"), "pr")
+    return ranks.join(deg, ranks.node == deg.src).select("node", "deg", "pr")
+
+
+def pagerank_bipartite(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (damping 0.85, PR_ITERS fixed rounds, rank seeded 1.0)
+    on the undirected contracted part–supplier graph. Returns
+    (node, degree, pr) ordered by node."""
+    e = _bipartite_edges(spark, sf)
+    bi = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return (
-        ranks.join(deg, ranks.node == deg.src)
+        pagerank_undirected(bi)
         .select("node", "deg", F.round("pr", 6).alias("pr"))
         .orderBy("node")
     )
@@ -105,15 +114,15 @@ def _contracted_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-node triangle participation: (node, degree, n_triangles),
-    every node listed (0 if triangle-free), ordered by node.
+def triangles_per_node(e: DataFrame) -> DataFrame:
+    """Core per-node triangle participation over canonical (a < b)
+    undirected simple edges: (node, degree, n_triangles), every node
+    listed (0 if triangle-free), unsorted.
 
     Wedge-close join chain on canonical a<b<c ordering — each triangle
     is produced exactly once, then credited to its three corners via a
     3-way union feeding one hash agg. All equi-joins (plan-tested
     registry-wide for no cartesians)."""
-    e = _contracted_edges(spark, sf)
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     wedge = ab.join(bc, F.col("y") == F.col("y2")).select("x", "y", "z")
@@ -133,15 +142,17 @@ def triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    return (
-        deg.join(tri_per_node, "node", "left")
-        .select(
-            "node",
-            "degree",
-            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
-        )
-        .orderBy("node")
+    return deg.join(tri_per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
     )
+
+
+def triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle participation on the contracted lineitem
+    graph, ordered by node (see ``triangles_per_node`` for the plan)."""
+    return triangles_per_node(_contracted_edges(spark, sf)).orderBy("node")
 
 
 def common_neighbors_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -125,3 +125,80 @@ def test_packing_accounting_matches_python_reference(spark, docs, budget):
     assert got["total"] == total
     assert got["n_straddle"] == straddles
     assert got["n_bins"] == -(-total // budget)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangles_match_bruteforce(spark, edges):
+    """triangles_per_node must equal the O(n^3) reference count for any
+    small graph (self-loops dropped, duplicate edges collapsed)."""
+    from pinterest_data_pipeline6_spark.operators.graph import triangles_per_node
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    df = spark.createDataFrame(sorted(canon), "a long, b long")
+    got = {
+        (r["node"], r["degree"], r["n_triangles"])
+        for r in triangles_per_node(df).collect()
+    }
+
+    nodes = sorted({n for e in canon for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = set()
+    for n in nodes:
+        tri = 0
+        for u in adj[n]:
+            for v in adj[n]:
+                if u < v and v in adj[u]:
+                    tri += 1
+        want.add((n, len(adj[n]), tri))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pagerank_matches_python_reference(spark, edges):
+    """pagerank_undirected must match a literal Python transcription of
+    the same fixed-round recurrence to float tolerance."""
+    from pinterest_data_pipeline6_spark.operators.graph import (
+        PR_DAMP,
+        PR_ITERS,
+        pagerank_undirected,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    directed = sorted(canon | {(b, a) for a, b in canon})
+    df = spark.createDataFrame(directed, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["pr"]) for r in pagerank_undirected(df).collect()}
+
+    deg: dict[int, int] = {}
+    for s, _ in directed:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {n: 1.0 for n in deg}
+    for _ in range(PR_ITERS):
+        nxt = {n: 0.0 for n in deg}
+        for s, d in directed:
+            nxt[d] += pr[s] / deg[s]
+        pr = {n: (1 - PR_DAMP) + PR_DAMP * c for n, c in nxt.items()}
+    assert set(got) == set(deg)
+    for n in deg:
+        assert got[n][0] == deg[n]
+        assert abs(got[n][1] - pr[n]) < 1e-9, (n, got[n], pr[n])
