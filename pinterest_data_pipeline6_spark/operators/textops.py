@@ -1309,6 +1309,59 @@ ORACLE["skyline_docs"] = """
 """
 
 
+INDEX_TOP_TERMS = 20  # posting lists emitted for the top-N terms by df
+POSTINGS_CAP = 5  # capped posting-list prefix carried per term
+
+
+def inverted_index_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Search-index construction: term → document frequency + the first
+    POSTINGS_CAP doc ids of the sorted posting list, for the
+    INDEX_TOP_TERMS highest-df terms (ties broken by term). The
+    bounded-prefix posting array is what an index shard would persist
+    per term block; the cap keeps driver/oracle comparison exact while
+    the plan is the real inverted-index build.
+
+    Shape at 100 TB: explode → distinct (term, doc_id) → one hash agg;
+    the exchanges carry (term, doc_id) id pairs, never document text.
+    collect_set materializes each term's full posting group before the
+    slice, so for web-scale head terms the production variant instead
+    range-partitions by (term, doc_id) and writes postings as sorted
+    partitioned parquet runs (the ``write_training_shards`` pattern) —
+    the in-plan array form here is for the bounded top-N sample."""
+    docs = table(spark, sf, "documents")
+    pairs = (
+        docs.select(F.col("doc_id"), F.explode(_tokens()).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, POSTINGS_CAP).alias(
+                "postings"
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(INDEX_TOP_TERMS)
+    )
+
+
+ORACLE["inverted_index_sample"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT term, COUNT(*) AS df,
+           list_sort(list(doc_id))[1:{POSTINGS_CAP}] AS postings
+    FROM pairs
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY df DESC, term ASC
+    LIMIT {INDEX_TOP_TERMS}
+"""
+
+
 QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "token_count_stats": token_count_stats,
@@ -1330,4 +1383,5 @@ QUERIES = {
     "nucleus_vocab_coverage": nucleus_vocab_coverage,
     "chunk_overlap_stats": chunk_overlap_stats,
     "skyline_docs": skyline_docs,
+    "inverted_index_sample": inverted_index_sample,
 }
