@@ -58,9 +58,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
 
-    # warm the JVM + parquet footer caches once so per-query numbers
-    # measure the plan, not first-touch JIT
-    next(iter(qs.values()))(spark, SF_DIR).count()
+    # warm the JVM + parquet footer caches so per-query numbers measure
+    # the plan, not first-touch JIT. The registry's stalest-first
+    # rotation can put the heavy dedup family at the very front, so one
+    # warmup query is not enough: run the first few once untimed
+    # (measured: minhash_band_pairs reported 2.0 s when second in the
+    # order vs a 1.1 s steady state — pure codegen/JIT warmup skew).
+    for fn in list(qs.values())[:5]:
+        fn(spark, SF_DIR).count()
     # ...and the Python-worker pool: the first Pandas-UDF stage otherwise
     # pays one worker spawn per core (~10 s on local[32]) — a fixed local
     # startup cost, not a property of any query's plan

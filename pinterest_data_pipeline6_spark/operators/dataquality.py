@@ -179,6 +179,39 @@ def freshness_lag_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def lang_source_chisq(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence monitor for the (lang, source) corpus
+    contingency table: per cell the observed count, the expected count
+    under independence, and the chi-square contribution — the
+    drill-down behind a "language mix is drifting per source" alarm
+    (the aggregate statistic is the sum of the term column).
+
+    One hash agg to #langs × #sources cells; the row/column/grand
+    totals are windows OVER THAT AGGREGATE (bounded by label
+    cardinalities, never corpus size), so the plan shape is flat at
+    any input scale."""
+    docs = table(spark, sf, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    exp = (
+        F.sum("n").over(w_lang)
+        * F.sum("n").over(w_src)
+        / F.sum("n").over(w_all)
+    )
+    return (
+        obs.select(
+            "lang",
+            "source",
+            "n",
+            F.round(exp, 4).alias("expected"),
+            F.round(F.pow(F.col("n") - exp, 2) / exp, 6).alias("chisq_term"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 _STATUS_IN = ", ".join(f"'{s}'" for s in ALLOWED_STATUS)
 
 ORACLE: dict[str, str] = {
@@ -267,8 +300,27 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["lang_source_chisq"] = """
+    WITH obs AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n,
+           ROUND(SUM(n) OVER (PARTITION BY lang)
+                 * SUM(n) OVER (PARTITION BY source)
+                 / CAST(SUM(n) OVER () AS DOUBLE), 4) AS expected,
+           ROUND(pow(n - SUM(n) OVER (PARTITION BY lang)
+                       * SUM(n) OVER (PARTITION BY source)
+                       / CAST(SUM(n) OVER () AS DOUBLE), 2)
+                 / (SUM(n) OVER (PARTITION BY lang)
+                    * SUM(n) OVER (PARTITION BY source)
+                    / CAST(SUM(n) OVER () AS DOUBLE)), 6) AS chisq_term
+    FROM obs ORDER BY lang, source
+"""
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "dq_column_profile": dq_column_profile,
     "freshness_lag_stats": freshness_lag_stats,
+    "lang_source_chisq": lang_source_chisq,
 }

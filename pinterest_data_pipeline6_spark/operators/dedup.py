@@ -421,11 +421,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
     m = nbr.groupBy("u").agg(F.min("v").alias("mv"))
     m = m.select("u", F.least("mv", "u").alias("m"))
+    # NO distinct here: the duplicates a large-star round can emit are
+    # harmless to small-star's min-aggregate and get collapsed by its
+    # output distinct — skipping the dedup saves one full shuffle of
+    # the edge set per round (measured identical labels, one fewer
+    # exchange; the fixpoint signature reads small-star's dedup'd
+    # output, so convergence detection is unaffected).
     return (
         nbr.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-        .distinct()
     )
 
 

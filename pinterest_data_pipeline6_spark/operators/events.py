@@ -489,7 +489,124 @@ def time_decay_user_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase event is
+    credited to the user's most recent PRIOR click, with the
+    click→purchase gap in seconds (NULL credit when no click precedes).
+
+    One window per user (carry the last click id/timestamp forward
+    with last_value IGNORE NULLS over a rows-preceding frame) — a
+    single shuffle keyed on user_id, the same partitioning sessionize
+    and the as-of join use, so at scale all three share one exchange
+    when composed. The (ts, event_id) order key makes the carried
+    click deterministic under timestamp ties."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_us = F.last(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            click_id.alias("click_id"),
+            click_us.alias("click_us"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            F.round((F.unix_micros("ts") - F.col("click_us")) / 1e6, 3).alias("gap_s"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: per user, the count of active days, the number
+    of consecutive-day streaks, and the longest streak — engagement
+    accounting over event timestamps.
+
+    Distinct (user, day) first (the only pass over raw events), then
+    the island id = day − row_number trick on the per-user day lists:
+    every stage after the distinct operates on ≤ #users × #days rows,
+    and both the row_number window and the two aggs share the user_id
+    hash partitioning."""
+    ev = table(spark, sf, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("streak_len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "attribution_last_touch": """
+        WITH carried AS (
+            SELECT event_id, user_id, event_type, ts,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS click_id,
+                   last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS click_us
+            FROM events
+        )
+        SELECT event_id AS purchase_id, user_id, click_id,
+               ROUND((epoch_us(ts) - click_us) / 1e6, 3) AS gap_s
+        FROM carried
+        WHERE event_type = 'purchase'
+        ORDER BY purchase_id
+    """,
+    "activity_streaks": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, island, COUNT(*) AS streak_len
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+               COUNT(*) AS n_streaks,
+               MAX(streak_len) AS longest_streak
+        FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
     "time_decay_user_scores": f"""
         WITH scored AS (
             SELECT user_id,
@@ -748,4 +865,6 @@ QUERIES = {
     "monthly_churn": monthly_churn,
     "pit_scd2_lookup": pit_scd2_lookup,
     "time_decay_user_scores": time_decay_user_scores,
+    "attribution_last_touch": attribution_last_touch,
+    "activity_streaks": activity_streaks,
 }

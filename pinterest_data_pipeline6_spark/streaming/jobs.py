@@ -531,3 +531,84 @@ def run_streaming_pipeline(
             available_now=available_now,
         )
     return queries
+
+
+def write_foreach_batch_dq_gate(
+    df: DataFrame,
+    accepted_path: str,
+    quarantine_path: str,
+    metrics_path: str,
+    checkpoint: str,
+    rules: dict[str, "F.Column"],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming data-quality gate — the streaming form of
+    ``operators.dataquality.dq_expectations``: every micro-batch is
+    split into accepted rows and quarantined rows (tagged with the
+    comma-joined names of the rules they violated), and one metrics row
+    per batch (input/accepted/quarantined counts plus per-rule
+    violation counts) is appended to a monitoring ledger.
+
+    ``rules`` maps rule name → boolean Column (True = row passes). All
+    rules evaluate in ONE projection — the violation list is an
+    array_compact over per-rule WHEN expressions — so adding a rule
+    never adds a scan of the batch.
+
+    Idempotent under foreachBatch's at-least-once replay: all three
+    sinks are hive-partitioned by ``batch_id`` and written with dynamic
+    partition overwrite, so a retried batch replaces exactly its own
+    partition instead of double-appending. The batch is persisted
+    across the three writes (one source read, three narrow outputs)."""
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        tags = F.array_compact(
+            F.array(
+                *[
+                    F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in rules.items()
+                ]
+            )
+        )
+        tagged = batch.withColumn("violated", tags).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        tagged.persist()
+        try:
+            accepted = tagged.where(F.size("violated") == 0).drop("violated")
+            quarantined = tagged.where(F.size("violated") > 0).withColumn(
+                "violated", F.array_join("violated", ",")
+            )
+            for out, path in ((accepted, accepted_path), (quarantined, quarantine_path)):
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(path)
+                )
+            metrics = tagged.agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.sum((F.size("violated") == 0).cast("bigint")).alias("n_accepted"),
+                F.sum((F.size("violated") > 0).cast("bigint")).alias("n_quarantined"),
+                *[
+                    F.sum(
+                        F.array_contains("violated", name).cast("bigint")
+                    ).alias(f"v_{name}")
+                    for name in rules
+                ],
+            ).withColumn("batch_id", F.lit(int(batch_id)))
+            (
+                metrics.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(metrics_path)
+            )
+        finally:
+            tagged.unpersist()
+
+    writer = (
+        df.writeStream.foreachBatch(gate_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

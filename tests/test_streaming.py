@@ -498,3 +498,71 @@ def test_dedup_sink_replay_with_fresh_checkpoint_is_idempotent(spark, tmp_path):
         q = write_foreach_batch_dedup(df, out, str(tmp_path / ck), ("unique_id",))
         q.awaitTermination(120)
         assert spark.read.parquet(out).count() == 7
+
+
+def test_foreach_batch_dq_gate_routes_and_accounts(spark, tmp_path):
+    """Streaming DQ gate: violating rows land in quarantine tagged with
+    the rules they broke, clean rows in accepted, and the metrics
+    ledger carries per-batch per-rule violation counts. A replayed
+    batch overwrites its own partition (no double-append)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline6_spark.streaming.jobs import (
+        write_foreach_batch_dq_gate,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [
+        {"doc_id": 1, "text": "ok row", "score": 0.5},
+        {"doc_id": 2, "text": "", "score": 0.7},          # violates nonempty
+        {"doc_id": 3, "text": "bad score", "score": 1.8},  # violates range
+        {"doc_id": 4, "text": "", "score": -1.0},          # violates both
+    ]
+    rows2 = [{"doc_id": 5, "text": "fine", "score": 0.1}]
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, score double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    rules = {
+        "nonempty": F.length("text") > 0,
+        "score_range": (F.col("score") >= 0) & (F.col("score") <= 1),
+    }
+    paths = {k: str(tmp_path / k) for k in ("acc", "quar", "metrics")}
+    q = write_foreach_batch_dq_gate(
+        stream, paths["acc"], paths["quar"], paths["metrics"],
+        str(tmp_path / "ck"), rules,
+    )
+    q.awaitTermination()
+
+    acc = spark.read.parquet(paths["acc"])
+    assert sorted(r.doc_id for r in acc.collect()) == [1, 5]
+    quar = {r.doc_id: r.violated for r in spark.read.parquet(paths["quar"]).collect()}
+    assert quar[2] == "nonempty"
+    assert quar[3] == "score_range"
+    assert quar[4] == "nonempty,score_range"
+    m = {r.batch_id: r for r in spark.read.parquet(paths["metrics"]).collect()}
+    b1 = m[0]
+    assert (b1.n_in, b1.n_accepted, b1.n_quarantined) == (4, 1, 3)
+    assert (b1.v_nonempty, b1.v_score_range) == (2, 2)
+
+    # replay batch 1's data through a fresh stream over the same sinks:
+    # dynamic partition overwrite must leave one copy per batch_id
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, score double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = write_foreach_batch_dq_gate(
+        stream2, paths["acc"], paths["quar"], paths["metrics"],
+        str(tmp_path / "ck2"), rules,
+    )
+    q2.awaitTermination()
+    acc2 = spark.read.parquet(paths["acc"])
+    assert sorted(r.doc_id for r in acc2.collect()) == [1, 5]
