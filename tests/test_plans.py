@@ -393,12 +393,19 @@ def test_dq_expectations_scan_and_join_shape(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_dq_column_profile_single_scan(spark):
-    """All per-column metrics fold into one scan of orders."""
+def test_dq_column_profile_two_hash_passes(spark):
+    """The profiler runs exactly two scans (nulls/min/max agg +
+    distinct-pair pass) and must never fall into the wide-key
+    SortAggregate that multi-column COUNT DISTINCT produces."""
     from pinterest_data_pipeline6_spark.operators import dataquality
 
     plan = executed_plan(dataquality.dq_column_profile(spark, SF))
-    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    # the dedup must hash-aggregate on the narrow (cid, v) key — the
+    # old plan sort-aggregated on a 6-column key (keyless global
+    # SortAggregates are fine: no sort happens with an empty key)
+    assert "HashAggregate(keys=[cid" in plan, plan
+    assert "SortAggregate(key=[o_" not in plan, plan
 
 
 def test_freshness_single_scan_of_events(spark):
