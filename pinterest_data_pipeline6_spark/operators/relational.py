@@ -846,6 +846,57 @@ def ratio_to_report_share(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("priority", "status")
 
 
+
+def calendar_functions_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-function surface (SURVEY.md §2.8 F6/F7 widened): per
+    order month — month start/end (last_day), the next month
+    (add_months), quarter, the weekday of the month start (Sunday=1,
+    Spark convention; the oracle shifts DuckDB's Sunday=0), and the day
+    offset from a fixed anchor (datediff). One scan, one hash agg on
+    the month; every calendar expression runs on the ~#months-row
+    aggregate, not the fact rows."""
+    orders = table(spark, sf, "orders")
+    m = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    per_month = orders.select(m.alias("m")).groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return per_month.select(
+        F.col("m").cast("string").alias("month_start"),
+        F.last_day(F.col("m")).cast("string").alias("month_end"),
+        F.add_months(F.col("m"), 1).cast("string").alias("next_month"),
+        F.quarter(F.col("m")).alias("q"),
+        F.dayofweek(F.col("m")).alias("dow_first"),
+        F.datediff(F.col("m"), F.lit("1995-01-01").cast("date")).alias("days_from_anchor"),
+        "n_orders",
+    ).orderBy("month_start")
+
+
+
+def set_ops_all_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset set operations (§2.7 completed beyond the distinct
+    variants of ``set_ops_customers``): INTERSECT ALL and EXCEPT ALL
+    over the 1994-vs-1995 order-customer bags, where multiplicity =
+    orders per customer per year. Catalyst rewrites both into the
+    generated-count join form (no row-by-row matching); the rollup per
+    leg is a one-row aggregate."""
+    orders = table(spark, sf, "orders")
+    yr = F.year(F.col("o_orderdate"))
+    a = orders.where(yr == 1994).select("o_custkey")
+    b = orders.where(yr == 1995).select("o_custkey")
+    legs = [
+        ("intersect_all", a.intersectAll(b)),
+        ("except_all", a.exceptAll(b)),
+    ]
+    out = None
+    for tag, df in legs:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        ).select(F.lit(tag).alias("op"), "n_rows", "n_customers")
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("op")
+
+
 ORACLE: dict[str, str] = {
     "ratio_to_report_share": """
         WITH cells AS (
@@ -1190,6 +1241,32 @@ ORACLE: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
+    "calendar_functions_family": """
+        WITH per_month AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(m AS VARCHAR) AS month_start,
+               CAST(last_day(m) AS VARCHAR) AS month_end,
+               CAST(CAST(m + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+               CAST(quarter(m) AS INT) AS q,
+               CAST(dayofweek(m) + 1 AS INT) AS dow_first,
+               CAST(m - DATE '1995-01-01' AS INT) AS days_from_anchor,
+               n_orders
+        FROM per_month ORDER BY month_start
+    """,
+    "set_ops_all_variants": """
+        WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+             b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+             ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+             ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_custkey) AS n_customers FROM ia
+        UNION ALL
+        SELECT 'except_all', COUNT(*), COUNT(DISTINCT o_custkey) FROM ea
+        ORDER BY op
+    """,
     "set_ops_customers": """
         WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
                      WHERE o_orderdate BETWEEN '1994-01-01' AND '1994-12-31'),
@@ -1226,6 +1303,8 @@ QUERIES = {
     "case_bucket_counts": case_bucket_counts,
     "rollup_priority_status": rollup_priority_status,
     "set_ops_customers": set_ops_customers,
+    "calendar_functions_family": calendar_functions_family,
+    "set_ops_all_variants": set_ops_all_variants,
     "pivot_status_by_priority": pivot_status_by_priority,
     "semi_anti_customer_activity": semi_anti_customer_activity,
     "cube_priority_status": cube_priority_status,
