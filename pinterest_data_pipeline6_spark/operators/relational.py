@@ -897,6 +897,83 @@ def set_ops_all_variants(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("op")
 
 
+
+def price_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (equal-frequency) 10-bucket histogram of order
+    totals: per bucket the row count and the price range it spans —
+    the boundary set a cost-based optimizer or a pricing dashboard
+    derives from a fact column.
+
+    Reuses the distributed exact-ntile machinery built for
+    ``curriculum_deciles`` (range repartition + per-partition ranks +
+    scalar offset join — no single-partition sort), proving the
+    primitive generalizes beyond its first caller."""
+    from pinterest_data_pipeline6_spark.operators.textops import _distributed_ntile
+
+    orders = table(spark, sf, "orders")
+    scored = orders.select(
+        F.col("o_totalprice").alias("score"), F.col("o_orderkey").alias("doc_id")
+    )
+    binned = _distributed_ntile(scored, 10)
+    return (
+        binned.groupBy(F.col("decile").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("score"), 2).alias("lo_price"),
+            F.round(F.max("score"), 2).alias("hi_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def mad_price_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier accounting per order priority: exact median,
+    median absolute deviation (MAD), and how many orders sit more than
+    3 MADs from the median — the robust-statistics counterpart of
+    ``grouped_zscore_outliers`` (mean/stddev break down exactly when
+    outliers are present; the median/MAD pair does not).
+
+    Exact grouped medians are two sort-aggregates over (priority)
+    groups — bounded group count, so each median is a per-group sort,
+    parallel across groups; the per-group medians broadcast back for
+    the deviation pass. Two scans of orders (median, then deviations)
+    is inherent to MAD's two-level median. Medians round at 4 decimals,
+    not 2: even-count medians land exactly on .005 midpoints where the
+    engines' 1-ulp interpolation differences flip a 2-decimal round."""
+    orders = table(spark, sf, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med")
+    )
+    dev = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "med",
+            F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        )
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.first("med").alias("med"), F.median("adev").alias("mad")
+    )
+    out = (
+        orders.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.first("med"), 4).alias("median_price"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > 3 * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return out
+
+
 ORACLE: dict[str, str] = {
     "ratio_to_report_share": """
         WITH cells AS (
@@ -1267,6 +1344,37 @@ ORACLE: dict[str, str] = {
         SELECT 'except_all', COUNT(*), COUNT(DISTINCT o_custkey) FROM ea
         ORDER BY op
     """,
+    "price_equidepth_histogram": """
+        WITH binned AS (
+            SELECT o_totalprice AS score,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders
+        )
+        SELECT bucket, COUNT(*) AS n_orders,
+               ROUND(MIN(score), 2) AS lo_price,
+               ROUND(MAX(score), 2) AS hi_price
+        FROM binned GROUP BY bucket ORDER BY bucket
+    """,
+    "mad_price_outliers": """
+        WITH med AS (
+            SELECT o_orderpriority, median(o_totalprice) AS med
+            FROM orders GROUP BY o_orderpriority
+        ),
+        mad AS (
+            SELECT o.o_orderpriority, ANY_VALUE(m.med) AS med,
+                   median(abs(o.o_totalprice - m.med)) AS mad
+            FROM orders o JOIN med m USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
+        )
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(ANY_VALUE(d.med), 4) AS median_price,
+               ROUND(ANY_VALUE(d.mad), 4) AS mad,
+               CAST(SUM(CASE WHEN abs(o.o_totalprice - d.med) > 3 * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM orders o JOIN mad d USING (o_orderpriority)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
     "set_ops_customers": """
         WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
                      WHERE o_orderdate BETWEEN '1994-01-01' AND '1994-12-31'),
@@ -1305,6 +1413,8 @@ QUERIES = {
     "set_ops_customers": set_ops_customers,
     "calendar_functions_family": calendar_functions_family,
     "set_ops_all_variants": set_ops_all_variants,
+    "price_equidepth_histogram": price_equidepth_histogram,
+    "mad_price_outliers": mad_price_outliers,
     "pivot_status_by_priority": pivot_status_by_priority,
     "semi_anti_customer_activity": semi_anti_customer_activity,
     "cube_priority_status": cube_priority_status,

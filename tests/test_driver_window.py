@@ -38,8 +38,10 @@ def test_registry_order_is_stalest_first():
     from pinterest_data_pipeline6_spark.operators import (
         collections,
         curation,
+        dataquality,
         dedup,
         events,
+        graph,
         multimodal,
         privacy,
         relational,
@@ -52,6 +54,7 @@ def test_registry_order_is_stalest_first():
     for mod in (
         relational, events, textops, dedup, similarity,
         multimodal, collections, subqueries, privacy, curation,
+        dataquality, graph,
     ):
         merged.update(mod.QUERIES)
     orig = {n: i for i, n in enumerate(merged)}
