@@ -228,6 +228,51 @@ def lang_source_chisq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SKEW_TOP_KEYS = 10
+
+
+def hot_key_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-skew audit for a prospective join/agg key: the
+    SKEW_TOP_KEYS heaviest lineitem part keys with their row share and
+    the ratio to the mean key load — the numbers that decide whether a
+    key needs salting (`functions/partitioning.salted_join`) or AQE
+    skew-split before a 100 TB shuffle.
+
+    One hash agg (map-side combinable) to #keys rows; the mean/total
+    come from windows over that aggregate; TakeOrderedAndProject picks
+    the top keys without a full sort."""
+    li = table(spark, sf, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()
+    share = F.col("n_rows") / F.sum("n_rows").over(w)
+    skew = F.col("n_rows") / F.avg("n_rows").over(w)
+    return (
+        counts.select(
+            "l_partkey",
+            "n_rows",
+            F.round(share, 6).alias("row_share"),
+            F.round(skew, 4).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("l_partkey"))
+        .limit(SKEW_TOP_KEYS)
+    )
+
+
+ORACLE_HOT_KEY = f"""
+    WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_rows,
+           ROUND(n_rows / CAST(SUM(n_rows) OVER () AS DOUBLE), 6) AS row_share,
+           ROUND(n_rows / (CAST(SUM(n_rows) OVER () AS DOUBLE)
+                           / COUNT(*) OVER ()), 4) AS skew_factor
+    FROM counts
+    ORDER BY n_rows DESC, l_partkey ASC
+    LIMIT {SKEW_TOP_KEYS}
+"""
+
+
 _STATUS_IN = ", ".join(f"'{s}'" for s in ALLOWED_STATUS)
 
 ORACLE: dict[str, str] = {
@@ -334,9 +379,12 @@ ORACLE["lang_source_chisq"] = """
     FROM obs ORDER BY lang, source
 """
 
+ORACLE["hot_key_detection"] = ORACLE_HOT_KEY
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "dq_column_profile": dq_column_profile,
     "freshness_lag_stats": freshness_lag_stats,
     "lang_source_chisq": lang_source_chisq,
+    "hot_key_detection": hot_key_detection,
 }

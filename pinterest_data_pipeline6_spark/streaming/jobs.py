@@ -612,3 +612,65 @@ def write_foreach_batch_dq_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_foreach_batch_trending(
+    df: DataFrame,
+    counts_path: str,
+    snapshot_path: str,
+    checkpoint: str,
+    k: int = 3,
+    window_duration: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Trending-now sink: maintains a per-window top-k event-type
+    snapshot as the stream progresses. Each micro-batch (1) writes its
+    windowed per-type partial counts under its own ``batch_id``
+    partition (dynamic partition overwrite ⇒ replay-idempotent, same
+    contract as the DQ gate), then (2) recomputes the snapshot — total
+    counts per (window, type) across all batch partials, ranked, top k
+    per window — and atomically overwrites ``snapshot_path``.
+
+    The snapshot pass re-reads only the partials table (window × type ×
+    batch cardinality, not raw events); at scale the partials are
+    periodically compacted (``sources/io.compact_files``) so the
+    re-aggregation stays bounded — the classic
+    streaming-partials + batch-merge lambda shape, with the stream side
+    exactly-once."""
+    from pyspark.sql.window import Window as W
+
+    def trending_batch(batch: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch.groupBy(
+                F.window("ts", window_duration).getField("start").alias("win_start"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counts_path)
+        )
+        spark = batch.sparkSession
+        totals = (
+            spark.read.parquet(counts_path)
+            .groupBy("win_start", "event_type")
+            .agg(F.sum("n").alias("n"))
+        )
+        rnk = F.row_number().over(
+            W.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+        )
+        top = totals.withColumn("rank", rnk).where(F.col("rank") <= k)
+        top.write.mode("overwrite").parquet(snapshot_path)
+
+    writer = (
+        df.writeStream.foreachBatch(trending_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

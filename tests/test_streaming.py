@@ -566,3 +566,60 @@ def test_foreach_batch_dq_gate_routes_and_accounts(spark, tmp_path):
     q2.awaitTermination()
     acc2 = spark.read.parquet(paths["acc"])
     assert sorted(r.doc_id for r in acc2.collect()) == [1, 5]
+
+
+def test_foreach_batch_trending_topk(spark, tmp_path):
+    """Trending sink: the snapshot holds the top-k event types per
+    window with counts merged ACROSS micro-batches, and replaying the
+    stream leaves the snapshot unchanged (idempotent partials)."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = "2024-03-01T10:{m:02d}:00"
+    rows1 = (
+        [{"event_id": i, "ts": base.format(m=i % 50), "event_type": "view"} for i in range(6)]
+        + [{"event_id": 10 + i, "ts": base.format(m=i % 50), "event_type": "click"} for i in range(3)]
+    )
+    rows2 = (
+        [{"event_id": 20 + i, "ts": base.format(m=i % 50), "event_type": "click"} for i in range(5)]
+        + [{"event_id": 30 + i, "ts": base.format(m=i % 50), "event_type": "share"} for i in range(1)]
+    )
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    def run(ck: str):
+        from pinterest_data_pipeline6_spark.streaming.jobs import (
+            write_foreach_batch_trending,
+        )
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = write_foreach_batch_trending(
+            stream,
+            str(tmp_path / "counts"),
+            str(tmp_path / "snapshot"),
+            str(tmp_path / ck),
+            k=2,
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    snap = {
+        (r.event_type): (r.n, r.rank)
+        for r in spark.read.parquet(str(tmp_path / "snapshot")).collect()
+    }
+    # merged across batches: click 3+5=8 beats view 6; share never ranks
+    assert snap["click"] == (8, 1)
+    assert snap["view"] == (6, 2)
+    assert "share" not in snap
+
+    run("ck2")  # full replay over the same sinks
+    snap2 = {
+        (r.event_type): (r.n, r.rank)
+        for r in spark.read.parquet(str(tmp_path / "snapshot")).collect()
+    }
+    assert snap2 == snap
