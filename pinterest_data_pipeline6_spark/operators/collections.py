@@ -329,6 +329,39 @@ def morton_bucket_counts(spark: SparkSession, sf: str) -> DataFrame:
 # replaced by size identities on distinct inputs.
 # ---------------------------------------------------------------------------
 
+
+LONG_TOKEN = 7  # longest corpus tokens are 8 chars: >7 exercises BOTH branches
+
+
+def explode_outer_rare_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-preserving explode (`explode_outer`): flatten each
+    document's rare (>LONG_TOKEN chars) tokens, keeping docs with NO
+    rare token as a single NULL row — the left-join-lateral semantics
+    a flatten must have when downstream counts still need every parent
+    row. Per language: exploded row count, how many of those are the
+    NULL placeholders, and the distinct rare-token count.
+
+    The filter + explode are row-local (one scan, no shuffle before the
+    per-language agg); the oracle computes the same numbers in closed
+    form (rows per doc = max(len, 1)) — no lateral join needed to
+    CHECK the semantics, which is itself the point: explode_outer adds
+    exactly one row for an empty array."""
+    docs = table(spark, sf, "documents")
+    rare = F.filter(
+        F.split(F.col("text"), " "), lambda t: F.length(t) > LONG_TOKEN
+    )
+    return (
+        docs.select("lang", F.explode_outer(rare).alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("tok").isNull().cast("bigint")).alias("n_null_rows"),
+            F.count_distinct(F.col("tok")).alias("n_rare_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLE: dict[str, str] = {
     "hof_token_metrics": """
         SELECT lang, COUNT(*) AS n_docs,
@@ -479,7 +512,27 @@ def _morton_oracle() -> str:
 
 ORACLE["morton_bucket_counts"] = _morton_oracle()
 
+ORACLE["explode_outer_rare_tokens"] = f"""
+    WITH per_doc AS (
+        SELECT lang,
+               list_filter(string_split(text, ' '), x -> length(x) > {LONG_TOKEN})
+                   AS rare
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(greatest(len(rare), 1)) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN len(rare) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_rows,
+           (SELECT COUNT(DISTINCT t)
+            FROM per_doc p2, unnest(p2.rare) AS u(t)
+            WHERE p2.lang = per_doc.lang) AS n_rare_tokens
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+"""
+
 QUERIES = {
+    "explode_outer_rare_tokens": explode_outer_rare_tokens,
     "hof_token_metrics": hof_token_metrics,
     "hof_exists_forall": hof_exists_forall,
     "hof_position_weighted": hof_position_weighted,

@@ -730,6 +730,42 @@ def random_projection_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def arrow_batch_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInArrow surface (the RecordBatch-level sibling of the Pandas
+    UDF paths — zero pandas materialization, the batch stays an Arrow
+    buffer end-to-end): per-vector L2 norm computed with numpy over the
+    Arrow FixedSizeList values, emitted for the 1-in-25 vec_id sample.
+
+    Same scale posture as ``pandas_udf_norms``: Arrow-batched transfer,
+    vectorized math, one narrow projection — but without the
+    Arrow→pandas→Arrow conversion tax, which is the right default for
+    numeric-only batch transforms at 100 TB."""
+    import pyarrow as pa
+
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
+    sample = emb.where(F.col("vec_id") % 25 == 0).select("vec_id", "label", "embedding")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_id = batch.column(0)
+            label = batch.column(1)
+            embs = batch.column(2)
+            # list<float> -> (n, dim) float64 matrix without pandas
+            # (flatten respects slice offsets, unlike .values)
+            flat = np.asarray(embs.flatten(), dtype=np.float64)
+            mat = flat.reshape(len(embs), -1)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, label, pa.array(np.round(nrm, 6), type=pa.float64())],
+                ["vec_id", "label", "norm"],
+            )
+
+    out = sample.mapInArrow(norms, "vec_id long, label int, norm double")
+    return out.orderBy("vec_id")
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -743,6 +779,7 @@ QUERIES = {
     "pandas_udaf_weighted_price": pandas_udaf_weighted_price,
     "embedding_quantization_error": embedding_quantization_error,
     "random_projection_stats": random_projection_stats,
+    "arrow_batch_norms": arrow_batch_norms,
 }
 
 
@@ -774,3 +811,14 @@ def _rp_oracle_sql() -> str:
 
 
 ORACLE["random_projection_stats"] = _rp_oracle_sql()
+
+_SQ_NORM_SQL = " + ".join(
+    f"CAST(embedding[{_i + 1}] AS DOUBLE) * CAST(embedding[{_i + 1}] AS DOUBLE)"
+    for _i in range(DIM)
+)
+ORACLE["arrow_batch_norms"] = f"""
+    SELECT vec_id, label, ROUND(sqrt({_SQ_NORM_SQL}), 6) AS norm
+    FROM embeddings
+    WHERE vec_id % 25 = 0
+    ORDER BY vec_id
+"""

@@ -470,3 +470,22 @@ def test_skyline_joins_back_via_broadcast(spark):
     assert has_broadcast_join(df)
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_arrow_batch_norms_plans_as_map_in_arrow(spark):
+    """The RecordBatch path must plan as the Arrow map node — never a
+    pickled row loop — and keep the sample filter pushed to the scan."""
+    from pinterest_data_pipeline6_spark.operators import similarity
+
+    plan = executed_plan(similarity.arrow_batch_norms(spark, SF))
+    assert "MapInArrow" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_explode_outer_single_scan(spark):
+    """NULL-preserving flatten: one scan, one Generate, one agg."""
+    from pinterest_data_pipeline6_spark.operators import collections
+
+    plan = executed_plan(collections.explode_outer_rare_tokens(spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Generate explode" in plan, plan
