@@ -1,5 +1,7 @@
 """Data-quality / expectations operators: a Deequ-style constraint
-suite, a column profiler, and an event-time freshness monitor.
+suite, a column profiler, an event-time freshness monitor, a
+chi-square distribution-independence monitor, and a shuffle-skew
+(hot-key) audit.
 
 Beyond-reference capability (the reference repo validates nothing — its
 cleaning notebook assumes well-formed rows; SURVEY.md §2.13 documents
@@ -19,13 +21,15 @@ Spark-first shapes:
   the matched row — one shuffle pays for both rules. The rule ledger
   itself is built by unpivoting the one-row aggregate with `stack`
   (rows = rules, never a second scan).
-- **column profile**: per-column null counts, distinct counts, min/max
-  — again one aggregation pass; the per-column layout comes from
-  `stack` over the single aggregate row. COUNT(DISTINCT a, b, c...)
-  with several distinct-columns plans as one Expand (multiplies rows by
-  #distinct-aggs) — acceptable for a profile pass; a cheaper
+- **column profile**: nulls/min/max in one plain aggregate pass;
+  distinct counts via an unpivoted (column, value) pair dedup that
+  stays in HashAggregate (see the function docstring for why the
+  multi-column COUNT DISTINCT form was rejected); the cheaper
   `approx_count_distinct` variant is the knob at 100 TB (exact kept
   here for oracle parity).
+- **chi-square / hot keys**: both aggregate first, then run every
+  window over the bounded aggregate (contingency cells / key counts),
+  so the plan shape is flat at any input scale.
 - **freshness**: max event-time per type vs the corpus watermark —
   a #event-types-row aggregate; the global watermark comes from an
   unpartitioned window over that tiny aggregate (never a second scan

@@ -260,3 +260,46 @@ def test_events_ts_reader_handles_both_parquet_encodings(spark, tmp_path):
         got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
         assert got == micros, sub
     _TABLE_CACHE.clear()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution at rest: files written before and after a
+    column was added read back as ONE table with mergeSchema, old rows
+    NULL in the new column — the contract a long-lived 100 TB dataset
+    depends on when its producer adds a field."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    old.write.parquet(str(tmp_path / "t" / "batch=0"))
+    new = spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    )
+    new.write.parquet(str(tmp_path / "t" / "batch=1"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[3] == 0.5 and rows[1] is None and rows[2] is None
+
+
+def test_json_corrupt_record_isolation(spark, tmp_path):
+    """PERMISSIVE JSON parsing with an explicit _corrupt_record column:
+    malformed lines land in quarantine-able rows instead of failing the
+    job or silently vanishing — the ingest posture for a crawl feed
+    where some fraction of payloads is always broken."""
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "{not json at all}\n"
+        '{"doc_id": 2, "text": "fine"}\n'
+    )
+    schema = "doc_id long, text string, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert sorted(r.doc_id for r in good) == [1, 2]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
