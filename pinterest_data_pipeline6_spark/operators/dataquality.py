@@ -277,6 +277,31 @@ ORACLE_HOT_KEY = f"""
 """
 
 
+
+def fk_fanout_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality audit for the orders→customer FK: the
+    distribution of orders-per-customer, bucketed in powers of two —
+    with ``hot_key_detection`` this is what sizes a prospective join
+    (expected fanout, tail mass) before it runs at 100 TB.
+
+    Two shrinking hash aggs (rows → per-key counts → bucket counts);
+    the bucket expression is integer log2 arithmetic, portable to the
+    oracle via floor(log2(n))."""
+    orders = table(spark, sf, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    bucket = F.floor(F.log2("n")).cast("int")
+    return (
+        per_key.groupBy(bucket.alias("fanout_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("n").alias("min_orders"),
+            F.max("n").alias("max_orders"),
+            F.sum("n").alias("n_orders"),
+        )
+        .orderBy("fanout_bucket")
+    )
+
+
 _STATUS_IN = ", ".join(f"'{s}'" for s in ALLOWED_STATUS)
 
 ORACLE: dict[str, str] = {
@@ -385,10 +410,24 @@ ORACLE["lang_source_chisq"] = """
 
 ORACLE["hot_key_detection"] = ORACLE_HOT_KEY
 
+ORACLE["fk_fanout_histogram"] = """
+    WITH per_key AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(FLOOR(log2(n)) AS INT) AS fanout_bucket,
+           COUNT(*) AS n_customers,
+           MIN(n) AS min_orders,
+           MAX(n) AS max_orders,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM per_key
+    GROUP BY 1 ORDER BY 1
+"""
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "dq_column_profile": dq_column_profile,
     "freshness_lag_stats": freshness_lag_stats,
     "lang_source_chisq": lang_source_chisq,
     "hot_key_detection": hot_key_detection,
+    "fk_fanout_histogram": fk_fanout_histogram,
 }
