@@ -4,6 +4,7 @@ from pinterest_data_pipeline6_spark.plans.checks import (  # noqa: F401
     has_broadcast_join,
     has_pushed_filter,
     has_take_ordered,
+    plan_audit,
     read_schema_columns,
     wholestage_codegen_count,
 )

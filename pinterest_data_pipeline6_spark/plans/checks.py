@@ -66,3 +66,35 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     if "AdaptiveSparkPlan" in plan:
         plan = final_plan(df)
     return len(set(re.findall(r"\*\(\d+\)", plan)))
+
+
+def plan_audit(df: DataFrame) -> dict:
+    """One-call cost audit of a DataFrame's physical plan — the numbers
+    a reviewer asks about before shipping a query to a 1000-executor
+    cluster, parsed from the executed plan:
+
+    - ``n_scans`` / ``scan_columns``: file scans and what each reads
+      (column pruning);
+    - ``n_exchanges``: shuffle count — each is a full network pass;
+    - ``n_broadcasts``: broadcast exchanges (small-side joins);
+    - ``has_cartesian`` / ``has_bnlj``: nested-loop hazards;
+    - ``take_ordered``: top-k compiled without a global sort;
+    - ``pushed_filters``: predicates that reached the scans.
+
+    Text parsing keeps it dependency-free and version-tolerant; the
+    same properties are pinned per-operator in tests/test_plans.py —
+    this function is the interactive/reporting form.
+    """
+    plan = executed_plan(df)
+    return {
+        "n_scans": plan.count("FileScan parquet"),
+        "scan_columns": [sorted(s) for s in read_schema_columns(df)],
+        "n_exchanges": len(re.findall(r"Exchange (?!SinglePartition)", plan))
+        + plan.count("Exchange SinglePartition"),
+        "n_single_partition_exchanges": plan.count("Exchange SinglePartition"),
+        "n_broadcasts": plan.count("BroadcastExchange"),
+        "has_cartesian": "CartesianProduct" in plan,
+        "has_bnlj": "BroadcastNestedLoopJoin" in plan,
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+    }

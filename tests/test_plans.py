@@ -489,3 +489,18 @@ def test_explode_outer_single_scan(spark):
     plan = executed_plan(collections.explode_outer_rare_tokens(spark, SF))
     assert plan.count("FileScan parquet") == 1, plan
     assert "Generate explode" in plan, plan
+
+
+def test_plan_audit_reports_expected_shape(spark):
+    """plan_audit's counters must agree with the per-property helpers
+    on a known plan (q1: broadcasts, no cartesian, pushed scans)."""
+    from pinterest_data_pipeline6_spark.plans import plan_audit
+
+    audit = plan_audit(relational.q1_category_per_country(spark, SF))
+    assert audit["n_scans"] >= 2
+    assert audit["n_broadcasts"] >= 1
+    assert not audit["has_cartesian"]
+    assert isinstance(audit["scan_columns"], list) and audit["scan_columns"]
+
+    top = plan_audit(relational.q3b_global_top_account(spark, SF))
+    assert top["take_ordered"]
