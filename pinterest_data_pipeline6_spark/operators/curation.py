@@ -377,7 +377,51 @@ _thr_sql = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in SAMPLE_THRESHOLDS.items()
 ) + f" ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END"
 
+
+PROMPT_FRACTION = 4  # first 1/4 of tokens are prompt (loss-masked)
+
+
+def loss_mask_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sample conversion accounting: when each document
+    becomes a (prompt, completion) pair with the first 1/PROMPT_FRACTION
+    of its tokens loss-masked, how many tokens per language train vs
+    ride along masked — the number that converts corpus size into
+    effective training tokens for a data budget.
+
+    Pure closed-form integer arithmetic per row (floor division on the
+    token count — no token materialization, no shuffle before the
+    per-language rollup)."""
+    docs = table(spark, sf, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    prompt = F.floor(n_tok / PROMPT_FRACTION).cast("bigint")
+    return (
+        docs.select("lang", n_tok.alias("n"), prompt.alias("p"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum("p").alias("masked_tokens"),
+            (F.sum("n") - F.sum("p")).alias("trained_tokens"),
+            F.round(F.sum("p") / F.sum("n"), 6).alias("mask_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "loss_mask_accounting": f"""
+        WITH t AS (
+            SELECT lang, len(string_split(text, ' ')) AS n,
+                   len(string_split(text, ' ')) // {PROMPT_FRACTION} AS p
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(p) AS BIGINT) AS masked_tokens,
+               CAST(SUM(n) - SUM(p) AS BIGINT) AS trained_tokens,
+               ROUND(SUM(p) / CAST(SUM(n) AS DOUBLE), 6) AS mask_ratio
+        FROM t GROUP BY lang ORDER BY lang
+    """,
     "weighted_sample_topk": f"""
         WITH keyed AS (
             SELECT source, doc_id, n_chars AS weight,
@@ -475,6 +519,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "loss_mask_accounting": loss_mask_accounting,
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "export_shard_histogram": export_shard_histogram,
     "dataset_split_counts": dataset_split_counts,
