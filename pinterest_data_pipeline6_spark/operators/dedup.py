@@ -107,6 +107,26 @@ _MINHASH_A = [2 * i + 3 for i in range(N_MINHASH)]   # 3,5,..,33 — all coprime
 _MINHASH_B = [7919 * (i + 1) for i in range(N_MINHASH)]
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m_0..m_15) MinHash signature table for any relation with
+    (doc_id, text): one portable 64-bit base hash per shingle occurrence,
+    the 16 permutations as overflow-safe arithmetic on it, ONE shuffle
+    (partial+final min aggregate). Shared by the banding path below and
+    the estimate-vs-exact error audit."""
+    exploded = _exploded_shingles(docs, "doc_id")
+    base = (_h64_spark(F.col("shingle")) % MINHASH_P).alias("hb")
+    return (
+        exploded.select("doc_id", base)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("hb") * _MINHASH_A[i] + _MINHASH_B[i]) % MINHASH_P).alias(f"m_{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+    )
+
+
 def band_keys_for(docs: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_key) for any relation with (doc_id,
     text): the LSH bucket membership table — shared by the batch
@@ -120,14 +140,7 @@ def band_keys_for(docs: DataFrame) -> DataFrame:
     set, so signatures are unchanged while the array_distinct +
     interpreted-lambda pass disappears. Band keys are md5 digests over
     each band's 4-minhash row."""
-    exploded = _exploded_shingles(docs, "doc_id")
-    base = (_h64_spark(F.col("shingle")) % MINHASH_P).alias("hb")
-    sig = exploded.select("doc_id", base).groupBy("doc_id").agg(
-        *[
-            F.min((F.col("hb") * _MINHASH_A[i] + _MINHASH_B[i]) % MINHASH_P).alias(f"m_{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
+    sig = minhash_signatures(docs)
     band_keys = F.array(
         *[
             F.md5(
@@ -651,6 +664,169 @@ def bow_dedup_gain(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BOILER_N = 5  # boilerplate phrase width (word n-gram)
+BOILER_MIN_DOCS = 3  # phrase must appear in >= this many distinct docs
+
+
+def boilerplate_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate-phrase accounting (RefinedWeb/C4-style line dedup,
+    adapted to unstructured text as word 5-grams): a phrase is
+    boilerplate when it occurs in >= BOILER_MIN_DOCS distinct documents
+    (nav bars, license headers, templated footers). Per source: total
+    5-gram occurrences, occurrences covered by boilerplate phrases, and
+    the boilerplate fraction — the number a cleaning pass would remove.
+
+    Scale shape: one explode (codegen index path, hashes only from
+    there on), ONE distinct-doc-count shuffle keyed on the 8-byte
+    phrase hash, then the (small, threshold-pruned) hot-phrase set
+    joins back AS THE BUILD SIDE — at a production threshold the hot
+    set is tiny relative to the corpus, so it broadcasts and the
+    occurrence stream is never shuffled a second time."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    occ = _exploded_shingles(docs, "doc_id", "source", n=BOILER_N).select(
+        "doc_id", "source", _h64_spark(F.col("shingle")).alias("h")
+    )
+    hot = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("h", F.lit(1).alias("boiler"))
+    )
+    return (
+        occ.join(F.broadcast(hot), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("boiler"), F.lit(0))).cast("bigint").alias("n_boilerplate"),
+            F.round(
+                F.avg(F.when(F.col("boiler").isNotNull(), 1.0).otherwise(0.0)), 6
+            ).alias("boiler_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+BATCH_SOURCE = "src19"  # stand-in for the newest crawl increment
+
+
+def incremental_dedup_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest dedup: the newest source plays the incoming
+    batch; every other source is the historical corpus. A batch doc is
+    rejected when its exact text digest already exists in history. Per
+    language: batch size, exact-dup rejects, accepted docs — the
+    accept/reject ledger an append-only ingestion pipeline emits.
+
+    Scale shape: history is represented ONLY by its 16-byte digest
+    index (at 100 TB that index lives bucketed on digest, so the probe
+    is co-located); the incoming batch — typically orders of magnitude
+    smaller than history — is the side that moves. Here that is a
+    digest-keyed left join whose flag feeds one rollup; AQE picks the
+    broadcast side. The LSH analogue (near-dup against history) is the
+    streaming sink ``write_foreach_batch_neardup``."""
+    docs = table(spark, sf, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    batch = docs.filter(F.col("source") == BATCH_SOURCE).select(
+        "doc_id", "lang", digest.alias("digest")
+    )
+    hist = (
+        docs.filter(F.col("source") != BATCH_SOURCE)
+        .select(digest.alias("digest"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        batch.join(hist, "digest", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("bigint").alias("n_exact_dup"),
+            F.sum(F.when(F.col("dup").isNull(), 1).otherwise(0)).cast("bigint").alias(
+                "n_accepted"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ERR_BUCKETS = 20  # 0.05-wide |estimate - exact| error buckets
+
+
+def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, compare the
+    MinHash Jaccard ESTIMATE (matching signature components / 16)
+    against the EXACT distinct-shingle Jaccard, bucketed by absolute
+    error (0.05-wide). The per-bucket pair counts plus pooled
+    estimate/exact means are the calibration table that justifies the
+    (bands, rows) operating point to whoever consumes the dedup output.
+
+    Scale shape: signatures are computed ONCE (one min-agg shuffle) and
+    reused for banding and for the estimate; the exact measure joins
+    shingle SETS only onto the candidate pairs (sub-O(n²) by
+    construction), never all pairs. All per-pair math is deterministic
+    IEEE double (identical in DuckDB); aggregates ride exact integer
+    sums, so the cross-engine hash matches bit-for-bit."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    sig = minhash_signatures(docs)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m_{i}").alias(f"am_{i}") for i in range(N_MINHASH)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m_{i}").alias(f"bm_{i}") for i in range(N_MINHASH)]
+    )
+    k = sum(
+        F.when(F.col(f"am_{i}") == F.col(f"bm_{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    est = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b").select("doc_a", "doc_b", k.alias("k"))
+    sets = docs.select("doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh"))
+    scored = (
+        est.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "k",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).alias(
+                "uni"
+            ),
+        )
+    )
+    err = F.abs(F.col("k") / 16.0 - F.col("inter").cast("double") / F.col("uni"))
+    return (
+        scored.select(
+            F.floor(err * ERR_BUCKETS).cast("int").alias("err_bucket"), "k", "inter", "uni"
+        )
+        .groupBy("err_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("k") / (16.0 * F.count("*")), 6).alias("avg_est"),
+            F.round(F.sum("inter").cast("double") / F.sum("uni"), 6).alias("avg_exact"),
+        )
+        .orderBy("err_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (SQL assembled with plain loops — the generated
 # text mirrors the Spark expression tree clause for clause)
@@ -875,6 +1051,80 @@ ORACLE: dict[str, str] = {
         )
         GROUP BY csize
     """,
+    "boilerplate_ngram_stats": f"""
+        WITH occ AS (
+            SELECT doc_id, source, {H64_SQL.format(expr="shingle")} AS h
+            FROM (
+                SELECT doc_id, source,
+                       unnest(list_transform(
+                           generate_series(1, len(string_split(text,' ')) - {BOILER_N - 1}),
+                           i -> array_to_string(string_split(text,' ')[i:i+{BOILER_N - 1}], ' ')))
+                           AS shingle
+                FROM documents
+            )
+        ),
+        hot AS (
+            SELECT h, 1 AS boiler
+            FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY h)
+            WHERE nd >= {BOILER_MIN_DOCS}
+        )
+        SELECT source, COUNT(*) AS n_ngrams,
+               CAST(SUM(CASE WHEN hot.boiler IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boilerplate,
+               ROUND(AVG(CASE WHEN hot.boiler IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+                   AS boiler_frac
+        FROM occ LEFT JOIN hot ON occ.h = hot.h
+        GROUP BY source
+    """,
+    "incremental_dedup_batch": f"""
+        WITH batch AS (
+            SELECT doc_id, lang, md5(lower(trim(text))) AS digest
+            FROM documents WHERE source = '{BATCH_SOURCE}'
+        ),
+        hist AS (
+            SELECT DISTINCT md5(lower(trim(text))) AS digest, 1 AS dup
+            FROM documents WHERE source <> '{BATCH_SOURCE}'
+        )
+        SELECT lang, COUNT(*) AS n_batch,
+               CAST(SUM(CASE WHEN h.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_dup,
+               CAST(SUM(CASE WHEN h.dup IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_accepted
+        FROM batch b LEFT JOIN hist h ON b.digest = h.digest
+        GROUP BY lang
+    """,
+    "minhash_estimate_error": f"""
+        WITH sig AS ({{sig}}),
+        banded AS ({{band}}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT p.doc_a, p.doc_b, ({{k_sql}}) AS k
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.doc_a
+            JOIN sig sb ON sb.doc_id = p.doc_b
+        ),
+        sets AS (SELECT doc_id, {{sh}} AS sh FROM documents),
+        scored AS (
+            SELECT e.k,
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+            FROM est e
+            JOIN sets a ON a.doc_id = e.doc_a
+            JOIN sets b ON b.doc_id = e.doc_b
+        )
+        SELECT CAST(FLOOR(ABS(k / 16.0 - CAST(inter AS DOUBLE) / uni) * {ERR_BUCKETS}) AS INT)
+                   AS err_bucket,
+               COUNT(*) AS n_pairs,
+               ROUND(SUM(k) / (16.0 * COUNT(*)), 6) AS avg_est,
+               ROUND(CAST(SUM(inter) AS DOUBLE) / SUM(uni), 6) AS avg_exact
+        FROM scored
+        GROUP BY 1
+    """,
     "bow_dedup_gain": """
         SELECT source,
                COUNT(*) AS n_docs,
@@ -891,6 +1141,13 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+_K_SQL = " + ".join(
+    f"CASE WHEN sa.m_{_i} = sb.m_{_i} THEN 1 ELSE 0 END" for _i in range(N_MINHASH)
+)
+ORACLE["minhash_estimate_error"] = ORACLE["minhash_estimate_error"].format(
+    sig=_SIG_SQL, band=_BAND_SQL, k_sql=_K_SQL, sh=_SHINGLES_SQL
+)
+
 QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "minhash_band_pairs": minhash_band_pairs,
@@ -903,4 +1160,7 @@ QUERIES = {
     "span_dedup_stats": span_dedup_stats,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "bow_dedup_gain": bow_dedup_gain,
+    "boilerplate_ngram_stats": boilerplate_ngram_stats,
+    "incremental_dedup_batch": incremental_dedup_batch,
+    "minhash_estimate_error": minhash_estimate_error,
 }
