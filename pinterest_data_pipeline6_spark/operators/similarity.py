@@ -262,6 +262,45 @@ def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the LSH-bucketed and IVF
+    single-probe searches against the brute-force ground truth, per
+    query — the evaluation every ANN deployment runs before swapping
+    the exact scan out. Emits hit counts and recall ratios so a recall
+    regression (e.g. after re-training centroids or changing LSH bits)
+    fails loudly.
+
+    Scale shape: the expensive work is the three underlying searches,
+    each already scale-shaped (broadcast queries; bucket/cell-blocked
+    candidate joins). The evaluation itself joins top-k RESULT sets —
+    n_queries x k rows — so its cost is negligible and independent of
+    corpus size."""
+    truth = knn_brute_force(spark, sf).select("query_id", "vec_id")
+    lsh = knn_lsh_bucketed(spark, sf).select(
+        "query_id", "vec_id", F.lit(1).alias("lsh_hit")
+    )
+    ivf = knn_ivf(spark, sf).select("query_id", "vec_id", F.lit(1).alias("ivf_hit"))
+    return (
+        truth.join(lsh, ["query_id", "vec_id"], "left")
+        .join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.sum(F.coalesce(F.col("lsh_hit"), F.lit(0))).cast("bigint").alias("lsh_hits"),
+            F.sum(F.coalesce(F.col("ivf_hit"), F.lit(0))).cast("bigint").alias("ivf_hits"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "lsh_hits",
+            "ivf_hits",
+            F.round(F.col("lsh_hits") / F.col("n_truth"), 4).alias("lsh_recall"),
+            F.round(F.col("ivf_hits") / F.col("n_truth"), 4).alias("ivf_recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -780,6 +819,7 @@ QUERIES = {
     "embedding_quantization_error": embedding_quantization_error,
     "random_projection_stats": random_projection_stats,
     "arrow_batch_norms": arrow_batch_norms,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 
@@ -821,4 +861,26 @@ ORACLE["arrow_batch_norms"] = f"""
     FROM embeddings
     WHERE vec_id % 25 = 0
     ORDER BY vec_id
+"""
+
+ORACLE["ann_recall_eval"] = f"""
+    WITH truth AS ({_KNN_BRUTE_SQL}),
+    lsh AS ({_KNN_LSH_SQL}),
+    ivf AS ({_KNN_IVF_SQL}),
+    hits AS (
+        SELECT t.query_id,
+               COUNT(*) AS n_truth,
+               CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS lsh_hits,
+               CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ivf_hits
+        FROM truth t
+        LEFT JOIN lsh l ON l.query_id = t.query_id AND l.vec_id = t.vec_id
+        LEFT JOIN ivf v ON v.query_id = t.query_id AND v.vec_id = t.vec_id
+        GROUP BY t.query_id
+    )
+    SELECT query_id, n_truth, lsh_hits, ivf_hits,
+           ROUND(CAST(lsh_hits AS DOUBLE) / n_truth, 4) AS lsh_recall,
+           ROUND(CAST(ivf_hits AS DOUBLE) / n_truth, 4) AS ivf_recall
+    FROM hits
 """
