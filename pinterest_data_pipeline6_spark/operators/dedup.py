@@ -760,13 +760,17 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
     (bands, rows) operating point to whoever consumes the dedup output.
 
     Scale shape: signatures are computed ONCE (one min-agg shuffle) and
-    reused for banding and for the estimate; the exact measure joins
+    reused by all three consumers — banding and both pair sides — via
+    ``localCheckpoint(eager=False)``; without it Catalyst would inline
+    and recompute the shingle-explode + min-agg subtree three times
+    (signatures are 17 narrow columns per doc, exactly what a
+    production pipeline persists anyway). The exact measure joins
     shingle SETS only onto the candidate pairs (sub-O(n²) by
     construction), never all pairs. All per-pair math is deterministic
     IEEE double (identical in DuckDB); aggregates ride exact integer
     sums, so the cross-engine hash matches bit-for-bit."""
     docs = widen_small_scan(table(spark, sf, "documents"))
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
     band_keys = F.array(
         *[
             F.md5(

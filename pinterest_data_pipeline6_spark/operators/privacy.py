@@ -155,6 +155,62 @@ def source_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SEM_BENCH_MOD = 10  # vec_id % 10 == 0 plays the benchmark embedding set
+SEM_COS_FLAG = 0.3  # cosine above this ⇒ semantically contaminated
+
+
+def semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination — the complement of
+    the exact n-gram rule in ``decontamination_overlap``: a corpus
+    vector is contaminated when ANY benchmark vector in its LSH bucket
+    has cosine > 0.3 (catches paraphrased benchmark leakage that exact
+    n-grams miss). Per label: corpus size, flagged, clean.
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so
+    it BROADCASTS; the LSH-bucket equality keys the join, so each
+    corpus vector is compared only against bucket-mates, and the
+    corpus is never shuffled. Same signature/cosine primitives (and
+    therefore bit-identical oracle math) as the similarity family."""
+    from pinterest_data_pipeline6_spark.operators.dedup import _dot64, _norm64
+    from pinterest_data_pipeline6_spark.operators.similarity import _signature
+
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
+    signed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _signature(F.col("embedding")).alias("bucket"),
+        _norm64(F.col("embedding")).alias("nrm"),
+    )
+    bench = signed.filter(F.col("vec_id") % SEM_BENCH_MOD == 0).select(
+        F.col("embedding").alias("bv"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    corpus = signed.filter(F.col("vec_id") % SEM_BENCH_MOD != 0)
+    cos = _dot64(F.col("embedding"), F.col("bv")) / (F.col("nrm") * F.col("b_nrm"))
+    flagged = (
+        corpus.join(F.broadcast(bench), F.col("bucket") == F.col("b_bucket"))
+        .filter(cos > SEM_COS_FLAG)
+        .select("vec_id")
+        .distinct()
+        .withColumn("flagged", F.lit(1))
+    )
+    return (
+        corpus.select("vec_id", "label")
+        .join(flagged, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_corpus"),
+            F.sum(F.coalesce(F.col("flagged"), F.lit(0))).cast("bigint").alias("n_flagged"),
+            F.sum(F.when(F.col("flagged").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean"),
+        )
+        .orderBy("label")
+    )
+
+
 def corpus_drift_kl(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-drift monitor: KL divergence (base 2, add-one
     smoothed) between the language mix of two corpus halves (doc_id
@@ -277,9 +333,39 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def _semantic_decontam_sql() -> str:
+    """Oracle for semantic_decontamination: same literal-hyperplane
+    signature and left-fold cosine as the similarity oracles, so the
+    bucket assignment and the threshold compare are bit-identical."""
+    from pinterest_data_pipeline6_spark.operators.similarity import _SIG_SQL, _cos_sql
+
+    return f"""
+        WITH signed AS (
+            SELECT vec_id, label, embedding, {_SIG_SQL} AS bucket FROM embeddings
+        ),
+        bench AS (SELECT * FROM signed WHERE vec_id % {SEM_BENCH_MOD} = 0),
+        corpus AS (SELECT * FROM signed WHERE vec_id % {SEM_BENCH_MOD} <> 0),
+        flagged AS (
+            SELECT DISTINCT c.vec_id, 1 AS flagged
+            FROM corpus c JOIN bench b ON c.bucket = b.bucket
+            WHERE {_cos_sql("c.embedding", "b.embedding")} > {SEM_COS_FLAG}
+        )
+        SELECT label, COUNT(*) AS n_corpus,
+               CAST(SUM(CASE WHEN f.flagged IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               CAST(SUM(CASE WHEN f.flagged IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clean
+        FROM corpus c LEFT JOIN flagged f ON c.vec_id = f.vec_id
+        GROUP BY label
+    """
+
+
+ORACLE["semantic_decontamination"] = _semantic_decontam_sql()
+
 QUERIES = {
     "pii_redaction_stats": pii_redaction_stats,
     "decontamination_overlap": decontamination_overlap,
     "source_mixture_weights": source_mixture_weights,
     "corpus_drift_kl": corpus_drift_kl,
+    "semantic_decontamination": semantic_decontamination,
 }

@@ -97,6 +97,44 @@ def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BPE_TOP_MERGES = 20  # merge candidates reported per training round
+
+
+def bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """One round of BPE tokenizer TRAINING at corpus scale: the top-20
+    adjacent-symbol pairs by frequency — exactly the statistic each BPE
+    merge step greedily picks. Symbols here are characters (round 1 of
+    training; later rounds would re-run over merged symbols).
+
+    Scale shape — the classic BPE-training trick: aggregate the corpus
+    to its WORD-FREQUENCY table first (vocabulary ≪ corpus, one
+    shuffle that shrinks 100 TB of text to a few GB of distinct
+    words), then explode character pairs over the vocabulary only,
+    weighting by word frequency. The final top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+    ).select(
+        F.col("w").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+        F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(BPE_TOP_MERGES)
+    )
+
+
 def lang_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic language-ID (marker-token ratio, argmax with stable
     alphabetical tiebreak) vs the labeled ``lang`` — emitted as a
@@ -1365,8 +1403,29 @@ ORACLE["inverted_index_sample"] = f"""
 """
 
 
+ORACLE["bpe_merge_candidates"] = f"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym, freq
+        FROM (
+            SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words WHERE len(w) >= 2
+        )
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT {BPE_TOP_MERGES}
+"""
+
 QUERIES = {
     "bpe_token_counts": bpe_token_counts,
+    "bpe_merge_candidates": bpe_merge_candidates,
     "token_count_stats": token_count_stats,
     "lang_id_confusion": lang_id_confusion,
     "quality_score_buckets": quality_score_buckets,

@@ -433,6 +433,59 @@ def test_no_accidental_cartesian_in_any_registry_query(spark):
     assert not offenders, offenders
 
 
+def test_boilerplate_hot_set_broadcasts(spark):
+    """The threshold-pruned hot-phrase set must be the broadcast build
+    side — re-shuffling the full occurrence stream to flag boilerplate
+    would double the operator's only shuffle at 100 TB."""
+    plan = executed_plan(dedup.boilerplate_ngram_stats(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_digest_equijoin(spark):
+    """Batch-vs-history dedup must hash-join on the 16-byte digest;
+    nested-loop here would scan history once per batch doc."""
+    plan = executed_plan(dedup.incremental_dedup_batch(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_estimate_error_verify_joins_are_keyed(spark):
+    """The estimate/exact verification attaches signatures and shingle
+    sets to candidate pairs via keyed joins only — never an all-pairs
+    plan — and the checkpoint keeps the signature agg from tripling."""
+    plan = executed_plan(dedup.minhash_estimate_error(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall_eval_no_cartesian(spark):
+    """Recall evaluation composes three searches; every join — the
+    searches' candidate joins and the top-k result joins — must stay
+    keyed."""
+    plan = executed_plan(similarity.ann_recall_eval(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_merge_topk_is_takeordered(spark):
+    """BPE merge-candidate selection must compile to
+    TakeOrderedAndProject over the pair counts — a global sort of the
+    full pair table defeats the vocabulary-first shrink."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    assert has_take_ordered(textops.bpe_merge_candidates(spark, SF))
+
+
+def test_semantic_decontam_broadcasts_benchmark(spark):
+    """The benchmark embedding set must broadcast; the corpus side is
+    never shuffled for the bucket-keyed contamination join."""
+    from pinterest_data_pipeline6_spark.operators import privacy
+
+    plan = executed_plan(privacy.semantic_decontamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_common_neighbors_topk_is_takeordered(spark):
     """Global top-10 link-prediction pairs must compile to
     TakeOrderedAndProject, never a full sort of all candidate pairs."""
