@@ -759,18 +759,18 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
     estimate/exact means are the calibration table that justifies the
     (bands, rows) operating point to whoever consumes the dedup output.
 
-    Scale shape: signatures are computed ONCE (one min-agg shuffle) and
-    reused by all three consumers — banding and both pair sides — via
-    ``localCheckpoint(eager=False)``; without it Catalyst would inline
-    and recompute the shingle-explode + min-agg subtree three times
-    (signatures are 17 narrow columns per doc, exactly what a
-    production pipeline persists anyway). The exact measure joins
-    shingle SETS only onto the candidate pairs (sub-O(n²) by
-    construction), never all pairs. All per-pair math is deterministic
-    IEEE double (identical in DuckDB); aggregates ride exact integer
-    sums, so the cross-engine hash matches bit-for-bit."""
+    Scale shape: the full signature rides THROUGH the band self-join
+    (16 narrow ints per side) so the estimate is computed inline on
+    the joined row — no separate signature re-join per pair side; the
+    banded sides share one ReusedExchange, so signatures are computed
+    once. The per-(doc_a, doc_b) dedup is a max-agg (k is identical on
+    every shared band), and the exact measure joins shingle SETS onto
+    the candidate pairs only (sub-O(n²) by construction), never all
+    pairs. All per-pair math is deterministic IEEE double (identical
+    in DuckDB); aggregates ride exact integer sums, so the
+    cross-engine hash matches bit-for-bit."""
     docs = widen_small_scan(table(spark, sf, "documents"))
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    sig = minhash_signatures(docs)
     band_keys = F.array(
         *[
             F.md5(
@@ -782,28 +782,30 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    banded = sig.select(
+        "doc_id", *[f"m_{i}" for i in range(N_MINHASH)],
+        F.posexplode(band_keys).alias("band_idx", "band_key"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    k = sum(
+        F.when(F.col(f"a.m_{i}") == F.col(f"b.m_{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            k.alias("k"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("k").alias("k"))
     )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"m_{i}").alias(f"am_{i}") for i in range(N_MINHASH)]
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"m_{i}").alias(f"bm_{i}") for i in range(N_MINHASH)]
-    )
-    k = sum(
-        F.when(F.col(f"am_{i}") == F.col(f"bm_{i}"), 1).otherwise(0) for i in range(N_MINHASH)
-    )
-    est = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b").select("doc_a", "doc_b", k.alias("k"))
     sets = docs.select("doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh"))
     scored = (
         est.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")

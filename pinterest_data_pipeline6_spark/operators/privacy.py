@@ -175,6 +175,10 @@ def semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     from pinterest_data_pipeline6_spark.operators.similarity import _signature
 
     emb = widen_small_scan(table(spark, sf, "embeddings"))
+    # bench and corpus both derive from `signed`; recomputing the
+    # map-only signature fold per branch is CHEAPER than persisting it
+    # (a localCheckpoint here must serialize the full embedding arrays
+    # — measured slower than the 0.3 s recompute at sf0.1)
     signed = emb.select(
         "vec_id",
         "label",
