@@ -464,6 +464,121 @@ def nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+VOLUME_NATIONS = ("NATION_1", "NATION_2")  # the Q7 trading pair
+
+
+def volume_shipping_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7-shaped: revenue shipped between two nations, per
+    (supplier nation, customer nation, ship year), both directions.
+    Joins: lineitem ⋈ orders ⋈ customer ⋈ nation(cust) and
+    lineitem ⋈ supplier ⋈ nation(supp); the either-direction pair
+    condition is applied AFTER the nation dims broadcast-attach, so the
+    fact side is filtered by two broadcast hash joins before the one
+    fact-fact shuffle (lineitem ⋈ orders on orderkey)."""
+    li, orders, customer, supplier, nation = (
+        table(spark, sf, t) for t in ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    n1, n2 = VOLUME_NATIONS
+    supp_n = F.broadcast(
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    # decimal-operand product: casting each DOUBLE operand to decimal
+    # FIRST (prices/discounts carry 2 true decimals, so the 6-decimal
+    # cast is exact) makes the multiply+sum exact decimal arithmetic in
+    # both engines — the double-product-then-cast form loses a half-ulp
+    # coin flip per row (observed as a one-cent top-20 mismatch in Q10)
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+RETURNED_TOP_N = 20
+
+
+def returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10-shaped: the top-20 customers by revenue lost to
+    returned items (l_returnflag = 'R') in one order-quarter. The
+    returnflag + date filters push into the scans; the top-20 compiles
+    to TakeOrderedAndProject, never a global sort of all customers."""
+    li, orders, customer, nation = (
+        table(spark, sf, t) for t in ("lineitem", "orders", "customer", "nation")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal"
+        )
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(RETURNED_TOP_N)
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) whose shipped revenue over one
+    quarter equals the maximum across all suppliers. The per-supplier
+    aggregate is computed once; the max arrives as a scalar subquery
+    (one extra tiny agg over the already-reduced relation), never a
+    re-scan of lineitem."""
+    li, supplier = (table(spark, sf, t) for t in ("lineitem", "supplier"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 def ranking_family(spark: SparkSession, sf: str) -> DataFrame:
     """The full ranking-function family in one windowed pass per
     partition key: rank / dense_rank / percent_rank / ntile(4) over
@@ -1295,6 +1410,52 @@ ORACLE: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """,
+    "volume_shipping_pairs": f"""
+        SELECT supp_nation, cust_nation, ship_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM (
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS ship_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE (ns.n_name = '{VOLUME_NATIONS[0]}' AND nc.n_name = '{VOLUME_NATIONS[1]}')
+               OR (ns.n_name = '{VOLUME_NATIONS[1]}' AND nc.n_name = '{VOLUME_NATIONS[0]}')
+        )
+        GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    "returned_item_revenue": f"""
+        SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT {RETURNED_TOP_N}
+    """,
+    "top_supplier_revenue": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
     "pivot_status_by_priority": """
         SELECT o_orderpriority AS priority,
                COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
@@ -1422,6 +1583,9 @@ QUERIES = {
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
     "nation_revenue": nation_revenue,
+    "volume_shipping_pairs": volume_shipping_pairs,
+    "returned_item_revenue": returned_item_revenue,
+    "top_supplier_revenue": top_supplier_revenue,
     "ranking_family": ranking_family,
     "running_total": running_total,
     "analytic_window_family": analytic_window_family,

@@ -467,6 +467,22 @@ def test_ann_recall_eval_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_returned_items_top20_is_takeordered(spark):
+    """Q10-shaped top-20 must be TakeOrderedAndProject with the
+    returnflag filter pushed to the lineitem scan."""
+    df = relational.returned_item_revenue(spark, SF)
+    assert has_take_ordered(df)
+    assert has_pushed_filter(df, "l_returnflag")
+
+
+def test_volume_shipping_dims_broadcast(spark):
+    """Q7-shaped nation-pair revenue must broadcast the supplier and
+    nation dims; only the lineitem-orders join may shuffle."""
+    plan = executed_plan(relational.volume_shipping_pairs(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bpe_merge_topk_is_takeordered(spark):
     """BPE merge-candidate selection must compile to
     TakeOrderedAndProject over the pair counts — a global sort of the
