@@ -239,6 +239,27 @@ def media_feature_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def frame_sample_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checked audit of the mapInPandas FAN-OUT path: run the
+    video frame sampler (32-byte frames, keep every 4th) and report
+    total sampled frames, videos touched, and sampled bytes. Because
+    the synthetic payload is the utf-8 text bytes, the expected counts
+    are pure arithmetic over strlen(text) — which lets the DuckDB
+    oracle verify the 1→N Python fan-out EXACTLY, the strongest check
+    available for a UDF-shaped operator (media_feature_rollup's
+    extractor stays rows-only by contrast).
+
+    Scale shape: one Arrow-batched pass over the video slice; the
+    rollup reduces inside each batch's output partition before one
+    final agg. No shuffle carries payload bytes."""
+    frames = sample_frames(synthesize_media(spark, sf))
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.count_distinct("media_id").alias("n_videos"),
+        F.sum(F.length("frame")).alias("frame_bytes"),
+    )
+
+
 def binary_file_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary ingestion via Spark's ``binaryFile`` source — the
     entry point for raw image/audio/video assets before any decode
@@ -287,10 +308,39 @@ ORACLE: dict[str, str] = {
     """,
     # media_feature_rollup: intentionally no oracle (opaque Python
     # feature extractor) — rows-only check by the driver.
+    #
+    # frame_sample_accounting: the sampler chops ceil(len/32) frames
+    # and keeps indices 0,4,8,… — sampled = (nf+3)//4; every sampled
+    # frame is 32 bytes except the LAST frame (size len-32*(nf-1)),
+    # which is sampled iff (nf-1) % 4 = 0.
+    "frame_sample_accounting": """
+        WITH vids AS (
+            SELECT strlen(text) AS len FROM documents
+            WHERE doc_id % 3 = 2 AND strlen(text) > 0
+        ),
+        calc AS (
+            SELECT len,
+                   CAST(CEIL(len / 32.0) AS BIGINT) AS nf,
+                   len - 32 * (CAST(CEIL(len / 32.0) AS BIGINT) - 1) AS last_sz
+            FROM vids
+        ),
+        per AS (
+            SELECT (nf + 3) // 4 AS sampled,
+                   CASE WHEN (nf - 1) % 4 = 0
+                        THEN 32 * ((nf + 3) // 4 - 1) + last_sz
+                        ELSE 32 * ((nf + 3) // 4) END AS bytes
+            FROM calc
+        )
+        SELECT CAST(SUM(sampled) AS BIGINT) AS n_frames,
+               CAST(COUNT(*) AS BIGINT) AS n_videos,
+               CAST(SUM(bytes) AS BIGINT) AS frame_bytes
+        FROM per
+    """,
 }
 
 QUERIES = {
     "media_payload_stats": media_payload_stats,
     "media_feature_rollup": media_feature_rollup,
     "binary_file_inventory": binary_file_inventory,
+    "frame_sample_accounting": frame_sample_accounting,
 }
