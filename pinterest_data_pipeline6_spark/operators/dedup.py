@@ -833,6 +833,104 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) over 16 minhashes
+
+
+def lsh_tuning_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH operating-point sweep: candidate-pair counts for three
+    (bands × rows-per-band) configurations over the SAME 16-minhash
+    signatures — the candidate-budget curve that picks the banding
+    config (more bands ⇒ higher recall ⇒ more candidates to verify;
+    the sweep quantifies that trade before anyone commits a 100 TB
+    run to it).
+
+    Scale shape: signatures are computed once (one min-agg shuffle,
+    shared via localCheckpoint) and each config re-bands them with
+    pure projection + one bucket-keyed self-join; candidate pairs are
+    never materialized beyond each config's count."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    parts = []
+    for nb, rpb in SWEEP_CONFIGS:
+        band_keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"m_{b * rpb + r}") for r in range(rpb)]
+                    )
+                )
+                for b in range(nb)
+            ]
+        )
+        banded = sig.select(
+            "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .agg(F.count("*").alias("n_pairs"))
+            .select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                "n_pairs",
+            )
+        )
+        parts.append(pairs)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("n_bands")
+
+
+QUALITY_DUP_BUCKETS = 4
+
+
+def quality_dup_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-family audit: does short (low-quality-proxy) text near-
+    duplicate more? Per n_chars length bucket, the fraction of docs
+    that appear in at least one MinHash-LSH candidate pair — the
+    classic curation finding (boilerplate is both low-quality AND
+    duplicated) made measurable. Uses LSH candidacy rather than exact
+    digests because candidacy is the signal that exists at every scale
+    (the synthetic corpus has exact dups only at sf≥0.1).
+
+    The candidate doc set (small by construction) broadcasts back onto
+    the bucketed doc stream; one rollup."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    pairs = minhash_band_pairs(spark, sf)
+    neardup = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("nd", F.lit(1))
+    )
+    sized = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("n_chars") / 200), F.lit(QUALITY_DUP_BUCKETS - 1)
+        ).cast("int").alias("len_bucket"),
+    )
+    return (
+        sized.join(F.broadcast(neardup), "doc_id", "left")
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("nd"), F.lit(0))).cast("bigint").alias("n_neardup_docs"),
+            F.round(
+                F.avg(F.when(F.col("nd").isNotNull(), 1.0).otherwise(0.0)), 6
+            ).alias("neardup_rate"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (SQL assembled with plain loops — the generated
 # text mirrors the Spark expression tree clause for clause)
@@ -1154,6 +1252,68 @@ ORACLE["minhash_estimate_error"] = ORACLE["minhash_estimate_error"].format(
     sig=_SIG_SQL, band=_BAND_SQL, k_sql=_K_SQL, sh=_SHINGLES_SQL
 )
 
+
+def _sweep_oracle_sql() -> str:
+    """One banded CTE + pair-count per sweep config, unioned — same
+    signature CTE (and therefore identical pair sets) as Spark."""
+    blocks = []
+    for nb, rpb in SWEEP_CONFIGS:
+        band_selects = []
+        for b in range(nb):
+            cols = " || ',' || ".join(
+                f"CAST(m_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig"
+            )
+        band_sql = "\nUNION ALL\n".join(band_selects)
+        blocks.append(
+            f"""
+            SELECT CAST({nb} AS INT) AS n_bands,
+                   CAST({rpb} AS INT) AS rows_per_band,
+                   COUNT(*) AS n_pairs
+            FROM (
+                SELECT DISTINCT a.doc_id, b.doc_id
+                FROM ({band_sql}) a JOIN ({band_sql}) b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            )"""
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"WITH sig AS ({_SIG_SQL})\n{union}"
+
+
+ORACLE["lsh_tuning_sweep"] = _sweep_oracle_sql()
+
+ORACLE["quality_dup_correlation"] = f"""
+    WITH sig AS ({_SIG_SQL}),
+    banded AS ({_BAND_SQL}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    neardup AS (
+        SELECT DISTINCT doc_id, 1 AS nd
+        FROM (SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)
+    ),
+    sized AS (
+        SELECT doc_id,
+               LEAST(CAST(FLOOR(n_chars / 200) AS INT), {QUALITY_DUP_BUCKETS - 1})
+                   AS len_bucket
+        FROM documents
+    )
+    SELECT len_bucket, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neardup_docs,
+           ROUND(AVG(CASE WHEN nd IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+               AS neardup_rate
+    FROM sized LEFT JOIN neardup USING (doc_id)
+    GROUP BY len_bucket
+"""
+
 QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "minhash_band_pairs": minhash_band_pairs,
@@ -1169,4 +1329,6 @@ QUERIES = {
     "boilerplate_ngram_stats": boilerplate_ngram_stats,
     "incremental_dedup_batch": incremental_dedup_batch,
     "minhash_estimate_error": minhash_estimate_error,
+    "lsh_tuning_sweep": lsh_tuning_sweep,
+    "quality_dup_correlation": quality_dup_correlation,
 }

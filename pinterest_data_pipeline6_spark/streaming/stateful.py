@@ -15,6 +15,17 @@ Scale notes: state is ONE tuple (start, last, count, value-sum) per
 active user — O(active users), not O(events); the groupBy shuffles
 events to their user's partition once, and Arrow moves each group as
 pandas batches, never Python rows.
+
+API choice: Spark 4 also offers ``transformWithStateInPandas``
+(StatefulProcessor + RocksDB state store — composite state, timers,
+TTL). Probed in this environment and NOT usable: its state-server
+protocol requires the ``google.protobuf`` Python package, which is
+absent here (verified: the streaming Python runner crashes with
+``ImportError: cannot import name 'descriptor' from 'google.protobuf'``).
+``applyInPandasWithState`` has no such dependency and expresses the
+same per-key session semantics, so it stays the implementation; a
+deployment with protobuf installed could port ``_session_fn`` to a
+StatefulProcessor without touching the operator's contract.
 """
 
 from __future__ import annotations

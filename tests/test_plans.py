@@ -467,6 +467,23 @@ def test_ann_recall_eval_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_lsh_sweep_reuses_signature_aggregate(spark):
+    """The three sweep configs must share the checkpointed signature
+    table — no config may trigger its own shingle-explode + min-agg —
+    and every band join must stay a keyed equi-join."""
+    plan = executed_plan(dedup.lsh_tuning_sweep(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_dup_join_is_digest_keyed(spark):
+    """Quality-vs-duplication joins the digest-frequency aggregate back
+    on the 16-byte digest — hash join, never nested loop."""
+    plan = executed_plan(dedup.quality_dup_correlation(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_returned_items_top20_is_takeordered(spark):
     """Q10-shaped top-20 must be TakeOrderedAndProject with the
     returnflag filter pushed to the lineitem scan."""
