@@ -931,6 +931,48 @@ def quality_dup_correlation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ngram_novelty_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus novelty ledger: for each document, which of its distinct
+    3-gram shingles appear HERE FIRST (min doc_id owns the shingle)?
+    Per source: docs, shingle volume, first-occurrence count, and the
+    pooled novelty rate — the signal that distinguishes sources adding
+    new content from sources recycling templates (a falling novelty
+    rate over ingestion order is the drift alarm).
+
+    Scale shape: the first-occurrence index IS the corpus shingle
+    index (same infrastructure as the inverted index) — one
+    per-doc-distinct pass, one min-agg keyed on the 8-byte hash, one
+    hash join back. The rate is pooled (exact integer sums), not an
+    average of per-doc doubles, so the cross-engine hash is stable."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    occ = (
+        _exploded_shingles(docs, "doc_id", "source")
+        .select("doc_id", "source", _h64_spark(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    first = occ.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        occ.join(first, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias("novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("novel").alias("n_novel"),
+            F.round(F.sum("novel").cast("double") / F.sum("n_sh"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (SQL assembled with plain loops — the generated
 # text mirrors the Spark expression tree clause for clause)
@@ -1285,6 +1327,33 @@ def _sweep_oracle_sql() -> str:
 
 ORACLE["lsh_tuning_sweep"] = _sweep_oracle_sql()
 
+ORACLE["ngram_novelty_profile"] = f"""
+    WITH occ AS (
+        SELECT DISTINCT doc_id, source, {H64_SQL.format(expr="shingle")} AS h
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                       AS shingle
+            FROM documents
+        )
+    ),
+    first AS (SELECT h, MIN(doc_id) AS first_doc FROM occ GROUP BY h),
+    per_doc AS (
+        SELECT doc_id, source, COUNT(*) AS n_sh,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS novel
+        FROM occ JOIN first USING (h)
+        GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(novel) AS DOUBLE) / SUM(n_sh), 6) AS novelty_rate
+    FROM per_doc GROUP BY source
+"""
+
 ORACLE["quality_dup_correlation"] = f"""
     WITH sig AS ({_SIG_SQL}),
     banded AS ({_BAND_SQL}),
@@ -1331,4 +1400,5 @@ QUERIES = {
     "minhash_estimate_error": minhash_estimate_error,
     "lsh_tuning_sweep": lsh_tuning_sweep,
     "quality_dup_correlation": quality_dup_correlation,
+    "ngram_novelty_profile": ngram_novelty_profile,
 }
