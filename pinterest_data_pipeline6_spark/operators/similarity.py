@@ -301,6 +301,64 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PAA_HOURS = 24  # piecewise-aggregate buckets (hour-of-day)
+PAA_QUERIES = 5  # user_id < 5 are the query users
+PAA_TOP_K = 5
+
+
+def activity_profile_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series similarity search over BEHAVIOR: each user's event
+    stream is reduced to a 24-dim hour-of-day activity profile (the
+    piecewise-aggregate-approximation idea — fixed-width sketches make
+    series comparable and cheap), then the query users' top-5 most
+    similar users are found by cosine over the profiles. The pattern
+    behind look-alike audiences and anomalous-account detection.
+
+    Scale shape: the sketch step is ONE user-keyed aggregate that
+    collapses an unbounded event stream to 24 numbers per user — after
+    it, similarity search costs are corpus-sized, not event-sized; the
+    query profiles broadcast, and per-pair cost is one 24-term fold.
+    Sums ride DECIMAL(18,6) so profiles are exact and identical across
+    engines; the cosine fold matches the oracle's list_reduce order."""
+    from pinterest_data_pipeline6_spark.operators.dedup import _dot64, _norm64
+
+    ev = table(spark, sf, "events")
+    hour = F.hour("ts")
+    prof = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(hour == h, F.col("value").cast("decimal(18,6)")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias(f"h_{h}")
+            for h in range(PAA_HOURS)
+        ]
+    )
+    arr = F.array(*[F.col(f"h_{h}").cast("double") for h in range(PAA_HOURS)])
+    signed = prof.select("user_id", arr.alias("profile")).withColumn(
+        "nrm", _norm64(F.col("profile"))
+    )
+    q = signed.filter(F.col("user_id") < PAA_QUERIES).select(
+        F.col("user_id").alias("query_id"),
+        F.col("profile").alias("qp"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = F.round(
+        _dot64(F.col("qp"), F.col("profile")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    scored = (
+        F.broadcast(q)
+        .join(signed, F.col("user_id") != F.col("query_id"))
+        .select("query_id", "user_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("user_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PAA_TOP_K)
+        .select("query_id", "user_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -820,6 +878,7 @@ QUERIES = {
     "random_projection_stats": random_projection_stats,
     "arrow_batch_norms": arrow_batch_norms,
     "ann_recall_eval": ann_recall_eval,
+    "activity_profile_knn": activity_profile_knn,
 }
 
 
@@ -862,6 +921,47 @@ ORACLE["arrow_batch_norms"] = f"""
     WHERE vec_id % 25 = 0
     ORDER BY vec_id
 """
+
+def _paa_oracle_sql() -> str:
+    """Oracle for activity_profile_knn: 24 decimal CASE-sums per user,
+    profile as a double list, cosine via the same list_reduce left
+    fold as the embedding oracles (0.0-seeded Spark fold ≡ first-
+    element-seeded list_reduce)."""
+    cols = ", ".join(
+        f"SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} "
+        f"THEN CAST(value AS DECIMAL(18,6)) "
+        f"ELSE CAST(0 AS DECIMAL(18,6)) END) AS h_{h}"
+        for h in range(PAA_HOURS)
+    )
+    plist = "[" + ", ".join(f"CAST(h_{h} AS DOUBLE)" for h in range(PAA_HOURS)) + "]"
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {PAA_HOURS}), "
+            f"i -> {x}[i] * {y}[i]), (p, q) -> p + q)"
+        )
+
+    cos = (
+        f"({dot('q.profile', 'c.profile')} / "
+        f"(sqrt({dot('q.profile', 'q.profile')}) * sqrt({dot('c.profile', 'c.profile')})))"
+    )
+    return f"""
+        WITH prof AS (SELECT user_id, {cols} FROM events GROUP BY user_id),
+        signed AS (SELECT user_id, {plist} AS profile FROM prof)
+        SELECT query_id, user_id, cos, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT q.user_id AS query_id, c.user_id AS user_id,
+                   ROUND({cos}, 6) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.user_id
+                       ORDER BY ROUND({cos}, 6) DESC, c.user_id ASC) AS rank
+            FROM signed q JOIN signed c ON c.user_id <> q.user_id
+            WHERE q.user_id < {PAA_QUERIES}
+        ) WHERE rank <= {PAA_TOP_K}
+    """
+
+
+ORACLE["activity_profile_knn"] = _paa_oracle_sql()
 
 ORACLE["ann_recall_eval"] = f"""
     WITH truth AS ({_KNN_BRUTE_SQL}),

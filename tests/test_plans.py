@@ -378,6 +378,8 @@ INTENTIONAL_BNLJ = {
     "funnel_conversion",    # 1-row stage-count aggregates crossJoined
     "time_decay_user_scores",  # 1-row max-timestamp anchor broadcast
     "dq_expectations",      # 1-row rule aggregates crossJoined into the ledger
+    "ann_recall_eval",      # composes knn_brute_force's broadcast query scan
+    "activity_profile_knn",  # 5 broadcast query profiles x user-profile scan
 }
 
 
