@@ -307,6 +307,44 @@ def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def conversion_latency_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    purchase is at/after their first view, the latency between the
+    two, summarized as exact median / interpolated p90 / min / max —
+    the funnel's companion metric (how LONG conversion takes, not just
+    how often it happens).
+
+    One user-keyed aggregate collapses the stream to two timestamps
+    per user; latency rides exact epoch-microsecond BIGINTs, so the
+    quantiles interpolate from identical integers in both engines
+    (no floating timestamp math anywhere)."""
+    ev = table(spark, sf, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "first_purchase"
+            ),
+        )
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias("lat_us")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.median("lat_us") / 1e6, 3).alias("median_latency_s"),
+        F.round(F.percentile("lat_us", 0.9) / 1e6, 3).alias("p90_latency_s"),
+        F.round(F.min("lat_us") / 1e6, 3).alias("min_latency_s"),
+        F.round(F.max("lat_us") / 1e6, 3).alias("max_latency_s"),
+    )
+
+
 def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """Sequential funnel: view → click (at/after the first view) →
     purchase (at/after that click). One row: users entering each stage
@@ -846,6 +884,27 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY event_type, k_decile
     """,
+    "conversion_latency_stats": """
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY user_id
+        ),
+        lat AS (
+            SELECT epoch_us(first_purchase) - epoch_us(first_view) AS lat_us
+            FROM firsts
+            WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+              AND first_purchase >= first_view
+        )
+        SELECT COUNT(*) AS n_converted,
+               ROUND(median(lat_us) / 1e6, 3) AS median_latency_s,
+               ROUND(quantile_cont(lat_us, 0.9) / 1e6, 3) AS p90_latency_s,
+               ROUND(MIN(lat_us) / 1e6, 3) AS min_latency_s,
+               ROUND(MAX(lat_us) / 1e6, 3) AS max_latency_s
+        FROM lat
+    """,
 }
 
 QUERIES = {
@@ -867,4 +926,5 @@ QUERIES = {
     "time_decay_user_scores": time_decay_user_scores,
     "attribution_last_touch": attribution_last_touch,
     "activity_streaks": activity_streaks,
+    "conversion_latency_stats": conversion_latency_stats,
 }
