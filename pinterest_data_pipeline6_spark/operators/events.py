@@ -307,6 +307,48 @@ def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 2.0  # |z| above this flags an (event_type, day, hour) cell
+
+
+def hourly_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Traffic-anomaly monitor: per (event_type, day, hour) count
+    cells, z-scored against that (event_type, hour-of-day)'s own
+    cross-day baseline; per event_type, how many cells exceed |z| > 2
+    and the largest excursion — the detector a streaming DQ gate runs
+    on arrival-rate drift.
+
+    Determinism by construction: the baseline mean/variance derive
+    from exact integer sums (n·Σx² − (Σx)² over n·(n−1)) instead of
+    the engines' streaming stddev accumulators, so z-scores are
+    bit-identical cross-engine. Two count aggregates plus one keyed
+    join of the tiny baseline table — the event stream shuffles once."""
+    ev = table(spark, sf, "events")
+    cells = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    base = cells.groupBy("event_type", "h").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = cells.join(base, ["event_type", "h"]).filter(F.col("n") >= 2)
+    mean = F.col("s") / F.col("n")
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    z = F.when(var > 0, (F.col("c") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return (
+        j.select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum((F.abs(F.col("z")) > ANOMALY_Z).cast("bigint")).alias("n_anomalous"),
+            F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def conversion_latency_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Time-to-convert distribution: for every user whose first
     purchase is at/after their first view, the latency between the
@@ -884,6 +926,34 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY event_type, k_decile
     """,
+    "hourly_anomaly_zscore": f"""
+        WITH cells AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
+                   COUNT(*) AS c
+            FROM events GROUP BY event_type, d, h
+        ),
+        base AS (
+            SELECT event_type, h, COUNT(*) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(c * c) AS BIGINT) AS ss
+            FROM cells GROUP BY event_type, h
+        ),
+        scored AS (
+            SELECT c.event_type,
+                   CASE WHEN (n * ss - s * s) > 0
+                        THEN (c.c - CAST(s AS DOUBLE) / n)
+                             / sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)))
+                        ELSE 0.0 END AS z
+            FROM cells c JOIN base b
+              ON c.event_type = b.event_type AND c.h = b.h
+            WHERE n >= 2
+        )
+        SELECT event_type, COUNT(*) AS n_cells,
+               CAST(SUM(CASE WHEN ABS(z) > {ANOMALY_Z} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_anomalous,
+               ROUND(MAX(ABS(z)), 4) AS max_abs_z
+        FROM scored GROUP BY event_type
+    """,
     "conversion_latency_stats": """
         WITH firsts AS (
             SELECT user_id,
@@ -927,4 +997,5 @@ QUERIES = {
     "attribution_last_touch": attribution_last_touch,
     "activity_streaks": activity_streaks,
     "conversion_latency_stats": conversion_latency_stats,
+    "hourly_anomaly_zscore": hourly_anomaly_zscore,
 }
