@@ -579,6 +579,77 @@ def top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6-shaped: revenue delta from hypothetically dropping
+    mid-band discounts for one ship-year — a single-table aggregate
+    whose THREE filters (year range, discount band, quantity cap) must
+    all reach the parquet scan as pushed predicates; at 100 TB this
+    query is a pruning benchmark, not a compute one. Decimal-operand
+    product keeps the sum exact cross-engine."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * F.col("l_discount").cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+        )
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14-shaped: the share of one month's revenue carried by
+    PROMO-type parts. The part dim broadcasts; both the promo and the
+    total sums ride ONE aggregate over the joined slice (a CASE inside
+    the sum, not two scans). Exact decimal internals; the final ratio
+    is one double division of two exact decimals."""
+    li, part = (table(spark, sf, t) for t in ("lineitem", "part"))
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))),
+                2,
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                            F.lit(0).cast("decimal(18,6)")
+                        )
+                    ).cast("double")
+                )
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_pct"),
+        )
+    )
+
+
 def ranking_family(spark: SparkSession, sf: str) -> DataFrame:
     """The full ranking-function family in one windowed pass per
     partition key: rank / dense_rank / percent_rank / ntile(4) over
@@ -1410,6 +1481,34 @@ ORACLE: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """,
+    "forecast_revenue_change": """
+        SELECT COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue_delta
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.04 AND l_discount <= 0.06
+          AND l_quantity < 24
+    """,
+    "promo_revenue_share": """
+        SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+                   AS promo_revenue,
+               CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
+               ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                     / CAST(SUM(rev) AS DOUBLE), 4) AS promo_pct
+        FROM (
+            SELECT p_type,
+                   CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST(1 - l_discount AS DECIMAL(18,6)) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        )
+    """,
     "volume_shipping_pairs": f"""
         SELECT supp_nation, cust_nation, ship_year,
                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
@@ -1586,6 +1685,8 @@ QUERIES = {
     "volume_shipping_pairs": volume_shipping_pairs,
     "returned_item_revenue": returned_item_revenue,
     "top_supplier_revenue": top_supplier_revenue,
+    "forecast_revenue_change": forecast_revenue_change,
+    "promo_revenue_share": promo_revenue_share,
     "ranking_family": ranking_family,
     "running_total": running_total,
     "analytic_window_family": analytic_window_family,

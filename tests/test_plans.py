@@ -486,6 +486,22 @@ def test_quality_dup_join_is_digest_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_forecast_revenue_filters_push_to_scan(spark):
+    """Q6-shaped revenue delta is a pruning benchmark: the date,
+    discount, and quantity predicates must all reach the parquet scan."""
+    df = relational.forecast_revenue_change(spark, SF)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), col
+
+
+def test_promo_share_broadcasts_part_dim(spark):
+    """Q14-shaped promo share joins the part dim via broadcast and
+    computes both sums in ONE aggregate over one joined slice."""
+    plan = executed_plan(relational.promo_revenue_share(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") <= 2, plan
+
+
 def test_returned_items_top20_is_takeordered(spark):
     """Q10-shaped top-20 must be TakeOrderedAndProject with the
     returnflag filter pushed to the lineitem scan."""
