@@ -97,6 +97,48 @@ def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def token_gini_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-balance audit: the Gini coefficient of token mass across
+    documents, per language — 0 means every doc contributes equally,
+    1 means a few giants carry the corpus (the imbalance that makes
+    per-doc sampling weights and length-stratified batching matter).
+
+    G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over token counts sorted
+    ascending — every term an exact integer, so the single double
+    division is bit-identical cross-engine. The rank needs a per-
+    language sort: fine wherever one language's DOC COUNT fits a
+    partition's sort budget; at extreme scale swap the exact rank for
+    the equi-depth histogram formulation (price_equidepth_histogram's
+    boundary trick) and accept an approximate G."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf, "documents")
+    tl = docs.select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("t")
+    )
+    w = Window.partitionBy("lang").orderBy("t", "doc_id")
+    ranked = tl.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("total_tokens"),
+            F.sum(F.col("i").cast("bigint") * F.col("t")).alias("s_ix"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                (2 * F.col("s_ix") - (F.col("n_docs") + 1) * F.col("total_tokens"))
+                / (F.col("n_docs") * F.col("total_tokens")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("lang")
+    )
+
+
 BPE_TOP_MERGES = 20  # merge candidates reported per training round
 
 
@@ -1403,6 +1445,21 @@ ORACLE["inverted_index_sample"] = f"""
 """
 
 
+ORACLE["token_gini_per_lang"] = """
+    WITH ranked AS (
+        SELECT lang, len(string_split(text, ' ')) AS t,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY len(string_split(text, ' ')), doc_id) AS i
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           ROUND(CAST(2 * SUM(i * t) - (COUNT(*) + 1) * SUM(t) AS DOUBLE)
+                 / (COUNT(*) * SUM(t)), 6) AS gini
+    FROM ranked GROUP BY lang
+"""
+
 ORACLE["bpe_merge_candidates"] = f"""
     WITH words AS (
         SELECT w, COUNT(*) AS freq
@@ -1426,6 +1483,7 @@ ORACLE["bpe_merge_candidates"] = f"""
 QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "token_gini_per_lang": token_gini_per_lang,
     "token_count_stats": token_count_stats,
     "lang_id_confusion": lang_id_confusion,
     "quality_score_buckets": quality_score_buckets,
