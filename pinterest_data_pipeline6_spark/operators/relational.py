@@ -650,6 +650,31 @@ def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cume_dist_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    """cume_dist (the one ranking function ranking_family omits):
+    cumulative distribution of customer account balances within each
+    nation, reported for the per-nation top-3 balances. Same
+    single-shuffle windowed pass as the ranking family; cume_dist's
+    ties-included semantics (rows ≤ current / total) are identical in
+    both engines, and the balance+custkey sort makes ranks total."""
+    customer = table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        customer.select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "acctbal", "cd", F.col("rn").cast("int").alias("rn"))
+        .orderBy("c_nationkey", "rn")
+    )
+
+
 def ranking_family(spark: SparkSession, sf: str) -> DataFrame:
     """The full ranking-function family in one windowed pass per
     partition key: rank / dense_rank / percent_rank / ntile(4) over
@@ -1302,6 +1327,18 @@ ORACLE: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
+    "cume_dist_acctbal": """
+        SELECT c_nationkey, c_custkey, acctbal, cd, CAST(rn AS INT) AS rn
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
+                   ROUND(CUME_DIST() OVER w, 6) AS cd,
+                   ROW_NUMBER() OVER w AS rn
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
+        )
+        WHERE rn <= 3
+    """,
     "ranking_family": """
         SELECT c_nationkey, c_custkey,
                CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
@@ -1688,6 +1725,7 @@ QUERIES = {
     "forecast_revenue_change": forecast_revenue_change,
     "promo_revenue_share": promo_revenue_share,
     "ranking_family": ranking_family,
+    "cume_dist_acctbal": cume_dist_acctbal,
     "running_total": running_total,
     "analytic_window_family": analytic_window_family,
     "stats_agg_family": stats_agg_family,
