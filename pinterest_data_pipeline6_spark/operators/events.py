@@ -307,6 +307,95 @@ def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order behavioral Markov matrix: counts of consecutive
+    event-type transitions within each user's timeline (ties broken by
+    event_id so the sequence is total), plus each transition's share
+    of its source type's outgoing edges. The path-analysis primitive
+    behind funnel discovery and next-action prediction.
+
+    One user-keyed window pass (lead), one #types²-row aggregate; the
+    share comes from a window over that tiny aggregate, so nothing
+    after the first shuffle depends on corpus size."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(wf), 6
+            ).alias("share"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+INTERVAL_MINUTES_PER_VALUE = 60_000_000  # event `value` (minutes) → micros
+
+
+def interval_coverage_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-union coverage (the classic overlapping-intervals
+    merge): each event opens an interval [ts, ts + value minutes]; per
+    user, overlapping intervals are merged into islands and the union
+    time summed — billable-time / active-time semantics where naive
+    SUM(duration) double-counts overlaps. Emits the global ledger:
+    users, islands, merged vs naive micros, and the overlap ratio.
+
+    One user-keyed window pass computes the running max end (an island
+    starts where the current start exceeds every previous end); island
+    ids are a running flag-sum in the same sort. All arithmetic is
+    exact integer micros (FLOOR'd once from the double minutes), so
+    both engines agree bit-for-bit."""
+    ev = table(spark, sf, "events")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * INTERVAL_MINUTES_PER_VALUE).cast("bigint")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    per_user = islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("is_e") - F.col("is_s")).alias("covered_us"),
+    )
+    naive = base.groupBy("user_id").agg(F.sum(F.col("e") - F.col("s")).alias("naive_us"))
+    return per_user.join(naive, "user_id").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_islands").alias("n_islands"),
+        F.sum("covered_us").alias("covered_us"),
+        F.sum("naive_us").alias("naive_us"),
+        F.round(
+            F.lit(1.0) - F.sum("covered_us").cast("double") / F.sum("naive_us"), 6
+        ).alias("overlap_frac"),
+    )
+
+
 ANOMALY_Z = 2.0  # |z| above this flags an (event_type, day, hour) cell
 
 
@@ -926,6 +1015,69 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY event_type, k_decile
     """,
+    "event_transition_matrix": """
+        WITH pairs AS (
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM (
+                SELECT event_type AS from_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+                FROM events
+            )
+            WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               ROUND(CAST(n_transitions AS DOUBLE)
+                     / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS share
+        FROM pairs
+    """,
+    "interval_coverage_stats": f"""
+        WITH base AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(FLOOR(value * {INTERVAL_MINUTES_PER_VALUE}) AS BIGINT) AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+                       AS new_island
+            FROM (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_max_e
+                FROM base
+            )
+        ),
+        numbered AS (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM flagged
+        ),
+        islands AS (
+            SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e
+            FROM numbered GROUP BY user_id, island
+        ),
+        per_user AS (
+            SELECT user_id, COUNT(*) AS n_islands,
+                   CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us
+            FROM islands GROUP BY user_id
+        ),
+        naive AS (
+            SELECT user_id, CAST(SUM(e - s) AS BIGINT) AS naive_us
+            FROM base GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               CAST(SUM(n_islands) AS BIGINT) AS n_islands,
+               CAST(SUM(covered_us) AS BIGINT) AS covered_us,
+               CAST(SUM(naive_us) AS BIGINT) AS naive_us,
+               ROUND(1.0 - CAST(SUM(covered_us) AS DOUBLE) / SUM(naive_us), 6)
+                   AS overlap_frac
+        FROM per_user JOIN naive USING (user_id)
+    """,
     "hourly_anomaly_zscore": f"""
         WITH cells AS (
             SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
@@ -998,4 +1150,6 @@ QUERIES = {
     "activity_streaks": activity_streaks,
     "conversion_latency_stats": conversion_latency_stats,
     "hourly_anomaly_zscore": hourly_anomaly_zscore,
+    "event_transition_matrix": event_transition_matrix,
+    "interval_coverage_stats": interval_coverage_stats,
 }
