@@ -650,6 +650,40 @@ def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def null_handling_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The NULL-combinator scalar surface in one pass: NULLIF carves
+    sentinel values out, COALESCE layers fallbacks, GREATEST/LEAST
+    propagate through (Spark and DuckDB both skip NULLs rather than
+    poison), and the flags summarize per market segment. Every
+    expression is row-local codegen; one aggregate."""
+    customer = table(spark, sf, "customer")
+    # sentinel: zero balances → NULL, then fall back to -1
+    bal = F.nullif(F.col("c_acctbal"), F.lit(0.0))
+    eff = F.coalesce(bal, F.lit(-1.0))
+    hi = F.greatest(bal, F.lit(1000.0))
+    lo = F.least(bal, F.lit(1000.0))
+    return (
+        customer.select(
+            "c_mktsegment",
+            bal.alias("bal"),
+            eff.alias("eff"),
+            hi.alias("hi"),
+            lo.alias("lo"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("bal").isNull().cast("bigint")).alias("n_sentinel"),
+            F.round(F.sum(F.col("eff").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_effective"),
+            F.round(F.min("lo"), 2).alias("min_capped"),
+            F.round(F.max("hi"), 2).alias("max_floored"),
+        )
+        .orderBy("segment")
+    )
+
+
 def cume_dist_acctbal(spark: SparkSession, sf: str) -> DataFrame:
     """cume_dist (the one ranking function ranking_family omits):
     cumulative distribution of customer account balances within each
@@ -1327,6 +1361,25 @@ ORACLE: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
+    "null_handling_family": """
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sentinel,
+               CAST(ROUND(SUM(CAST(eff AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS sum_effective,
+               ROUND(MIN(lo), 2) AS min_capped,
+               ROUND(MAX(hi), 2) AS max_floored
+        FROM (
+            SELECT c_mktsegment,
+                   NULLIF(c_acctbal, 0.0) AS bal,
+                   COALESCE(NULLIF(c_acctbal, 0.0), -1.0) AS eff,
+                   GREATEST(NULLIF(c_acctbal, 0.0), 1000.0) AS hi,
+                   LEAST(NULLIF(c_acctbal, 0.0), 1000.0) AS lo
+            FROM customer
+        )
+        GROUP BY c_mktsegment
+    """,
     "cume_dist_acctbal": """
         SELECT c_nationkey, c_custkey, acctbal, cd, CAST(rn AS INT) AS rn
         FROM (
@@ -1726,6 +1779,7 @@ QUERIES = {
     "promo_revenue_share": promo_revenue_share,
     "ranking_family": ranking_family,
     "cume_dist_acctbal": cume_dist_acctbal,
+    "null_handling_family": null_handling_family,
     "running_total": running_total,
     "analytic_window_family": analytic_window_family,
     "stats_agg_family": stats_agg_family,
