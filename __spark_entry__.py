@@ -98,9 +98,26 @@ _DRIVER_WINDOW: list[str] = [
 ]
 
 
+def _record_passed(rec: object) -> bool:
+    """A driver CORRECTNESS record counts as a pass unless it carries an
+    explicit failure signal (non-null err, or any match flag that is
+    present and False).  Rows-only records with no match flags pass."""
+    if not isinstance(rec, dict):
+        return True
+    if rec.get("err") is not None:
+        return False
+    for flag in ("rows_match", "schema_match", "hash_match"):
+        if flag in rec and rec[flag] is False:
+            return False
+    return True
+
+
 def _last_checked() -> dict[str, int]:
-    """name -> latest round whose CORRECTNESS_r*.json contains it (the
-    rounds are numbered by file order; absent = 0 = never checked)."""
+    """name -> latest round whose CORRECTNESS_r*.json contains it AND
+    passed (rounds numbered by file order; absent = 0 = never checked).
+    An entry whose LATEST record failed maps to -1: red rows re-queue
+    ahead of even never-checked entries, so a fix lands an external
+    green row the very next round."""
     import json
     from pathlib import Path
 
@@ -108,8 +125,8 @@ def _last_checked() -> dict[str, int]:
     last: dict[str, int] = {}
     for i, p in enumerate(sorted(here.glob("CORRECTNESS_r*.json"))):
         try:
-            for name in json.loads(p.read_text()):
-                last[name] = i + 1
+            for name, rec in json.loads(p.read_text()).items():
+                last[name] = i + 1 if _record_passed(rec) else -1
         except Exception:  # malformed driver artifact: ignore, stay stale
             pass
     return last

@@ -365,10 +365,11 @@ def explode_outer_rare_tokens(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     "hof_token_metrics": """
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(len(list_filter(string_split(text, ' '), x -> length(x) > 3))) AS n_long_tokens,
-               SUM(COALESCE(list_sum(list_transform(
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                   x -> length(x) > 3))) AS BIGINT) AS n_long_tokens,
+               CAST(SUM(COALESCE(list_sum(list_transform(
                    list_filter(string_split(text, ' '), x -> length(x) > 3),
-                   x -> length(x))), 0)) AS sum_long_len
+                   x -> length(x))), 0)) AS BIGINT) AS sum_long_len
         FROM documents GROUP BY lang
     """,
     "hof_exists_forall": """
@@ -383,9 +384,10 @@ ORACLE: dict[str, str] = {
     """,
     "hof_position_weighted": """
         SELECT source, COUNT(*) AS n_docs,
-               SUM(COALESCE(list_sum(list_transform(
+               CAST(SUM(COALESCE(list_sum(list_transform(
                    generate_series(1, len(string_split(text, ' '))),
-                   i -> i * length(string_split(text, ' ')[i]))), 0)) AS sum_weighted_len
+                   i -> i * length(string_split(text, ' ')[i]))), 0)) AS BIGINT)
+                   AS sum_weighted_len
         FROM documents GROUP BY source
     """,
     "posexplode_tokens": """
@@ -483,7 +485,8 @@ ORACLE: dict[str, str] = {
         exploded AS (
             SELECT user_id, unnest(map_entries(m), recursive := true) FROM maps
         )
-        SELECT key AS event_type, COUNT(*) AS n_users, SUM(value) AS n_events
+        SELECT key AS event_type, COUNT(*) AS n_users,
+               CAST(SUM(value) AS BIGINT) AS n_events
         FROM exploded
         GROUP BY key
     """,

@@ -502,7 +502,7 @@ ORACLE: dict[str, str] = {
                          < {SPLIT_BOUNDS[1]} THEN 'val'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS n_tokens
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents
         GROUP BY lang, split
         ORDER BY lang, split
@@ -511,7 +511,7 @@ ORACLE: dict[str, str] = {
         SELECT CAST({H64_SQL.format(expr="CAST(doc_id AS VARCHAR)")} % {N_EXPORT_SHARDS} AS INT)
                    AS shard,
                COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS n_tokens
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents
         GROUP BY shard
         ORDER BY shard

@@ -651,7 +651,8 @@ ORACLE: dict[str, str] = {
     """,
     "grouped_zscore_outliers": """
         SELECT label, COUNT(*) AS n_vecs,
-               SUM(CASE WHEN ABS((norm - mu) / sd) > 2 THEN 1 ELSE 0 END) AS n_outliers,
+               CAST(SUM(CASE WHEN ABS((norm - mu) / sd) > 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
                ROUND(ANY_VALUE(sd), 4) AS sd_norm
         FROM (
             SELECT label, norm,

@@ -1078,7 +1078,8 @@ ORACLE: dict[str, str] = {
         GROUP BY lang
     """,
     "udtf_chunk_stats": """
-        SELECT chunk_idx, COUNT(*) AS n_chunks, SUM(n_tok) AS sum_tokens
+        SELECT chunk_idx, COUNT(*) AS n_chunks,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
         FROM (
             SELECT CAST(k AS INT) AS chunk_idx,
                    LEAST(10, len(string_split(text, ' ')) - 10 * k) AS n_tok
@@ -1160,10 +1161,11 @@ ORACLE: dict[str, str] = {
             FROM cum GROUP BY lang, shard
         )
         SELECT lang,
-               SUM(n_docs) AS n_docs,
-               SUM(shard_tokens) AS total_tokens,
-               SUM(CEIL(CAST(shard_tokens AS DOUBLE) / {PACK_BUDGET})) AS n_bins,
-               SUM(n_straddle) AS n_straddle,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(shard_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CEIL(CAST(shard_tokens AS DOUBLE) / {PACK_BUDGET})) AS BIGINT)
+                   AS n_bins,
+               CAST(SUM(n_straddle) AS BIGINT) AS n_straddle,
                ROUND(CAST(SUM(n_straddle) AS DOUBLE) / SUM(n_docs), 4) AS straddle_frac,
                ROUND(CAST(SUM(shard_tokens) AS DOUBLE)
                      / (SUM(CEIL(CAST(shard_tokens AS DOUBLE) / {PACK_BUDGET})) * {PACK_BUDGET}),
@@ -1229,8 +1231,9 @@ ORACLE: dict[str, str] = {
                COUNT(*) AS n_distinct_terms,
                CAST(SUM(CASE WHEN rank <= {VOCAB_K} THEN 1 ELSE 0 END) AS BIGINT)
                    AS vocab_size,
-               SUM(n) AS total_tokens,
-               SUM(CASE WHEN rank > {VOCAB_K} THEN n ELSE 0 END) AS oov_tokens,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN rank > {VOCAB_K} THEN n ELSE 0 END) AS BIGINT)
+                   AS oov_tokens,
                ROUND(CAST(SUM(CASE WHEN rank > {VOCAB_K} THEN n ELSE 0 END) AS DOUBLE)
                      / SUM(n), 4) AS oov_rate
         FROM ranked

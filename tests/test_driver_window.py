@@ -20,11 +20,22 @@ import __spark_entry__ as entrymod
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+def _passed(rec) -> bool:
+    if not isinstance(rec, dict):
+        return True
+    if rec.get("err") is not None:
+        return False
+    return not any(
+        f in rec and rec[f] is False
+        for f in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 def _last_checked() -> dict[str, int]:
     last: dict[str, int] = {}
     for i, p in enumerate(sorted(REPO.glob("CORRECTNESS_r*.json"))):
-        for name in json.loads(p.read_text()):
-            last[name] = i + 1
+        for name, rec in json.loads(p.read_text()).items():
+            last[name] = i + 1 if _passed(rec) else -1
     return last
 
 
@@ -77,14 +88,41 @@ def test_window_never_skips_a_staler_entry():
         )
 
 
-def test_window_is_all_never_checked_while_backlog_remains():
-    """As long as >= 50 entries have never been driver-checked, every
-    window slot must go to one of them."""
+def test_window_is_all_unverified_while_backlog_remains():
+    """As long as >= 50 entries lack a green driver row (never checked,
+    or last check failed), every window slot must go to one of them."""
     q = list(entrymod.queries())
     last = _last_checked()
-    never = [k for k in q if last.get(k, 0) == 0]
-    if len(never) >= 50:
-        assert all(last.get(k, 0) == 0 for k in q[:50])
+    unverified = [k for k in q if last.get(k, 0) <= 0]
+    if len(unverified) >= 50:
+        assert all(last.get(k, 0) <= 0 for k in q[:50])
+
+
+def test_failed_entries_requeue_at_front():
+    """A red driver row (hash/rows/schema False or err) must map to
+    staleness -1 so the entry re-enters the window the next round —
+    a fix gets its external green row immediately instead of waiting a
+    full rotation cycle."""
+    last = _last_checked()
+    failed = set()
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        d = json.loads(p.read_text())
+        for name, rec in d.items():
+            if _passed(rec):
+                failed.discard(name)
+            else:
+                failed.add(name)
+    q = list(entrymod.queries())
+    for name in failed:
+        assert q.index(name) < 50, f"failed entry {name} not re-queued in window"
+    # r03's four HUGEINT false-reds are the live fixture for this policy
+    if (REPO / "CORRECTNESS_r03.json").exists() and not (
+        REPO / "CORRECTNESS_r04.json"
+    ).exists():
+        assert {
+            "grouped_zscore_outliers", "udtf_chunk_stats",
+            "hof_token_metrics", "hof_position_weighted",
+        } <= set(q[:50])
 
 
 def test_queries_and_oracles_cover_same_names():
