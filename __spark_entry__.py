@@ -44,7 +44,7 @@ _DRIVER_WINDOW: list[str] = [
     "ngram_jaccard_pairs",
     "embedding_cosine_stats",
     "dedup_clusters",
-    # similarity (9 with oracles; kmeans_embeddings deferred, rows-only)
+    # similarity (kmeans_embeddings gained its unrolled-CTE oracle in r4)
     "knn_brute_force",
     "lsh_bucket_histogram",
     "knn_lsh_bucketed",

@@ -291,20 +291,21 @@ def write_dataset_card(
     out = Path(out_dir)
     funnel.write.mode("overwrite").parquet(str(out / "funnel.parquet"))
     persisted = spark.read.parquet(str(out / "funnel.parquet"))
-    totals = {
-        c: int(r[0])
-        for c, r in (
-            (c, persisted.agg(F.sum(c)).first())
-            for c in (
-                "n_raw",
-                "n_quality",
-                "n_exact_reps",
-                "n_neardup_kept",
-                "n_sampled",
-                "n_kept_tokens",
-            )
-        )
-    }
+    total_cols = (
+        "n_raw",
+        "n_quality",
+        "n_exact_reps",
+        "n_neardup_kept",
+        "n_sampled",
+        "n_kept_tokens",
+    )
+    # one action computes every stage total AND the stratum count —
+    # a single scan of the (tiny) persisted funnel, not 7
+    row = persisted.agg(
+        F.count("*").alias("__n_strata"),
+        *[F.sum(c).alias(c) for c in total_cols],
+    ).first()
+    totals = {c: int(row[c]) for c in total_cols}
     manifest = {
         "input": sf,
         "thresholds": {
@@ -314,7 +315,7 @@ def write_dataset_card(
             "sample": {"default": SAMPLE_DEFAULT_THRESHOLD, **SAMPLE_THRESHOLDS},
         },
         "totals": totals,
-        "n_strata": persisted.count(),
+        "n_strata": int(row["__n_strata"]),
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2, sort_keys=True))
     return manifest

@@ -678,10 +678,13 @@ def boilerplate_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: one explode (codegen index path, hashes only from
     there on), ONE distinct-doc-count shuffle keyed on the 8-byte
-    phrase hash, then the (small, threshold-pruned) hot-phrase set
-    joins back AS THE BUILD SIDE — at a production threshold the hot
-    set is tiny relative to the corpus, so it broadcasts and the
-    occurrence stream is never shuffled a second time."""
+    phrase hash, then the threshold-pruned hot-phrase set joins back.
+    The hot set's size is DATA-DEPENDENT (a pathological corpus can
+    have billions of >=MIN_DOCS phrases), so the build side carries no
+    forced broadcast hint: AQE's size-based selection broadcasts it
+    when it is actually small (the common case, asserted in
+    tests/test_plans.py via the post-execution plan) and falls back to
+    a shuffled hash join instead of OOMing the driver when it isn't."""
     docs = widen_small_scan(table(spark, sf, "documents"))
     occ = _exploded_shingles(docs, "doc_id", "source", n=BOILER_N).select(
         "doc_id", "source", _h64_spark(F.col("shingle")).alias("h")
@@ -693,7 +696,7 @@ def boilerplate_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
         .select("h", F.lit(1).alias("boiler"))
     )
     return (
-        occ.join(F.broadcast(hot), "h", "left")
+        occ.join(hot, "h", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_ngrams"),

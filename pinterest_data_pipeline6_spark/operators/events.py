@@ -733,7 +733,90 @@ def activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def session_window_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``streaming/jobs.py::session_window_counts`` — the
+    SAME transformation function applied to the batch events table
+    (``withWatermark`` is a no-op in batch), so the native
+    ``F.session_window`` semantics the streaming job relies on get a
+    hard external DuckDB-oracle row (streaming entries themselves have
+    no oracle form).
+
+    Boundary semantics pinned by the oracle: a gap of EXACTLY the
+    session gap MERGES (a new session starts only when the gap is
+    strictly greater — verified empirically against session_window's
+    merge rule), and session_end = last event ts + gap.  One shuffle on
+    user_id for the merging-window agg, same as streaming state."""
+    from pinterest_data_pipeline6_spark.streaming.jobs import session_window_counts
+
+    ev = table(spark, sf, "events")
+    return session_window_counts(ev).orderBy("user_id", "session_start")
+
+
+def interval_join_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``streaming/jobs.py::stream_stream_join`` — clicks
+    joined to same-user purchases within 30 minutes BEFORE the click,
+    via the same function the streaming job runs (watermarks no-op in
+    batch).  Externally pins the interval-join predicate (inclusive
+    both ends) that bounds streaming state retention.
+
+    Scale shape: equi key user_id carries the shuffle; the time range
+    is a post-join filter on co-partitioned rows — a SortMergeJoin,
+    never a cartesian."""
+    from pinterest_data_pipeline6_spark.streaming.jobs import stream_stream_join
+
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = stream_stream_join(clicks, purchases, within="30 minutes")
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "p_value",
+    ).orderBy("click_id", "purchase_ts")
+
+
 ORACLE: dict[str, str] = {
+    "session_window_batch": """
+        WITH lagged AS (
+            SELECT user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM lagged
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                   AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS sum_value
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    "interval_join_batch": """
+        SELECT c.event_id AS click_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               ROUND(p.value, 6) AS p_value
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 30 MINUTE
+    """,
     "attribution_last_touch": """
         WITH carried AS (
             SELECT event_id, user_id, event_type, ts,
@@ -1152,4 +1235,6 @@ QUERIES = {
     "hourly_anomaly_zscore": hourly_anomaly_zscore,
     "event_transition_matrix": event_transition_matrix,
     "interval_coverage_stats": interval_coverage_stats,
+    "session_window_batch": session_window_batch,
+    "interval_join_batch": interval_join_batch,
 }

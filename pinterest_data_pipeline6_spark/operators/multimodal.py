@@ -224,9 +224,11 @@ def media_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
 def media_feature_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end multimodal pipeline: synthesize -> Arrow-batched
     feature extraction (Pandas UDF) -> per-kind rollup of the first
-    feature component. Not SQL-expressible (the extractor is opaque
-    Python) — registered without an oracle; the driver records a
-    rows-only check and tests/test_multimodal.py pins exact values."""
+    feature component. Because the stand-in extractor is deterministic
+    byte arithmetic over an ASCII corpus, the whole pipeline carries a
+    DuckDB oracle (see ORACLE notes); swapping in a real encoder
+    returns this entry to rows-only. tests/test_multimodal.py
+    additionally pins exact values."""
     feats = extract_features(synthesize_media(spark, sf))
     return (
         feats.select("kind", F.col("features").getItem(0).alias("f0"))
@@ -306,8 +308,36 @@ ORACLE: dict[str, str] = {
         )
         GROUP BY kind
     """,
-    # media_feature_rollup: intentionally no oracle (opaque Python
-    # feature extractor) — rows-only check by the driver.
+    # media_feature_rollup: the stand-in extractor is deterministic
+    # arithmetic (mean byte of the first of FEATURE_DIM equal-width
+    # chunks), and the synthetic corpus is pure ASCII (byte == ascii of
+    # the char, verified octet_length(encode(text)) == length(text) at
+    # every SF), so f0 unrolls into ascii(substr(...)) sums.  Division
+    # order mirrors Python exactly: (sum / step) / 255.0.  A REAL
+    # encoder swapped in for _fake_features would return this entry to
+    # rows-only — the oracle checks the Arrow plumbing + rollup, which
+    # is the part that survives the swap.
+    "media_feature_rollup": f"""
+        WITH f AS (
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE ROUND(
+                            CAST(list_sum(list_transform(
+                                generate_series(1,
+                                    GREATEST(length(text) // {FEATURE_DIM}, 1)),
+                                i -> ascii(substr(text, CAST(i AS INT), 1))
+                            )) AS DOUBLE)
+                            / GREATEST(length(text) // {FEATURE_DIM}, 1)
+                            / 255.0, 6)
+                   END AS f0
+            FROM documents
+        )
+        SELECT kind, COUNT(*) AS n_media,
+               ROUND(CAST(SUM(CAST(f0 AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_f0
+        FROM f GROUP BY kind ORDER BY kind
+    """,
     #
     # frame_sample_accounting: the sampler chops ceil(len/32) frames
     # and keeps indices 0,4,8,… — sampled = (nf+3)//4; every sampled

@@ -586,10 +586,15 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
       dedup_clusters, or plan/optimizer time grows superlinearly.
       At 100 TB the same loop runs with the corpus in cache and only
       the k×dim centroid table crossing the driver.
-
-    No DuckDB oracle: iterative refinement is not expressible as one
-    ANSI query (the driver records the weaker rows-only check —
-    SURVEY.md §5.2 note on non-SQL-expressible ops)."""
+    - DETERMINISM: every mean (centroid update, final avg distance) is
+      a DECIMAL(28,12)-exact sum divided by the count — double
+      summation is accumulation-order-dependent across partitions, so
+      a raw F.avg would make the whole trajectory non-reproducible
+      run-to-run AND unmatchable cross-engine.  Exact sums make the
+      3-round trajectory bit-stable, which is what lets the fixed
+      (k=8, 3-iteration, lowest-vec_id init) configuration unroll into
+      a DuckDB oracle of 3 nested CTE rounds (same trick as
+      pagerank_bipartite's unrolled-CTE oracle)."""
     emb = widen_small_scan(table(spark, sf, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -623,7 +628,12 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
             assigned.join(emb, "vec_id")
             .select("cid", F.posexplode("v").alias("i", "x"))
             .groupBy("cid", "i")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
             .select("cid", F.transform("pairs", lambda p: p["m"]).alias("c"))
@@ -632,7 +642,11 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         assigned.groupBy("cid")
         .agg(
             F.count("*").alias("n_points"),
-            F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
+            F.round(
+                F.sum(F.sqrt("d2").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_dist"),
         )
         .orderBy("cid")
     )
@@ -985,3 +999,70 @@ ORACLE["ann_recall_eval"] = f"""
            ROUND(CAST(ivf_hits AS DOUBLE) / n_truth, 4) AS ivf_recall
     FROM hits
 """
+
+
+def _kmeans_oracle_sql() -> str:
+    """Oracle for kmeans_embeddings: Lloyd's with fixed k=8, 3
+    iterations, lowest-vec_id init unrolls into 3 nested CTE rounds
+    (assign -> update), the same trick as pagerank_bipartite's
+    unrolled-CTE oracle.  Cross-engine bit-stability rests on the
+    operator's decimal-exact means (order-independent sums) plus an
+    identical left-fold for the squared distance: DuckDB's list_reduce
+    folds left like Spark's F.aggregate, and 0.0 + x == x exactly, so
+    the missing initial accumulator cannot diverge."""
+    k, iters = KMEANS_K, KMEANS_ITERS
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (a, b) -> a + b)"
+    ).format(dim=DIM)
+    rounds = []
+    prev = "c0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+    s{r} AS (
+        SELECT e.vec_id, c.cid, {d2} AS d2
+        FROM emb e CROSS JOIN {prev} c
+    ),
+    a{r} AS (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM s{r}
+        ) WHERE rn = 1
+    ),
+    c{r} AS (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT cid, i,
+                   CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM (
+                SELECT a.cid,
+                       unnest(list_transform(generate_series(1, {DIM}),
+                           j -> {{'i': j, 'x': e.v[j]}}),
+                           recursive := true)
+                FROM a{r} a JOIN emb e ON a.vec_id = e.vec_id
+            )
+            GROUP BY cid, i
+        )
+        GROUP BY cid
+    )""")
+        prev = f"c{r}"
+    body = ",".join(rounds)
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, v AS c FROM emb ORDER BY vec_id LIMIT {k}
+    ),{body}
+    SELECT cid, COUNT(*) AS n_points,
+           ROUND(CAST(SUM(CAST(sqrt(d2) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_dist
+    FROM a{iters}
+    GROUP BY cid
+    ORDER BY cid
+    """
+
+
+ORACLE["kmeans_embeddings"] = _kmeans_oracle_sql()

@@ -128,8 +128,7 @@ def test_failed_entries_requeue_at_front():
 def test_queries_and_oracles_cover_same_names():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    # every oracle refers to a real query; rows-only entries are the
-    # documented iterative/binary exceptions
+    # every oracle refers to a real query; since r4 every entry has an
+    # oracle twin — no rows-only exceptions remain
     assert set(o) <= set(q)
-    rows_only = set(q) - set(o)
-    assert rows_only == {"kmeans_embeddings", "media_feature_rollup"}
+    assert set(q) - set(o) == set()

@@ -55,9 +55,10 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-# genuinely non-SQL-expressible ops (opaque Python stages / iterative
-# refinement) — the driver records a weaker rows-only check by design
-NO_ORACLE_OK = {"media_feature_rollup", "kmeans_embeddings"}
+# genuinely non-SQL-expressible ops would be listed here; since r4
+# every registry entry carries an oracle (kmeans: unrolled Lloyd CTEs;
+# media rollup: the deterministic stand-in extractor is arithmetic)
+NO_ORACLE_OK: set[str] = set()
 
 
 def test_every_query_has_oracle():
