@@ -350,7 +350,16 @@ def weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= SAMPLE_K_PER_SOURCE)
-        .select("source", "rnk", "doc_id", "weight", F.round("key", 6).alias("samp_key"))
+        # + 0.0 normalizes IEEE negative zero: rounding the tiny negative
+        # key of a u≈1 doc yields -0.0 in DuckDB but +0.0 in Spark
+        # (x + 0.0 == x for every other value)
+        .select(
+            "source",
+            "rnk",
+            "doc_id",
+            "weight",
+            (F.round("key", 6) + F.lit(0.0)).alias("samp_key"),
+        )
         .orderBy("source", "rnk")
     )
 
@@ -436,7 +445,8 @@ ORACLE: dict[str, str] = {
                                            ORDER BY key DESC, doc_id) AS INT) AS rnk
             FROM keyed
         )
-        SELECT source, rnk, doc_id, weight, ROUND(key, 6) AS samp_key
+        SELECT source, rnk, doc_id, weight,
+               ROUND(key, 6) + 0.0 AS samp_key
         FROM ranked
         WHERE rnk <= {SAMPLE_K_PER_SOURCE}
     """,
