@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dataquality,
         dedup,
         events,
+        facts,
         graph,
         multimodal,
         privacy,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(facts.QUERIES)
     out.update(events.QUERIES)
     out.update(textops.QUERIES)
     out.update(dedup.QUERIES)
@@ -204,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         dataquality,
         dedup,
         events,
+        facts,
         graph,
         multimodal,
         privacy,
@@ -215,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
+    out.update(facts.ORACLE)
     out.update(events.ORACLE)
     out.update(textops.ORACLE)
     out.update(dedup.ORACLE)

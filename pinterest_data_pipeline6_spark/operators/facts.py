@@ -1,0 +1,405 @@
+"""TPC-H-completion fact-table workload: the classic decision-support
+shapes NOT already covered by relational.py's Q1/Q3/Q5/Q6/Q7/Q10/Q14/Q15
+retargets — outer-join count distributions (Q13), correlated-average
+semijoin (Q17), HAVING-subquery lookups (Q18), disjunctive multi-branch
+predicates (Q19), multi-EXISTS self-correlation (Q21), and anti-join
+with an uncorrelated scalar threshold (Q22).
+
+These complete the relational surface beyond the reference's own 8-query
+workload (SURVEY.md §2.12 carries only joins + group-bys + windows); a
+warehouse user switching engines expects every one of these shapes to
+plan well.
+
+Scale notes (100 TB):
+- Q13 shape: the left join shuffles on the customer key once; the
+  second aggregation runs over one row per customer — already reduced.
+- Q17 shape: the per-part average is a partial+final agg keyed on the
+  JOIN key itself, so AQE can plan the avg⋈lineitem join shuffle-free
+  on the reused exchange; the filter keeps only ~1/5 of rows before the
+  final brand rollup.
+- Q18 shape: sum(qty) per order reduces lineitem ~4:1 BEFORE any join;
+  the >threshold filter then keeps a tiny key set that broadcast-joins
+  back to orders/customer.
+- Q19 shape: the disjunction references only scan columns, so it pushes
+  into BOTH parquet scans as a residual filter; part broadcasts.
+- Q21 shape: expressed as ONE grouped aggregate per order (distinct
+  suppliers, distinct returning suppliers) instead of the textbook
+  EXISTS + NOT EXISTS pair — the correlated-subquery form decorrelates
+  into exactly these self-joins anyway, and the explicit form does one
+  pass, not two.
+- Q22 shape: the no-orders test is a left-anti hash join (null-safe by
+  construction: keys non-null); the balance threshold arrives as a
+  1-row broadcast. The double average is NEVER materialized: the
+  predicate cross-multiplies (bal * n > sum) in exact decimal so both
+  engines agree to the last bit.
+
+Determinism contract: money/quantity sums route through DECIMAL before
+the final double cast (partial-agg order cannot perturb them); every
+top-k carries a unique tie-break key; thresholds are compared in exact
+integer/decimal arithmetic, never via a divided double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+# Q18-shaped: orders whose total quantity exceeds this (p99 of the
+# per-order sum-of-quantity distribution sits near 260 in the testdata
+# generator at every SF, so the survivors are a genuinely small set).
+LARGE_ORDER_QTY = 300
+
+# Q21-shaped: how many suppliers to report.
+SOLE_FAIL_TOP_N = 10
+
+
+def order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13-shaped: the distribution of per-customer order counts,
+    customers with zero qualifying orders included — the left OUTER
+    join is the point (an inner join would silently drop the 0 bucket).
+
+    One shuffle on the customer key produces one row per customer; the
+    distribution agg then runs on an already-reduced relation (|rows| =
+    |customers|), and its own group count is at most the max order
+    count — tiny at any scale.
+    """
+    orders, customer = (table(spark, sf, t) for t in ("orders", "customer"))
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            customer.c_custkey == orders.o_custkey,
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue carried by line items whose quantity is
+    below 20% of their part's average quantity, rolled up per brand.
+
+    The correlated scalar subquery (``AVG(l_quantity) WHERE l_partkey =
+    outer``) is expressed directly as a per-part aggregate joined back
+    on the part key — the exact decorrelation Catalyst would emit, but
+    with the aggregate's exchange reusable for the join because both
+    hash on l_partkey.
+
+    The 20%-of-average comparison is cross-multiplied into exact
+    decimal arithmetic (``5 * qty * n_lines < sum_qty``) so no double
+    average exists for the two engines to disagree on.
+    """
+    li, part = (table(spark, sf, t) for t in ("lineitem", "part"))
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        li.join(per_part, li.l_partkey == F.col("pk"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_small_qty_items"),
+            # total, not the classic /7 "avg yearly": decimal division
+            # has different result-scale rules in Spark vs DuckDB, so
+            # the derived average is left to the consumer
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+        )
+    )
+
+
+def large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18-shaped: the top-20 largest orders by total quantity
+    with their customers — the ``HAVING SUM(qty) > k`` IN-subquery
+    form, planned as reduce-then-join.
+
+    lineitem reduces to one row per order FIRST (partial+final sum on
+    the natural key); the threshold filter then leaves a key set small
+    enough that AQE broadcast-joins it to orders and customer. The
+    top-20 compiles to TakeOrderedAndProject with o_orderkey as the
+    unique tie-break.
+    """
+    li, orders, customer = (
+        table(spark, sf, t) for t in ("lineitem", "orders", "customer")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("dec_qty"))
+        .filter(F.col("dec_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("dec_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from three OR'd (type, size-band,
+    quantity-band) branches, reported per branch.
+
+    The disjunction references only scan columns of the two relations,
+    so it survives as a pushed residual on both parquet scans (checked
+    in tests/test_plans.py); part broadcasts. Branch attribution uses
+    first-match CASE so the three output rows partition the matched
+    set even where bands overlap.
+    """
+    li, part = (table(spark, sf, t) for t in ("lineitem", "part"))
+    b1 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_type") == "ECONOMY")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    b3 = (
+        (F.col("p_type") == "STANDARD")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2 | b3)
+        .withColumn(
+            "branch",
+            F.when(b1, "promo_small").when(b2, "economy_mid").otherwise("standard_large"),
+        )
+        .groupBy("branch")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def sole_return_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21-shaped: in multi-supplier orders where EXACTLY ONE
+    supplier's items came back returned, count such orders per
+    culprit supplier and report the top 10.
+
+    The textbook form is EXISTS (another supplier in the order) AND NOT
+    EXISTS (another supplier who also returned) — both decorrelate to
+    self-joins of lineitem on the order key. This implementation runs
+    the decorrelated shape directly as ONE grouped aggregate per order
+    (distinct suppliers / distinct returning suppliers via one Expand),
+    then joins the distinct (order, returning-supplier) pairs against
+    the qualifying order keys: one lineitem-wide shuffle total, versus
+    two for the EXISTS pair.
+    """
+    li, supplier = (table(spark, sf, t) for t in ("lineitem", "supplier"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)
+    ).select("l_orderkey")
+    return_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        return_pairs.join(qualifying, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_sole_fail_orders"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "n_sole_fail_orders")
+        .orderBy(F.desc("n_sole_fail_orders"), F.asc("s_suppkey"))
+        .limit(SOLE_FAIL_TOP_N)
+    )
+
+
+IDLE_PRICE_FLOOR = 350_000
+
+
+def idle_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22-shaped: per market segment, the count and total balance
+    of customers who hold an above-average positive balance yet placed
+    no BIG order (``o_totalprice > 350k`` — the testdata generator gives
+    every customer some order, so the classic no-orders-at-all form
+    would be vacuously empty at every SF).
+
+    The no-big-orders test is a left-anti hash join on the customer key
+    against the price-filtered orders (filter pushed to the scan; keys
+    are non-null, so no null-aware variant is needed). The threshold —
+    the average positive balance — never materializes as a double: the
+    1-row exact aggregate (sum as DECIMAL, count) broadcasts and the
+    predicate cross-multiplies ``bal * n_pos > sum_pos``, so
+    partial-agg order can't flip a boundary customer on either engine.
+    """
+    orders, customer = (table(spark, sf, t) for t in ("orders", "customer"))
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_pos"),
+        F.count("*").alias("n_pos"),
+    )
+    return (
+        customer.join(
+            orders.filter(F.col("o_totalprice") > IDLE_PRICE_FLOOR).select(
+                "o_custkey"
+            ),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pos))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("n_pos")
+            > F.col("sum_pos")
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_idle_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
+ORACLE: dict[str, str] = {
+    "order_count_distribution": """
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY n_orders
+    """,
+    "small_qty_part_revenue": """
+        WITH per_part AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_brand AS brand,
+               COUNT(*) AS n_small_qty_items,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS small_qty_revenue
+        FROM lineitem l
+        JOIN per_part pp ON l.l_partkey = pp.pk
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * pp.n_lines < pp.sum_qty
+        GROUP BY p.p_brand
+    """,
+    "large_order_customers": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+               CAST(b.dec_qty AS DOUBLE) AS total_qty
+        FROM (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dec_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        ) b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 20
+    """,
+    "disjunctive_part_revenue": """
+        WITH matched AS (
+            SELECT CASE
+                     WHEN p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+                          AND l_quantity BETWEEN 1 AND 20 THEN 'promo_small'
+                     WHEN p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+                          AND l_quantity BETWEEN 10 AND 30 THEN 'economy_mid'
+                     ELSE 'standard_large'
+                   END AS branch,
+                   CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(1 - l_discount AS DECIMAL(18,6)) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_type = 'STANDARD' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
+        )
+        SELECT branch, COUNT(*) AS n_items,
+               CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+        FROM matched GROUP BY branch
+    """,
+    "sole_return_supplier": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                       THEN l_suppkey END) AS n_supp_r
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        qualifying AS (
+            SELECT l_orderkey FROM per_order
+            WHERE n_supp > 1 AND n_supp_r = 1
+        ),
+        return_pairs AS (
+            SELECT DISTINCT l_orderkey, l_suppkey
+            FROM lineitem WHERE l_returnflag = 'R'
+        )
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_sole_fail_orders
+        FROM return_pairs rp
+        JOIN qualifying q ON rp.l_orderkey = q.l_orderkey
+        JOIN supplier s ON rp.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY n_sole_fail_orders DESC, s.s_suppkey ASC
+        LIMIT 10
+    """,
+    "idle_customer_segments": """
+        WITH pos AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos,
+                   COUNT(*) AS n_pos
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_idle_customers,
+               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_balance
+        FROM customer c, pos
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 350000)
+          AND CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.sum_pos
+        GROUP BY c.c_mktsegment
+    """,
+}
+
+QUERIES = {
+    "order_count_distribution": order_count_distribution,
+    "small_qty_part_revenue": small_qty_part_revenue,
+    "large_order_customers": large_order_customers,
+    "disjunctive_part_revenue": disjunctive_part_revenue,
+    "sole_return_supplier": sole_return_supplier,
+    "idle_customer_segments": idle_customer_segments,
+}

@@ -52,6 +52,7 @@ def test_registry_order_is_stalest_first():
         dataquality,
         dedup,
         events,
+        facts,
         graph,
         multimodal,
         privacy,
@@ -63,7 +64,7 @@ def test_registry_order_is_stalest_first():
 
     merged: dict[str, object] = {}
     for mod in (
-        relational, events, textops, dedup, similarity,
+        relational, facts, events, textops, dedup, similarity,
         multimodal, collections, subqueries, privacy, curation,
         dataquality, graph,
     ):

@@ -396,6 +396,7 @@ INTENTIONAL_BNLJ = {
     "dq_expectations",      # 1-row rule aggregates crossJoined into the ledger
     "ann_recall_eval",      # composes knn_brute_force's broadcast query scan
     "activity_profile_knn",  # 5 broadcast query profiles x user-profile scan
+    "idle_customer_segments",  # 1-row balance-threshold aggregate broadcast
 }
 
 
@@ -632,3 +633,85 @@ def test_plan_audit_reports_expected_shape(spark):
 
     top = plan_audit(relational.q3b_global_top_account(spark, SF))
     assert top["take_ordered"]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-completion fact workload (operators/facts.py)
+# ---------------------------------------------------------------------------
+
+
+def test_order_count_distribution_is_left_outer(spark):
+    """Q13-shaped: the join must stay LEFT OUTER (an inner join drops
+    the zero-order bucket) with the priority filter pushed to the
+    orders scan; the distribution agg runs on the already-reduced
+    one-row-per-customer relation (exactly 2 agg exchanges)."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.order_count_distribution(spark, SF)
+    plan = executed_plan(df)
+    assert "LeftOuter" in plan, plan
+    assert has_pushed_filter(df, "o_orderpriority")
+
+
+def test_small_qty_avg_join_is_keyed_on_partkey(spark):
+    """Q17-shaped: the per-part average joins back on l_partkey (hash
+    join, never nested-loop) and the part dim broadcasts."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    plan = executed_plan(facts.small_qty_part_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_large_orders_reduce_before_join(spark):
+    """Q18-shaped: lineitem must aggregate to one row per order BEFORE
+    any join (the HashAggregate sits under the join, not above it),
+    and the top-20 compiles to TakeOrderedAndProject."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.large_order_customers(spark, SF)
+    assert has_take_ordered(df)
+    plan = executed_plan(df)
+    # the quantity sum appears below the first join in the plan tree:
+    # assert the aggregate exists and no cartesian crept in
+    assert "HashAggregate" in plan and "CartesianProduct" not in plan
+
+
+def test_disjunctive_predicate_pushes_quantity_bands(spark):
+    """Q19-shaped: Catalyst must extract the per-table residual of the
+    OR-of-conjunctions (the union of the l_quantity bands) and push it
+    into the lineitem scan — at 100 TB this is the difference between
+    scanning matching row groups and scanning everything."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.disjunctive_part_revenue(spark, SF)
+    assert has_pushed_filter(df, "l_quantity")
+    assert "BroadcastHashJoin" in executed_plan(df)
+
+
+def test_sole_return_supplier_single_wide_shuffle(spark):
+    """Q21-shaped: the one-pass grouped-aggregate form — distinct
+    supplier counts per order via Expand — must hash-join the
+    qualifying keys (no cartesian) and broadcast the supplier dim;
+    the top-10 is TakeOrderedAndProject."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.sole_return_supplier(spark, SF)
+    assert has_take_ordered(df)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Expand" in plan  # two distinct aggs in one pass
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_customers_anti_join_with_pushed_price(spark):
+    """Q22-shaped: the no-big-orders test is a LEFT ANTI hash join with
+    the price floor pushed into the orders scan; the 1-row threshold
+    broadcast is the only nested-loop join."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.idle_customer_segments(spark, SF)
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert has_pushed_filter(df, "o_totalprice")
