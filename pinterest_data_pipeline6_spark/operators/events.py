@@ -777,7 +777,103 @@ def interval_join_batch(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("click_id", "purchase_ts")
 
 
+def event_pattern_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern mining: each user's event
+    history becomes one compact symbol string (first letter of the
+    event type, ordered by (ts, event_id)), and regex counts find
+    behavioural motifs — direct conversions ``vc*p`` (view, clicks,
+    purchase with nothing between), eventual conversions ``v[^p]*p``
+    (a view whose next purchase exists), and error-adjacent signups
+    ``se``. Reported per motif: total occurrences and distinct users.
+
+    This is the scalable encoding of sequential-pattern queries: ONE
+    shuffle (the per-user ordered aggregation), then regex work is
+    row-local over strings whose length is the user's event count —
+    no self-joins, no per-step windows. Counting is non-overlapping
+    left-to-right in both engines (Java regex / RE2 agree on these
+    alternation-free patterns); (ts, event_id) ordering makes the
+    symbol string — and so every count — deterministic.
+    """
+    ev = table(spark, sf, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s.getField("c")
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    motifs = [
+        ("direct_conversion", r"vc*p"),
+        ("eventual_conversion", r"v[^p]*p"),
+        ("signup_then_error", r"se"),
+    ]
+    counted = seqs.select(
+        "user_id",
+        *[
+            F.regexp_count(F.col("seq"), F.lit(pat)).alias(name)
+            for name, pat in motifs
+        ],
+    )
+    # ONE aggregate over the per-user counts (a per-motif union of
+    # aggregates would re-shuffle events once per motif), then a 1-row
+    # stack unpivot into per-motif rows.
+    aggs = []
+    for name, _ in motifs:
+        aggs.append(F.sum(name).alias(f"{name}_n"))
+        aggs.append(F.sum((F.col(name) > 0).cast("long")).alias(f"{name}_u"))
+    stack_args = ", ".join(
+        f"'{name}', {name}_n, {name}_u" for name, _ in motifs
+    )
+    return (
+        counted.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(motifs)}, {stack_args}) "
+                "AS (motif, n_occurrences, n_users)"
+            )
+        )
+        .orderBy("motif")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "event_pattern_counts": """
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        ),
+        counted AS (
+            SELECT user_id,
+                   len(regexp_extract_all(seq, 'vc*p')) AS direct_conversion,
+                   len(regexp_extract_all(seq, 'v[^p]*p')) AS eventual_conversion,
+                   len(regexp_extract_all(seq, 'se')) AS signup_then_error
+            FROM seqs
+        )
+        SELECT 'direct_conversion' AS motif,
+               CAST(SUM(direct_conversion) AS BIGINT) AS n_occurrences,
+               CAST(SUM(CASE WHEN direct_conversion > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+        FROM counted
+        UNION ALL
+        SELECT 'eventual_conversion',
+               CAST(SUM(eventual_conversion) AS BIGINT),
+               CAST(SUM(CASE WHEN eventual_conversion > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM counted
+        UNION ALL
+        SELECT 'signup_then_error',
+               CAST(SUM(signup_then_error) AS BIGINT),
+               CAST(SUM(CASE WHEN signup_then_error > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM counted
+        ORDER BY motif
+    """,
     "session_window_batch": """
         WITH lagged AS (
             SELECT user_id, ts, value,
@@ -1235,6 +1331,7 @@ QUERIES = {
     "hourly_anomaly_zscore": hourly_anomaly_zscore,
     "event_transition_matrix": event_transition_matrix,
     "interval_coverage_stats": interval_coverage_stats,
+    "event_pattern_counts": event_pattern_counts,
     "session_window_batch": session_window_batch,
     "interval_join_batch": interval_join_batch,
 }

@@ -285,6 +285,59 @@ def idle_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: quartile each customer on Recency
+    (days from last order to the corpus's max order date), Frequency
+    (order count), and Monetary (exact-decimal revenue sum), then roll
+    up the 4x4x4 segment grid with counts and revenue.
+
+    Quartiles are EQUI-HEIGHT (ntile(4) semantics) over (metric,
+    c_custkey) — the unique key makes every assignment deterministic
+    cross-engine. A global ``ntile OVER (ORDER BY ...)`` would funnel
+    every customer through one task; this reuses the distributed exact
+    ntile (range-partition + per-partition ranks + rank offsets —
+    textops._distributed_ntile, plan-proven for curriculum_deciles), so
+    each of the three quartile passes is a shuffle of slim
+    (metric, key) pairs. The date anchor is a 1-row broadcast;
+    recency compares DATE-truncated calendar days so both engines
+    count identically.
+    """
+    from pinterest_data_pipeline6_spark.operators.textops import _distributed_ntile
+
+    orders = table(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("dec_monetary"),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    base = per_cust.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_order").alias("recency_days"),
+        "frequency",
+        "dec_monetary",
+    )
+
+    def quartile(metric: str, out: str) -> DataFrame:
+        scored = base.select(
+            F.col(metric).alias("score"), F.col("o_custkey").alias("doc_id")
+        )
+        return _distributed_ntile(scored, n_buckets=4).select(
+            F.col("doc_id").alias("o_custkey"), F.col("decile").alias(out)
+        )
+
+    return (
+        base.join(quartile("recency_days", "r_quartile"), "o_custkey")
+        .join(quartile("frequency", "f_quartile"), "o_custkey")
+        .join(quartile("dec_monetary", "m_quartile"), "o_custkey")
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("dec_monetary"), 2).cast("double").alias("total_monetary"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
     "order_count_distribution": """
         SELECT n_orders, COUNT(*) AS n_customers
@@ -395,8 +448,38 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["rfm_segments"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+    base AS (
+        SELECT o_custkey,
+               date_diff('day', last_order, anchor) AS recency_days,
+               frequency, dec_monetary
+        FROM per_cust, a
+    ),
+    q AS (
+        SELECT o_custkey, dec_monetary,
+               NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+               NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+               NTILE(4) OVER (ORDER BY dec_monetary, o_custkey) AS m_quartile
+        FROM base
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(dec_monetary), 2) AS DOUBLE) AS total_monetary
+    FROM q
+    GROUP BY r_quartile, f_quartile, m_quartile
+"""
+
 QUERIES = {
     "order_count_distribution": order_count_distribution,
+    "rfm_segments": rfm_segments,
     "small_qty_part_revenue": small_qty_part_revenue,
     "large_order_customers": large_order_customers,
     "disjunctive_part_revenue": disjunctive_part_revenue,

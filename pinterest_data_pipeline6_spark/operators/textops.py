@@ -955,6 +955,78 @@ def chunk_overlap_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# BM25 query-term set: two common terms plus one rare ('dup' appears in
+# ~5% of docs) so the idf spread is visible in the score buckets.
+BM25_TERMS = ("hash", "scan", "dup")
+
+
+def bm25_doc_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 relevance scoring (Lucene idf variant, k1=1.2, b=0.75) of
+    every document against a fixed query-term set, histogrammed per
+    (terms-matched, integer score bucket).
+
+    The textbook formula divides by ``avgdl`` — a double average that
+    two engines would round differently. Here every rational piece is
+    cross-multiplied into int64 form first:
+
+      idf_t        = ln((2N+2) / (2·df_t+1))
+      tf-part      = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)   (k1=6/5, b=3/4)
+
+    with N = doc count and L = total token count, so the only floating
+    ops are one correctly-rounded division, one ln, one multiply, and a
+    ≤|terms| sum per doc — and the output buckets on floor(10·score),
+    making the compare immune to last-ulp libm drift (the
+    bigram_perplexity_buckets trick). int64 headroom: 22·tf·L needs
+    tf·L < 4e17 — safe past 100-TB corpora (L ~ 1e13, tf ≤ 1e3).
+
+    Shuffle shape: one explode→filter (the IN-list prunes to query
+    terms BEFORE the tf aggregate, so the shuffle carries only matched
+    term rows), one 3-row df aggregate (broadcast back), one 1-row
+    (N, L) aggregate (broadcast), one final histogram agg. The document
+    text itself never crosses a shuffle.
+    """
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(_tokens()).alias("t"), F.size(_tokens()).alias("dl")
+    ).filter(F.col("t").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "t").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens())).alias("total_len"),
+    )
+    term_score = (
+        F.log(
+            (2 * F.col("n_docs") + 2).cast("double") / (2 * F.col("df") + 1)
+        )
+        * (F.lit(22.0) * F.col("tf") * F.col("total_len"))
+        / (
+            F.lit(10.0) * F.col("tf") * F.col("total_len")
+            + F.lit(3.0) * F.col("total_len")
+            + F.lit(9.0) * F.col("dl") * F.col("n_docs")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_query_terms"),
+            F.sum(term_score).alias("score"),
+        )
+    )
+    return (
+        scored.groupBy(
+            "n_query_terms",
+            F.floor(F.col("score") * 10).cast("int").alias("score_bucket"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("n_query_terms", "score_bucket")
+    )
+
+
 ORACLE: dict[str, str] = {
     "bpe_token_counts": f"""
         SELECT lang,
@@ -1483,7 +1555,45 @@ ORACLE["bpe_merge_candidates"] = f"""
     LIMIT {BPE_TOP_MERGES}
 """
 
+_BM25_IN = "('" + "', '".join(BM25_TERMS) + "')"
+ORACLE["bm25_doc_ranking"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_len
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf, MIN(dl) AS dl
+        FROM tok WHERE t IN {_BM25_IN}
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               COUNT(*) AS n_query_terms,
+               SUM(
+                   ln(CAST(2 * s.n_docs + 2 AS DOUBLE) / (2 * df.df + 1))
+                   * (22.0 * tf.tf * s.total_len)
+                   / (10.0 * tf.tf * s.total_len + 3.0 * s.total_len
+                      + 9.0 * tf.dl * s.n_docs)
+               ) AS score
+        FROM tf JOIN df USING (t) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT n_query_terms, CAST(FLOOR(score * 10) AS INT) AS score_bucket,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY n_query_terms, score_bucket
+    ORDER BY n_query_terms, score_bucket
+"""
+
 QUERIES = {
+    "bm25_doc_ranking": bm25_doc_ranking,
     "bpe_token_counts": bpe_token_counts,
     "bpe_merge_candidates": bpe_merge_candidates,
     "token_gini_per_lang": token_gini_per_lang,

@@ -397,6 +397,8 @@ INTENTIONAL_BNLJ = {
     "ann_recall_eval",      # composes knn_brute_force's broadcast query scan
     "activity_profile_knn",  # 5 broadcast query profiles x user-profile scan
     "idle_customer_segments",  # 1-row balance-threshold aggregate broadcast
+    "rfm_segments",         # 1-row date-anchor aggregate broadcast
+    "bm25_doc_ranking",     # 1-row (N, total_len) corpus-stats broadcast
 }
 
 
@@ -703,6 +705,49 @@ def test_sole_return_supplier_single_wide_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "Expand" in plan  # two distinct aggs in one pass
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_prunes_terms_before_tf_agg(spark):
+    """The query-term IN-list must filter the exploded token stream
+    BEFORE the tf aggregate — the shuffle carries only matched term
+    rows, never the full token explosion."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    plan = executed_plan(textops.bm25_doc_ranking(spark, SF))
+    # the filter on t sits below the first aggregate: Spark renders the
+    # IN-list filter in the same stage as the Generate (explode)
+    assert "Generate explode" in plan
+    gen = plan.index("Generate explode")
+    agg = plan.index("HashAggregate")
+    filt = plan.rindex(" IN (hash,scan,dup")
+    assert filt > agg, "IN filter should be below (printed after) the agg"
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_quartiles_avoid_global_window_sort(spark):
+    """rfm_segments must use the distributed exact ntile — no
+    single-partition global Window sort may appear in the plan."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    plan = executed_plan(facts.rfm_segments(spark, SF))
+    assert "Window" in plan  # per-partition row_number windows
+    # the textbook global ntile plans as 'Exchange SinglePartition' feeding
+    # a Window — forbidden here
+    import re
+
+    bad = re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan)
+    assert not bad, "global single-partition window sort found"
+
+
+def test_event_pattern_single_shuffle(spark):
+    """The symbol-string build is the ONLY wide exchange keyed on
+    user_id; regex counting is row-local (no join, no second user_id
+    shuffle of raw events)."""
+    from pinterest_data_pipeline6_spark.operators import events
+
+    plan = executed_plan(events.event_pattern_counts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(user_id") <= 2  # partial+final pair
 
 
 def test_idle_customers_anti_join_with_pushed_price(spark):
