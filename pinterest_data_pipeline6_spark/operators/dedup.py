@@ -554,6 +554,78 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware survivorship: collapse every near-dup cluster onto
+    its HIGHEST-QUALITY member (not the arbitrary min-id) — the policy
+    production curation actually wants, since boilerplate copies often
+    carry the lowest ids. Per surviving doc's language: cluster count,
+    total/dropped docs, and how many characters of text survive vs drop.
+
+    The quality score is textops.quality_score_buckets' composite
+    (length/diversity/word-length — formula kept in exact parity so the
+    two entries rank identically); the winner is chosen by ONE grouped
+    ``max(struct(score, -doc_id, ...))`` — partial-aggregatable map-side
+    (no window, no per-cluster sort), ties broken to the smallest
+    doc_id. Labels come from the same large-star/small-star CC as
+    ``dedup_clusters``; singleton docs (absent from the pair graph)
+    survive as their own cluster via the left join + coalesce. All
+    reported measures are exact integers, so no float-ordering hazard
+    crosses engines."""
+    docs = table(spark, sf, "documents")
+    pairs = minhash_band_pairs(spark, sf)
+    edges = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    labels, _ = _connected_components(edges, oriented=True)
+
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    mean_wlen = (F.col("n_chars") - (n_tok - 1)) / n_tok  # chars minus spaces
+    wlen_score = F.least(mean_wlen / F.lit(6.0), F.lit(1.0))
+    score = F.round(0.4 * len_score + 0.4 * diversity + 0.2 * wlen_score, 6)
+
+    lab = (
+        docs.select("doc_id", "lang", "n_chars", score.alias("score"))
+        .join(
+            labels.withColumnRenamed("node", "doc_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "score",
+            F.coalesce("label", "doc_id").alias("rep"),
+        )
+    )
+    per_rep = lab.groupBy("rep").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(
+            F.struct(
+                F.col("score"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("lang"),
+                F.col("n_chars"),
+            )
+        ).alias("w"),
+    )
+    return (
+        per_rep.groupBy(F.col("w.lang").alias("lang"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            (F.sum("n_docs") - F.count("*")).cast("bigint").alias("n_dropped"),
+            F.sum(F.col("w.n_chars")).cast("bigint").alias("kept_chars"),
+            (F.sum("total_chars") - F.sum(F.col("w.n_chars")))
+            .cast("bigint")
+            .alias("dropped_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 SPAN_TOKENS = 16  # pseudo-paragraph length for span-level dedup
 
 
@@ -1158,6 +1230,59 @@ ORACLE: dict[str, str] = {
         FROM (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
         GROUP BY rep
     """,
+    # same recursive closure; the winner per cluster is the ordered-FIRST
+    # over (score DESC, doc_id ASC) — the declarative twin of Spark's
+    # max(struct(score, -doc_id)) argmax
+    "dedup_survivorship": f"""
+        WITH RECURSIVE sig AS ({_SIG_SQL}),
+        banded AS ({_BAND_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+        ),
+        labels AS (
+            SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u
+        ),
+        scored AS (
+            SELECT doc_id, lang, n_chars, ROUND(
+                0.4 * LEAST(n_chars / 400.0, 1.0)
+              + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+              + 0.2 * LEAST(((n_chars - (len(toks) - 1))
+                             / CAST(len(toks) AS DOUBLE)) / 6.0, 1.0),
+              6) AS score
+            FROM (SELECT doc_id, lang, n_chars,
+                         string_split(text, ' ') AS toks FROM documents)
+        ),
+        lab AS (
+            SELECT s.doc_id, s.lang, s.n_chars, s.score,
+                   COALESCE(l.rep, s.doc_id) AS rep
+            FROM scored s LEFT JOIN labels l ON s.doc_id = l.doc_id
+        ),
+        per_rep AS (
+            SELECT rep, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                   FIRST(lang ORDER BY score DESC, doc_id ASC) AS w_lang,
+                   FIRST(n_chars ORDER BY score DESC, doc_id ASC) AS w_chars
+            FROM lab GROUP BY rep
+        )
+        SELECT w_lang AS lang,
+               COUNT(*) AS n_clusters,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dropped,
+               CAST(SUM(w_chars) AS BIGINT) AS kept_chars,
+               CAST(SUM(total_chars) - SUM(w_chars) AS BIGINT) AS dropped_chars
+        FROM per_rep GROUP BY w_lang ORDER BY lang
+    """,
     "embedding_cosine_stats": f"""
         SELECT a.label AS label, COUNT(*) AS n_pairs,
                ROUND(MAX({_COS_SQL}), 4) AS max_cos,
@@ -1395,6 +1520,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_cosine_stats": embedding_cosine_stats,
     "dedup_clusters": dedup_clusters,
+    "dedup_survivorship": dedup_survivorship,
     "span_dedup_stats": span_dedup_stats,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "bow_dedup_gain": bow_dedup_gain,

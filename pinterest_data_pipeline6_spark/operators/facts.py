@@ -285,6 +285,109 @@ def idle_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MARKET_REGION = "ASIA"  # Q8-shaped: the market under analysis
+MARKET_NATION = "NATION_2"  # ...and the supplier nation whose share we track
+
+
+def market_share_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8-shaped: within one region's customer market, the share
+    of revenue supplied by one nation's suppliers, per order year — the
+    classic two-`nation` (customer side vs supplier side) seven-relation
+    join.
+
+    Scale shape: nation⋈region composes into a tiny broadcast keyed on
+    nationkey used TWICE — once to filter customers into the market
+    region, once to tag each line's supplier nation. The only wide
+    shuffles are lineitem⋈orders (order key) and orders⋈customer
+    (customer key); supplier joins on suppkey where AQE picks broadcast
+    at small SF and a shuffle join at warehouse scale. Revenue sums in
+    exact decimal; the share divides two already-rounded doubles so
+    both engines round the identical IEEE quotient.
+    """
+    li, orders, customer, supplier, nation, region = (
+        table(spark, sf, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    nat_reg = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    market_cust = customer.join(
+        F.broadcast(nat_reg.filter(F.col("r_name") == MARKET_REGION)),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = supplier.join(
+        F.broadcast(nat_reg),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(market_cust, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("market_revenue"),
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == MARKET_NATION, rev)), 2
+            )
+            .cast("double")
+            .alias("nation_revenue"),
+        )
+        .withColumn(
+            "nation_share",
+            F.round(
+                F.coalesce(F.col("nation_revenue"), F.lit(0.0))
+                / F.col("market_revenue"),
+                6,
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
+FAST_SHIP_DAYS = 30  # ship-latency band edges (days from order to ship)
+LATE_SHIP_DAYS = 60
+
+
+def ship_latency_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12-shaped: line items bucketed by order-to-ship latency
+    band, counting lines from high-priority (1-URGENT / 2-HIGH) versus
+    lower-priority orders per band — the shipping-SLA-vs-priority audit.
+    (The testdata carries no l_shipmode/l_commitdate, so the band plays
+    Q12's ship-mode role; the CASE-sum priority split is verbatim Q12.)
+
+    One lineitem⋈orders shuffle on the order key; the band and the two
+    priority indicator sums are map-side projections, so the final
+    3-row rollup aggregates an already-slim relation. Latency compares
+    DATE-truncated calendar days so both engines count identically.
+    """
+    li, orders = (table(spark, sf, t) for t in ("lineitem", "orders"))
+    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(lat < FAST_SHIP_DAYS, "fast")
+            .when(lat < LATE_SHIP_DAYS, "normal")
+            .otherwise("late")
+            .alias("latency_band"),
+            high.alias("hi"),
+        )
+        .groupBy("latency_band")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_priority_lines"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_priority_lines"),
+        )
+        .orderBy("latency_band")
+    )
+
+
 def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM customer segmentation: quartile each customer on Recency
     (days from last order to the corpus's max order date), Frequency
@@ -448,6 +551,59 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["market_share_by_year"] = """
+    WITH nat_reg AS (
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    market_cust AS (
+        SELECT c_custkey FROM customer
+        JOIN nat_reg ON c_nationkey = n_nationkey
+        WHERE r_name = 'ASIA'
+    ),
+    supp_nation AS (
+        SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        JOIN nat_reg ON s_nationkey = n_nationkey
+    ),
+    yearly AS (
+        SELECT EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS market_revenue,
+               CAST(ROUND(SUM(CASE WHEN sn.supp_nation = 'NATION_2'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,6)) END), 2)
+                   AS DOUBLE) AS nation_revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN market_cust mc ON o.o_custkey = mc.c_custkey
+        JOIN supp_nation sn ON l.l_suppkey = sn.s_suppkey
+        GROUP BY 1
+    )
+    SELECT order_year, market_revenue, nation_revenue,
+           ROUND(COALESCE(nation_revenue, 0.0) / market_revenue, 6)
+               AS nation_share
+    FROM yearly
+    ORDER BY order_year
+"""
+
+ORACLE["ship_latency_priority"] = """
+    SELECT CASE
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) < 30 THEN 'fast'
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) < 60 THEN 'normal'
+             ELSE 'late'
+           END AS latency_band,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY latency_band
+"""
+
 ORACLE["rfm_segments"] = """
     WITH per_cust AS (
         SELECT o_custkey,
@@ -479,6 +635,8 @@ ORACLE["rfm_segments"] = """
 
 QUERIES = {
     "order_count_distribution": order_count_distribution,
+    "market_share_by_year": market_share_by_year,
+    "ship_latency_priority": ship_latency_priority,
     "rfm_segments": rfm_segments,
     "small_qty_part_revenue": small_qty_part_revenue,
     "large_order_customers": large_order_customers,

@@ -707,6 +707,34 @@ def test_sole_return_supplier_single_wide_shuffle(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_market_share_pushes_region_filter(spark):
+    """Q8-shaped: the market-region predicate must reach the region
+    scan (the nation⋈region composite stays a broadcast on both uses),
+    and the seven-relation join plans with hash joins only — at 100 TB
+    a nested-loop anywhere in this tree is fatal."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.market_share_by_year(spark, SF)
+    assert has_pushed_filter(df, "r_name")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ship_latency_projects_before_rollup(spark):
+    """Q12-shaped: exactly the two fact scans join once on the order
+    key; the band/priority projection is map-side, so the final rollup
+    aggregates a 2-column relation (no extra shuffle beyond join+agg)."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.ship_latency_priority(spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_bm25_prunes_terms_before_tf_agg(spark):
     """The query-term IN-list must filter the exploded token stream
     BEFORE the tf aggregate — the shuffle carries only matched term
