@@ -674,6 +674,51 @@ def span_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cross_source_span_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix at SPAN granularity: for every
+    source pair (a < b), how many distinct 16-token spans appear in
+    BOTH — the signal that catches templated boilerplate and licensing
+    blocks flowing between crawls even when no whole document repeats
+    (exact-digest overlap is zero on this corpus; span overlap is not).
+
+    Same span hashing as ``span_dedup_stats`` (60-bit H64, text never
+    shuffles). The per-source distinct prunes repeated spans within a
+    source BEFORE the self-equijoin on the hash, so a span contributes
+    at most (#sources choose 2) join rows — never a row-count blowup —
+    and the output is bounded by the source-pair count regardless of
+    corpus size."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = F.split(F.col("text"), " ")
+    spans = (
+        docs.select("source", toks.alias("toks"))
+        .select(
+            "source",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.size("toks") - 1) / SPAN_TOKENS))
+            ).alias("i"),
+        )
+        .select(
+            "source",
+            _h64_spark(
+                F.concat_ws(
+                    " ", F.slice("toks", F.col("i") * SPAN_TOKENS + 1, SPAN_TOKENS)
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    a = spans.select(F.col("source").alias("source_a"), "h")
+    b = spans.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_spans"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def dup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Histogram of exact-duplicate group sizes: group docs by text
     digest, then roll group sizes up into (size → groups, docs, excess
@@ -1314,6 +1359,28 @@ ORACLE: dict[str, str] = {
         FROM spans JOIN freq USING (h)
         GROUP BY source
     """,
+    "cross_source_span_overlap": f"""
+        WITH spans AS (
+            SELECT DISTINCT source,
+                   {H64_SQL.format(expr="span")} AS h
+            FROM (
+                SELECT source,
+                       unnest(list_transform(
+                           generate_series(0, (len(toks) - 1) // {SPAN_TOKENS}),
+                           i -> array_to_string(
+                               toks[CAST(i * {SPAN_TOKENS} + 1 AS INT)
+                                    :CAST(i * {SPAN_TOKENS} + {SPAN_TOKENS} AS INT)],
+                               ' '))) AS span
+                FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+            )
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared_spans
+        FROM spans a JOIN spans b
+          ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b
+    """,
     "dup_cluster_size_histogram": """
         SELECT csize,
                COUNT(*) AS n_groups,
@@ -1521,6 +1588,7 @@ QUERIES = {
     "embedding_cosine_stats": embedding_cosine_stats,
     "dedup_clusters": dedup_clusters,
     "dedup_survivorship": dedup_survivorship,
+    "cross_source_span_overlap": cross_source_span_overlap,
     "span_dedup_stats": span_dedup_stats,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "bow_dedup_gain": bow_dedup_gain,

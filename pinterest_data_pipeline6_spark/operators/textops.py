@@ -1027,6 +1027,90 @@ def bm25_doc_ranking(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+READ_SIMPLE_SPW = 140  # syllables-per-100-words band edges (corpus
+READ_MODERATE_SPW = 150  # quartiles sit near 138/143/148)
+
+
+def readability_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Readability banding: a Flesch-style complexity signal from the
+    syllable rate (vowel-cluster heuristic — each ``[aeiouy]+`` run is
+    one syllable, minimum one per word), banded on the INTEGER
+    syllables-per-100-words rate so the cut is exact on both engines.
+    Per (lang, band): docs and total words — the reading-level mixture
+    report a curation pass uses to balance training difficulty.
+
+    Row-local higher-order functions only (no UDF, no shuffle before
+    the final rollup); the regexp runs inside whole-stage codegen, and
+    the 100×syl // words floor-division keeps every banded quantity in
+    exact integer arithmetic."""
+    docs = table(spark, sf, "documents")
+    syl = F.expr(
+        "aggregate(transform(split(text, ' '), "
+        "w -> greatest(1L, cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) as long))), "
+        "0L, (a, x) -> a + x)"
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(_tokens()).cast("bigint").alias("n_words"),
+        syl.alias("syl"),
+    ).select(
+        "lang",
+        "n_words",
+        F.expr("100 * syl div n_words").alias("spw"),
+    )
+    band = (
+        F.when(F.col("spw") < READ_SIMPLE_SPW, "simple")
+        .when(F.col("spw") < READ_MODERATE_SPW, "moderate")
+        .otherwise("complex")
+    )
+    return (
+        per_doc.groupBy("lang", band.alias("band"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+def hapax_legomena_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-richness accounting per language: corpus token mass,
+    type count (distinct tokens), hapax legomena (types occurring
+    exactly once), type/token ratio and hapax share — the
+    vocabulary-growth diagnostic that sizes tokenizer vocabularies and
+    flags synthetic/templated corpora (repetitive text shows an
+    abnormally low hapax share).
+
+    Explode is linear in token count; the (lang, token) frequency pass
+    is ONE partial+final count agg whose shuffle carries (lang, token)
+    pairs once each after map-side combine, and the per-lang rollup
+    aggregates one row per type — strictly shrinking. Ratios divide
+    exact integers, so both engines compute the identical IEEE double."""
+    docs = table(spark, sf, "documents")
+    freq = (
+        docs.select("lang", F.explode(_tokens()).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLE: dict[str, str] = {
     "bpe_token_counts": f"""
         SELECT lang,
@@ -1441,6 +1525,43 @@ def skyline_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ORACLE["readability_bands"] = f"""
+    SELECT lang,
+           CASE WHEN spw < {READ_SIMPLE_SPW} THEN 'simple'
+                WHEN spw < {READ_MODERATE_SPW} THEN 'moderate'
+                ELSE 'complex' END AS band,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_words,
+               (100 * list_sum(list_transform(string_split(text, ' '),
+                    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))))
+                 // len(string_split(text, ' ')) AS spw
+        FROM documents
+    )
+    GROUP BY 1, 2
+    ORDER BY lang, band
+"""
+
+ORACLE["hapax_legomena_stats"] = """
+    WITH freq AS (
+        SELECT lang, t, COUNT(*) AS c
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY lang, t
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_share
+    FROM freq
+    GROUP BY lang
+    ORDER BY lang
+"""
+
 ORACLE["skyline_docs"] = """
     WITH m AS (
         SELECT doc_id, n_chars AS m1, len(string_split(text, ' ')) AS m2
@@ -1617,4 +1738,6 @@ QUERIES = {
     "chunk_overlap_stats": chunk_overlap_stats,
     "skyline_docs": skyline_docs,
     "inverted_index_sample": inverted_index_sample,
+    "readability_bands": readability_bands,
+    "hapax_legomena_stats": hapax_legomena_stats,
 }

@@ -735,6 +735,48 @@ def test_ship_latency_projects_before_rollup(spark):
     assert "HashAggregate" in plan
 
 
+def test_readability_single_scan_no_explode(spark):
+    """Readability banding is pure row-local HOF work: one documents
+    scan pruned to (lang, text), NO Generate (the syllable sum rides
+    the aggregate HOF, not an explode), and exactly the one rollup's
+    partial+final exchange."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    df = textops.readability_bands(spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hapax_shuffles_tokens_once(spark):
+    """The (lang, token) frequency pass must be one partial+final agg
+    (map-side combine collapses repeated tokens before the shuffle);
+    the per-lang rollup then reduces one-row-per-type — no join, no
+    second wide shuffle of raw tokens."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    df = textops.hapax_legomena_stats(spark, SF)
+    plan = executed_plan(df)
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    # partial aggregate below the exchange: two HashAggregate pairs
+    assert plan.count("HashAggregate") >= 3, plan
+
+
+def test_cross_source_overlap_joins_on_hash(spark):
+    """The span self-join must be a hash equijoin on the 60-bit span
+    hash with the per-source distinct BELOW it (span text never crosses
+    a shuffle; a span fans out at most #sources² rows)."""
+    from pinterest_data_pipeline6_spark.operators import dedup
+
+    df = dedup.cross_source_span_overlap(spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_bm25_prunes_terms_before_tf_agg(spark):
     """The query-term IN-list must filter the exploded token stream
     BEFORE the tf aggregate — the shuffle carries only matched term
