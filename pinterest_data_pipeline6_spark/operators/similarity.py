@@ -559,6 +559,57 @@ def pandas_udaf_weighted_price(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cogroup_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """Cogrouped applyInPandas — the remaining leg of the §2.10 Python
+    UDF surface (scalar Pandas UDF, GROUPED_AGG UDAF, grouped-map,
+    UDTF, mapInArrow are covered elsewhere): orders and their line
+    items arrive as TWO pandas frames per order key, and the function
+    reconciles the order header total against the sum of discounted
+    line nets — the ledger-vs-detail audit every billing pipeline runs.
+
+    Both sides shuffle once on the natural key; each cogroup is one
+    order (bounded — max ~7 lines), so group-fits-in-memory holds
+    trivially at any corpus size. All money moves as int64 CENTS
+    computed by ``floor(x·100 + 0.5)`` — the identical IEEE sequence
+    DuckDB's ``FLOOR(x*100 + 0.5)`` runs, so the per-order diff is
+    bit-exact cross-engine (pandas ``.round()`` would be half-even and
+    is avoided). The final status rollup is Catalyst-side."""
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        header = np.floor(odf["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64").sum()
+        net = ldf["l_extendedprice"].to_numpy() * (1.0 - ldf["l_discount"].to_numpy())
+        detail = np.floor(net * 100 + 0.5).astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "n_lines": [len(ldf)],
+                "diff_cents": [int(header - detail)],
+            }
+        )
+
+    recon = orders.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
+        reconcile, "o_orderkey long, n_lines long, diff_cents long"
+    )
+    status = (
+        F.when(F.col("diff_cents") == 0, "exact")
+        .when(F.col("diff_cents") > 0, "header_higher")
+        .otherwise("detail_higher")
+    )
+    return (
+        recon.groupBy(status.alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.abs(F.col("diff_cents"))).cast("bigint").alias("abs_diff_cents"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("status")
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -653,6 +704,36 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    # the FULL OUTER of per-key aggregates is exactly cogroup's key
+    # universe; FLOOR(x*100 + 0.5) is the identical IEEE sequence the
+    # numpy side runs
+    "cogroup_order_reconciliation": """
+        WITH header AS (
+            SELECT o_orderkey AS k,
+                   SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS header_cents
+            FROM orders GROUP BY 1
+        ),
+        detail AS (
+            SELECT l_orderkey AS k, COUNT(*) AS n_lines,
+                   SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                                  + 0.5) AS BIGINT)) AS detail_cents
+            FROM lineitem GROUP BY 1
+        ),
+        recon AS (
+            SELECT COALESCE(h.header_cents, 0) - COALESCE(d.detail_cents, 0)
+                       AS diff_cents,
+                   COALESCE(d.n_lines, 0) AS n_lines
+            FROM header h FULL OUTER JOIN detail d ON h.k = d.k
+        )
+        SELECT CASE WHEN diff_cents = 0 THEN 'exact'
+                    WHEN diff_cents > 0 THEN 'header_higher'
+                    ELSE 'detail_higher' END AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(ABS(diff_cents)) AS BIGINT) AS abs_diff_cents,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines
+        FROM recon GROUP BY 1 ORDER BY status
+    """,
     # integer-cents arithmetic mirrors the UDAF exactly (exact sums,
     # then one double division)
     "pandas_udaf_weighted_price": """
@@ -889,6 +970,7 @@ QUERIES = {
     "grouped_zscore_outliers": grouped_zscore_outliers,
     "kmeans_embeddings": kmeans_embeddings,
     "pandas_udaf_weighted_price": pandas_udaf_weighted_price,
+    "cogroup_order_reconciliation": cogroup_order_reconciliation,
     "embedding_quantization_error": embedding_quantization_error,
     "random_projection_stats": random_projection_stats,
     "arrow_batch_norms": arrow_batch_norms,

@@ -735,6 +735,21 @@ def test_ship_latency_projects_before_rollup(spark):
     assert "HashAggregate" in plan
 
 
+def test_cogroup_reconciliation_prunes_both_scans(spark):
+    """Cogrouped applyInPandas: both relations must arrive pruned to
+    the reconciliation columns (Arrow moves 2-3 columns, never full
+    rows), cogrouped via the dedicated physical node — no join
+    materializes the order×line pairs."""
+    from pinterest_data_pipeline6_spark.operators import similarity
+
+    df = similarity.cogroup_order_reconciliation(spark, SF)
+    plan = executed_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan
+    # column pruning reached the lineitem scan: tax/flag/dates unread
+    assert "l_tax" not in plan and "l_shipdate" not in plan, plan
+
+
 def test_readability_single_scan_no_explode(spark):
     """Readability banding is pure row-local HOF work: one documents
     scan pruned to (lang, text), NO Generate (the syllable sum rides
