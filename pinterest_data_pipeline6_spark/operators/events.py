@@ -246,6 +246,36 @@ def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def variant_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT path over the JSON props column — the modern
+    semi-structured answer to ``json_props_extract``'s string-walking
+    ``get_json_object``: ``parse_json`` shreds each payload ONCE into
+    the binary variant encoding, then ``variant_get`` fields it with
+    typed paths (open schema: unknown keys are typed NULL, not errors).
+    Per event type: events, missing-``k`` payloads, min/max/sum of
+    ``k`` — the ingestion-schema drift report for an evolving payload.
+
+    At scale variant beats per-path JSON string parsing because N
+    ``variant_get`` calls share one parse (vs N ``get_json_object``
+    re-parses); everything stays JVM-side codegen, one small rollup
+    shuffle."""
+    ev = table(spark, sf, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").isNull().cast("bigint")).alias("n_missing_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ``CAST(ts AS TIMESTAMP)`` truncates DuckDB's timestamp_ns to microseconds —
 # the same truncation the Spark reader applies (readers._TS_NANO_COLS), so
 # window orderings and epoch arithmetic agree bit-for-bit across engines.
@@ -1186,6 +1216,22 @@ ORACLE: dict[str, str] = {
          AND b.us - a.us > 0 AND b.us - a.us <= {BURST_WINDOW_US}
         GROUP BY type_a, type_b
     """,
+    "variant_props_stats": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "json_props_extract": """
         SELECT event_type,
                CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_decile,
@@ -1319,6 +1365,7 @@ QUERIES = {
     "asof_join_enrich": asof_join_enrich,
     "range_join_bursts": range_join_bursts,
     "json_props_extract": json_props_extract,
+    "variant_props_stats": variant_props_stats,
     "scd2_intervals": scd2_intervals,
     "time_range_rolling": time_range_rolling,
     "funnel_conversion": funnel_conversion,
