@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         privacy,
         relational,
         similarity,
+        sketches,
         subqueries,
         textops,
     )
@@ -195,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation.QUERIES)
     out.update(dataquality.QUERIES)
     out.update(graph.QUERIES)
+    out.update(sketches.QUERIES)
     return _rotate(out)
 
 
@@ -212,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         privacy,
         relational,
         similarity,
+        sketches,
         subqueries,
         textops,
     )
@@ -230,4 +233,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation.ORACLE)
     out.update(dataquality.ORACLE)
     out.update(graph.ORACLE)
+    out.update(sketches.ORACLE)
     return _rotate(out)

@@ -874,7 +874,142 @@ def event_pattern_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Deterministic sparsifier for the gap-fill entry: keeping only every
+# 19th user's purchases leaves ~30% of grid hours empty at every SF, so
+# the fill paths (LOCF + linear interpolation) always exercise.
+GAPFILL_USER_MOD = 19
+
+
+def gapfill_hourly_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap-filling: project a complete hourly calendar over
+    the event span, left-join the (deliberately sparse) hourly purchase
+    totals onto it, and fill the empty hours two ways — LOCF (last
+    observation carried forward) and linear interpolation between the
+    nearest observed neighbors.
+
+    Scale shape: the expensive part (the hourly aggregate) is a
+    partial+final agg keyed on the hour; the calendar side's
+    cardinality is hours-in-range — it grows with the TIME SPAN, not
+    the data volume, so the single unpartitioned fill window is bounded
+    by construction (a year is 8 760 rows) no matter how many raw event
+    rows feed it. Per-entity gap-filling at scale would add the entity
+    to the window's partitionBy; the fill logic is unchanged.
+
+    Determinism: hourly sums route through DECIMAL then round to 4 dp
+    BEFORE interpolating, so both engines interpolate between identical
+    doubles with the same literal expression order; hour numbers are
+    exact integers (epoch DIV 3600)."""
+    ev = table(spark, sf, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    sparse = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % GAPFILL_USER_MOD == 0)
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("raw_sum")
+        )
+    )
+    j = (
+        grid.join(sparse, "hour_ts", "left")
+        .withColumn("hnum", F.expr("unix_timestamp(hour_ts) DIV 3600"))
+    )
+    before = Window.orderBy("hnum").rowsBetween(Window.unboundedPreceding, -1)
+    after = Window.orderBy("hnum").rowsBetween(1, Window.unboundedFollowing)
+    obs_h = F.when(F.col("raw_sum").isNotNull(), F.col("hnum"))
+    j = (
+        j.withColumn("prev_val", F.last("raw_sum", ignorenulls=True).over(before))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(before))
+        .withColumn("nxt_val", F.first("raw_sum", ignorenulls=True).over(after))
+        .withColumn("nxt_h", F.first(obs_h, ignorenulls=True).over(after))
+    )
+    frac = (F.col("hnum") - F.col("prev_h")).cast("double") / (
+        F.col("nxt_h") - F.col("prev_h")
+    )
+    interp = (
+        F.when(F.col("raw_sum").isNotNull(), F.col("raw_sum"))
+        .when(F.col("prev_val").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nxt_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.round(
+                F.col("prev_val")
+                + (F.col("nxt_val") - F.col("prev_val")) * frac,
+                4,
+            )
+        )
+    )
+    return j.select(
+        "hour_ts",
+        "raw_sum",
+        F.coalesce("raw_sum", "prev_val").alias("locf"),
+        interp.alias("interp"),
+        F.col("raw_sum").isNull().alias("was_gap"),
+    ).orderBy("hour_ts")
+
+
 ORACLE: dict[str, str] = {
+    "gapfill_hourly_interpolate": """
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+            FROM bounds
+        ),
+        sparse AS (
+            SELECT date_trunc('hour', ts) AS hour_ts,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS raw_sum
+            FROM events
+            WHERE event_type = 'purchase' AND user_id % 19 = 0
+            GROUP BY 1
+        ),
+        j AS (
+            SELECT g.hour_ts, s.raw_sum,
+                   CAST(epoch(g.hour_ts) AS BIGINT) // 3600 AS hnum
+            FROM grid g LEFT JOIN sparse s ON g.hour_ts = s.hour_ts
+        ),
+        filled AS (
+            SELECT hour_ts, raw_sum, hnum,
+                   last_value(raw_sum IGNORE NULLS) OVER (
+                       ORDER BY hnum ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_val,
+                   last_value(CASE WHEN raw_sum IS NOT NULL THEN hnum END IGNORE NULLS)
+                       OVER (
+                       ORDER BY hnum ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_h,
+                   first_value(raw_sum IGNORE NULLS) OVER (
+                       ORDER BY hnum ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS nxt_val,
+                   first_value(CASE WHEN raw_sum IS NOT NULL THEN hnum END IGNORE NULLS)
+                       OVER (
+                       ORDER BY hnum ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS nxt_h
+            FROM j
+        )
+        SELECT hour_ts, raw_sum,
+               COALESCE(raw_sum, prev_val) AS locf,
+               CASE
+                   WHEN raw_sum IS NOT NULL THEN raw_sum
+                   WHEN prev_val IS NULL THEN NULL
+                   WHEN nxt_val IS NULL THEN prev_val
+                   ELSE ROUND(prev_val + (nxt_val - prev_val)
+                              * (CAST(hnum - prev_h AS DOUBLE) / (nxt_h - prev_h)), 4)
+               END AS interp,
+               raw_sum IS NULL AS was_gap
+        FROM filled
+        ORDER BY hour_ts
+    """,
     "event_pattern_counts": """
         WITH seqs AS (
             SELECT user_id,
@@ -1357,6 +1492,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "window_lag_delta": window_lag_delta,
     "sessionize_events": sessionize_events,
+    "gapfill_hourly_interpolate": gapfill_hourly_interpolate,
     "tumbling_hourly_agg": tumbling_hourly_agg,
     "sliding_window_agg": sliding_window_agg,
     "cohort_retention": cohort_retention,

@@ -441,7 +441,89 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# CDC snapshot-diff: two overlapping order-date windows play the role
+# of "yesterday's" and "today's" table snapshots; rows leaving the
+# window are deletes, rows entering are inserts, and every 13th order
+# key gets its status amended in snapshot B to simulate in-place
+# updates. The checksum modulus keeps per-group key sums inside BIGINT.
+CDC_A_LO, CDC_A_HI = "1995-01-01", "1996-12-31"
+CDC_B_LO, CDC_B_HI = "1995-07-01", "1997-06-30"
+CDC_AMEND_MOD = 13
+CDC_CHECKSUM_MOD = 1_000_000_007
+
+
+def snapshot_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: a full outer
+    join on the primary key classifies every row as insert (B only),
+    delete (A only), update (both, value changed — null-safe compare),
+    or unchanged, and emits per-class row counts plus a key checksum.
+
+    This is the diff an incremental-view-maintenance or replication
+    audit runs; ``merge_upsert`` applies changes, this one DETECTS
+    them. Scale shape: one full-outer shuffle hash join keyed on the
+    primary key (both sides pre-projected to key+compare column), then
+    a 4-group aggregate — no sort, no window. The checksum sums
+    pre-reduced ``key % M`` terms so the partial aggregates stay inside
+    BIGINT at any cardinality."""
+    orders = table(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderdate").between(CDC_A_LO, CDC_A_HI)).select(
+        F.col("o_orderkey").alias("ak"), F.col("o_orderstatus").alias("val_a")
+    )
+    b = orders.filter(F.col("o_orderdate").between(CDC_B_LO, CDC_B_HI)).select(
+        F.col("o_orderkey").alias("bk"),
+        F.when(F.col("o_orderkey") % CDC_AMEND_MOD == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("val_b"),
+    )
+    j = a.join(b, a.ak == b.bk, "full_outer")
+    change = (
+        F.when(F.col("ak").isNull(), F.lit("insert"))
+        .when(F.col("bk").isNull(), F.lit("delete"))
+        .when(F.col("val_a").eqNullSafe(F.col("val_b")), F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    key = F.coalesce(F.col("ak"), F.col("bk"))
+    return (
+        j.select(change.alias("change_type"), (key % CDC_CHECKSUM_MOD).alias("kmod"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum("kmod") % CDC_CHECKSUM_MOD).alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "snapshot_diff_cdc": """
+        WITH a AS (
+            SELECT o_orderkey AS ak, o_orderstatus AS val_a FROM orders
+            WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        ),
+        b AS (
+            SELECT o_orderkey AS bk,
+                   CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS val_b
+            FROM orders
+            WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1997-06-30'
+        ),
+        j AS (
+            SELECT ak, bk, val_a, val_b,
+                   CASE
+                       WHEN ak IS NULL THEN 'insert'
+                       WHEN bk IS NULL THEN 'delete'
+                       WHEN val_a IS NOT DISTINCT FROM val_b THEN 'unchanged'
+                       ELSE 'update'
+                   END AS change_type,
+                   COALESCE(ak, bk) % 1000000007 AS kmod
+            FROM a FULL OUTER JOIN b ON ak = bk
+        )
+        SELECT change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CAST(SUM(kmod) AS BIGINT) % 1000000007 AS BIGINT) AS key_checksum
+        FROM j
+        GROUP BY change_type
+        ORDER BY change_type
+    """,
     "order_count_distribution": """
         SELECT n_orders, COUNT(*) AS n_customers
         FROM (
@@ -635,6 +717,7 @@ ORACLE["rfm_segments"] = """
 
 QUERIES = {
     "order_count_distribution": order_count_distribution,
+    "snapshot_diff_cdc": snapshot_diff_cdc,
     "market_share_by_year": market_share_by_year,
     "ship_latency_priority": ship_latency_priority,
     "rfm_segments": rfm_segments,

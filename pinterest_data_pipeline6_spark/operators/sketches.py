@@ -1,0 +1,307 @@
+"""Deterministic probabilistic-filter operators: Bloom-filter join
+pruning and a count-min frequency sketch, both built on a PORTABLE
+arithmetic hash family so the Spark plan and the DuckDB oracle compute
+bit-for-bit identical sketches (engine-native hash functions differ, so
+``xxhash64``/``hash`` could never cross-check).
+
+Why these exist in a 100 TB engine:
+
+- **Bloom pruning** is the standard way to cut a fact-table probe
+  before an expensive shuffle join: the build side's keys compress into
+  a few KB of bitset that BROADCASTS to every probe task, and only
+  bloom-passing rows enter the join shuffle. Spark's own runtime filter
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``) does this
+  opaquely; this operator materializes the same construction as data so
+  its selectivity/false-positive behavior is testable and auditable.
+- **Count-min** gives per-key frequency estimates in O(d*w) fixed
+  memory regardless of key cardinality — the mergeable-sketch shape
+  (partial aggregation per partition, bit-wise/element-wise merge at
+  the reducer) that exact per-key counting cannot match when the key
+  space itself is too large to shuffle.
+
+Scale notes (100 TB):
+- The Bloom bitset is ``M_BITS/62`` = 256 rows no matter the build-side
+  cardinality — it broadcasts; the probe-side position explode is a
+  map-only projection and the per-key verdict is one partial+final agg
+  keyed on the probe key. No shuffle ever carries the build-side rows
+  to the probe.
+- The CMS build explodes each event row into D (row, col) cells, but
+  map-side partial aggregation collapses them to at most D*W = 2048
+  cells per task BEFORE the shuffle — the reduce step merges fixed-size
+  sketches, never raw rows. Estimation for the reported top-k joins the
+  2048-row sketch broadcast-side.
+
+Determinism contract: the hash family is pure 63-bit-safe integer
+arithmetic (``((k % P) * A_i + B_i) % P % width`` with A_i < 2^20, so
+products stay under 2^51 — no overflow under ANSI mode in either
+engine); all counters are BIGINTs; output ratios are rounded doubles of
+exact integer quotients.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+# Portable multiply-add hash family over the Mersenne prime 2^31-1.
+# Multipliers stay below 2^20 so (k % P) * A < 2^51 — safely inside
+# BIGINT for both engines even with ANSI overflow checking on.
+HASH_P = 2_147_483_647
+HASH_A = (999_983, 999_979, 909_091, 777_767)
+HASH_B = (17, 8_191, 524_287, 131_071)
+
+# Bloom geometry: 62 usable bits per BIGINT word (bits 0..61 — never
+# shifting into the sign bit keeps `1 << bit` portable), 256 words.
+BLOOM_WORD_BITS = 62
+BLOOM_WORDS = 256
+BLOOM_BITS = BLOOM_WORD_BITS * BLOOM_WORDS
+BLOOM_K = 3
+
+# Count-min geometry: 4 hash rows x 512 columns = 2048 counters.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP_K = 20
+
+
+def _hash_expr(key: str, i: int, width: int) -> str:
+    """SQL text of portable hash i of BIGINT column `key` into [0, width)."""
+    a, b = HASH_A[i], HASH_B[i]
+    return f"((({key} % {HASH_P}) * {a} + {b}) % {HASH_P}) % {width}"
+
+
+def bloom_prune_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Build a {BLOOM_BITS}-bit Bloom filter over the order keys of
+    urgent 1995 orders, probe it with every distinct lineitem order
+    key, and report build/probe cardinalities, true matches, bloom
+    passes, and the realized false-positive rate.
+
+    The build side explodes each key into K=3 bit positions and
+    bit_or-folds them into 256 BIGINT words (the whole filter is 2 KB —
+    broadcast-sized by construction, independent of build cardinality).
+    The probe side recomputes the same positions, joins the broadcast
+    word table, and a key passes iff all K probed bits are set. The
+    exact-match twin is a left-semi hash join, so the output exposes
+    precisely how many shuffle-join rows Bloom pruning would have
+    saved."""
+    orders = table(spark, sf, "orders")
+    lineitem = table(spark, sf, "lineitem")
+
+    build = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1995)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    probe = lineitem.select(F.col("l_orderkey").alias("k")).distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        hashes = F.array(*[F.expr(_hash_expr("k", i, BLOOM_BITS)) for i in range(BLOOM_K)])
+        return df.select("k", F.explode(hashes).alias("pos")).select(
+            "k",
+            F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word"),
+            (F.col("pos") % BLOOM_WORD_BITS).alias("bit"),
+        )
+
+    bloom = (
+        positions(build)
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").alias("bits"))
+    )
+
+    verdicts = (
+        positions(probe)
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "k",
+            F.expr(
+                "CASE WHEN bits IS NOT NULL"
+                " AND (shiftright(bits, CAST(bit AS INT)) & 1) = 1"
+                " THEN 1 ELSE 0 END"
+            ).alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.min("hit").alias("all_set"))
+    )
+    flags = verdicts.join(
+        build.withColumn("is_true", F.lit(1)), "k", "left"
+    )
+
+    stats = flags.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true_match"),
+        F.sum("all_set").alias("n_bloom_pass"),
+    )
+    n_build = build.agg(F.count("*").alias("n_build"))
+    out = stats.crossJoin(n_build)
+    return out.select(
+        "n_build",
+        "n_probe",
+        "n_true_match",
+        "n_bloom_pass",
+        (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_positive"),
+        F.round(
+            (F.col("n_bloom_pass") - F.col("n_true_match")).cast("double")
+            / F.greatest(F.col("n_probe") - F.col("n_true_match"), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def cms_frequency_estimates(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (depth {CMS_DEPTH} x width {CMS_WIDTH}) over
+    the lineitem supplier-key stream, reported as estimate-vs-exact for
+    the {CMS_TOP_K} most frequent suppliers.
+
+    The build explodes each row into D (row, col) cells and counts per
+    cell; Spark's map-side partial aggregation collapses every task's
+    cells to <= D*W rows before the shuffle, so the reducer merges
+    fixed-size sketches — the defining property that lets this run on a
+    key space too large to count exactly. The estimate for key k is
+    min_i sketch[i, h_i(k)], an upper bound on the true count, so
+    ``overcount`` is always >= 0 (asserted by the oracle twin too)."""
+    lineitem = table(spark, sf, "lineitem")
+    rows = lineitem.select(F.col("l_suppkey").alias("k"))
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(_hash_expr("k", i, CMS_WIDTH)).cast("long").alias("col"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        rows.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    exact = rows.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "k").limit(CMS_TOP_K)
+
+    probes = top.select("k", "exact_cnt", F.explode(cells).alias("c")).select(
+        "k", "exact_cnt", F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            F.col("k").alias("suppkey"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "suppkey")
+    )
+
+
+def _bloom_oracle() -> str:
+    h = [_hash_expr("k", i, BLOOM_BITS) for i in range(BLOOM_K)]
+    return f"""
+        WITH build AS (
+            SELECT DISTINCT o_orderkey AS k FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND EXTRACT(year FROM o_orderdate) = 1995
+        ),
+        build_pos AS (
+            SELECT k, unnest([{h[0]}, {h[1]}, {h[2]}]) AS pos FROM build
+        ),
+        bloom AS (
+            SELECT pos // {BLOOM_WORD_BITS} AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
+            FROM build_pos GROUP BY 1
+        ),
+        probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        probe_pos AS (
+            SELECT k, unnest([{h[0]}, {h[1]}, {h[2]}]) AS pos FROM probe
+        ),
+        verdicts AS (
+            SELECT p.k,
+                   MIN(CASE WHEN b.bits IS NOT NULL
+                             AND ((b.bits >> CAST(p.pos % {BLOOM_WORD_BITS} AS INT)) & 1) = 1
+                            THEN 1 ELSE 0 END) AS all_set
+            FROM probe_pos p
+            LEFT JOIN bloom b ON p.pos // {BLOOM_WORD_BITS} = b.word
+            GROUP BY p.k
+        ),
+        counts AS (
+            SELECT (SELECT COUNT(*) FROM build) AS n_build,
+                   (SELECT COUNT(*) FROM probe) AS n_probe,
+                   (SELECT COUNT(*) FROM probe WHERE k IN (SELECT k FROM build)) AS n_true_match,
+                   (SELECT COUNT(*) FROM verdicts WHERE all_set = 1) AS n_bloom_pass
+        )
+        SELECT CAST(n_build AS BIGINT) AS n_build,
+               CAST(n_probe AS BIGINT) AS n_probe,
+               CAST(n_true_match AS BIGINT) AS n_true_match,
+               CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass,
+               CAST(n_bloom_pass - n_true_match AS BIGINT) AS n_false_positive,
+               ROUND(CAST(n_bloom_pass - n_true_match AS DOUBLE)
+                     / GREATEST(n_probe - n_true_match, 1), 6) AS fp_rate
+        FROM counts
+    """
+
+
+def _cms_oracle() -> str:
+    h = [_hash_expr("k", i, CMS_WIDTH) for i in range(CMS_DEPTH)]
+    # The sketch cell (i, c) holds the total frequency of every key
+    # hashing to column c under h_i — building it from the per-key
+    # exact counts is algebraically identical to counting raw rows.
+    return f"""
+        WITH exact AS (
+            SELECT l_suppkey AS k, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1
+        ),
+        cells AS (
+            SELECT row, col, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+            FROM (
+                SELECT k, exact_cnt, u.r AS row,
+                       CASE u.r
+                           WHEN 0 THEN {h[0]}
+                           WHEN 1 THEN {h[1]}
+                           WHEN 2 THEN {h[2]}
+                           ELSE {h[3]}
+                       END AS col
+                FROM exact, (SELECT unnest([0, 1, 2, 3]) AS r) u
+            )
+            GROUP BY row, col
+        ),
+        top AS (
+            SELECT k, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, k LIMIT {CMS_TOP_K}
+        ),
+        probes AS (
+            SELECT k, exact_cnt, u.r AS row,
+                   CASE u.r
+                       WHEN 0 THEN {h[0]}
+                       WHEN 1 THEN {h[1]}
+                       WHEN 2 THEN {h[2]}
+                       ELSE {h[3]}
+                   END AS col
+            FROM top, (SELECT unnest([0, 1, 2, 3]) AS r) u
+        )
+        SELECT p.k AS suppkey,
+               CAST(MAX(p.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+               CAST(MIN(c.cnt) - MAX(p.exact_cnt) AS BIGINT) AS overcount
+        FROM probes p JOIN cells c ON p.row = c.row AND p.col = c.col
+        GROUP BY p.k
+        ORDER BY exact_cnt DESC, suppkey
+    """
+
+
+ORACLE: dict[str, str] = {
+    "bloom_prune_stats": _bloom_oracle(),
+    "cms_frequency_estimates": _cms_oracle(),
+}
+
+QUERIES = {
+    "bloom_prune_stats": bloom_prune_stats,
+    "cms_frequency_estimates": cms_frequency_estimates,
+}

@@ -399,6 +399,7 @@ INTENTIONAL_BNLJ = {
     "idle_customer_segments",  # 1-row balance-threshold aggregate broadcast
     "rfm_segments",         # 1-row date-anchor aggregate broadcast
     "bm25_doc_ranking",     # 1-row (N, total_len) corpus-stats broadcast
+    "bloom_prune_stats",    # 1-row build-cardinality aggregate crossJoined
 }
 
 
@@ -845,3 +846,59 @@ def test_idle_customers_anti_join_with_pushed_price(spark):
     plan = executed_plan(df)
     assert "LeftAnti" in plan, plan
     assert has_pushed_filter(df, "o_totalprice")
+
+
+def test_bloom_words_broadcast_to_probe(spark):
+    """The Bloom word table (256 rows by construction, independent of
+    build-side cardinality) must reach the probe side as a broadcast
+    hash join — shipping probe positions into a shuffle against the
+    bitset would defeat the point of the filter."""
+    from pinterest_data_pipeline6_spark.operators import sketches
+
+    df = sketches.bloom_prune_stats(spark, SF)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in executed_plan(df)
+
+
+def test_cms_sketch_builds_via_partial_agg(spark):
+    """The CMS build must collapse exploded (row, col) cells map-side:
+    the plan needs a partial+final HashAggregate pair keyed on the cell
+    (fixed-size mergeable sketch), and the 2048-row sketch must
+    broadcast to the top-k probe join."""
+    from pinterest_data_pipeline6_spark.operators import sketches
+
+    df = sketches.cms_frequency_estimates(spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_calendar_window_is_span_bounded(spark):
+    """The fill window runs over the hourly CALENDAR (720 rows here —
+    cardinality grows with the time span, never the event volume), so a
+    single Window is acceptable; the event-side heavy lifting must stay
+    a partial+final hourly aggregate with the event_type filter pushed
+    to the scan."""
+    from pinterest_data_pipeline6_spark.operators import events as ev_ops
+
+    df = ev_ops.gapfill_hourly_interpolate(spark, SF)
+    plan = executed_plan(df)
+    assert "Window" in plan
+    assert has_pushed_filter(df, "event_type")
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_full_outer_hash_join(spark):
+    """CDC classification must be ONE full-outer hash join on the
+    primary key over two pre-projected snapshot scans (date filters
+    pushed), then a 4-group aggregate — no window, no extra shuffle of
+    the wide orders row."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.snapshot_diff_cdc(spark, SF)
+    plan = executed_plan(df)
+    assert "FullOuter" in plan, plan
+    assert has_pushed_filter(df, "o_orderdate")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
