@@ -749,6 +749,10 @@ def test_cogroup_reconciliation_prunes_both_scans(spark):
     assert "CartesianProduct" not in plan
     # column pruning reached the lineitem scan: tax/flag/dates unread
     assert "l_tax" not in plan and "l_shipdate" not in plan, plan
+    # the cogroup key must stay the fixed-size key BUCKET: per-order
+    # groups cost one Python/Arrow round-trip per ~4-line order
+    # (measured 50 s vs 1.5 s at sf0.1)
+    assert "bucket" in plan, plan
 
 
 def test_readability_single_scan_no_explode(spark):
