@@ -574,11 +574,10 @@ def cogroup_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     discounted line nets — the ledger-vs-detail audit every billing
     pipeline runs.
 
-    The cogroup key is a FIXED-SIZE key bucket (``o_orderkey DIV
-    {RECON_BUCKET}``), not the raw order key: per-group Python/Arrow
+    The cogroup key is a FIXED-SIZE key bucket (``o_orderkey DIV 256``), not the raw order key: per-group Python/Arrow
     invocation overhead dominates when every group is one ~4-line
     order (measured 50 s for ~150 k single-order groups at sf0.1 vs
-    <1 s bucketed), and a bucket of {RECON_BUCKET} adjacent keys keeps
+    <1 s bucketed), and a bucket of 256 adjacent keys keeps
     group SIZE constant while group COUNT grows with the data — the
     group-fits-in-memory contract holds at any corpus size. Inside a
     bucket the reconcile is fully vectorized (numpy cents + one pandas

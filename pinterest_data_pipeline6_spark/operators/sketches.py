@@ -72,7 +72,7 @@ def _hash_expr(key: str, i: int, width: int) -> str:
 
 
 def bloom_prune_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Build a {BLOOM_BITS}-bit Bloom filter over the order keys of
+    """Build a 15 872-bit Bloom filter over the order keys of
     urgent 1995 orders, probe it with every distinct lineitem order
     key, and report build/probe cardinalities, true matches, bloom
     passes, and the realized false-positive rate.
@@ -152,9 +152,9 @@ def bloom_prune_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def cms_frequency_estimates(spark: SparkSession, sf: str) -> DataFrame:
-    """Count-min sketch (depth {CMS_DEPTH} x width {CMS_WIDTH}) over
+    """Count-min sketch (depth 4 x width 512) over
     the lineitem supplier-key stream, reported as estimate-vs-exact for
-    the {CMS_TOP_K} most frequent suppliers.
+    the 20 most frequent suppliers.
 
     The build explodes each row into D (row, col) cells and counts per
     cell; Spark's map-side partial aggregation collapses every task's
