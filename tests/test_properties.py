@@ -202,3 +202,94 @@ def test_pagerank_matches_python_reference(spark, edges):
     for n in deg:
         assert got[n][0] == deg[n]
         assert abs(got[n][1] - pr[n]) < 1e-9, (n, got[n], pr[n])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    keys=st.lists(st.integers(0, 2**40), min_size=1, max_size=50, unique=True),
+    probes=st.lists(st.integers(0, 2**40), min_size=1, max_size=50, unique=True),
+)
+def test_bloom_construction_has_no_false_negatives(spark, keys, probes):
+    """For ANY build key set (including keys near 2^40 — the overflow
+    envelope the portable hash family is designed for), every build key
+    must pass its own Bloom filter, and the Spark-side hash expression
+    must agree with the pure-Python reference of the same formula."""
+    from pinterest_data_pipeline6_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+        HASH_A,
+        HASH_B,
+        HASH_P,
+        _hash_expr,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    hashes = F.array(*[F.expr(_hash_expr("k", i, BLOOM_BITS)) for i in range(BLOOM_K)])
+    pos = df.select("k", F.explode(hashes).alias("pos"))
+    got = {(r["k"], r["pos"]) for r in pos.collect()}
+    want = {
+        (k, ((k % HASH_P) * HASH_A[i] + HASH_B[i]) % HASH_P % BLOOM_BITS)
+        for k in keys
+        for i in range(BLOOM_K)
+    }
+    assert got == want  # Spark expr == Python reference, no overflow
+
+    # build the word bitset in Python from the agreed positions and
+    # check zero false negatives for the build set itself
+    words: dict[int, int] = {}
+    for _, p in want:
+        words[p // BLOOM_WORD_BITS] = words.get(p // BLOOM_WORD_BITS, 0) | (
+            1 << (p % BLOOM_WORD_BITS)
+        )
+    for k in keys:
+        for i in range(BLOOM_K):
+            p = ((k % HASH_P) * HASH_A[i] + HASH_B[i]) % HASH_P % BLOOM_BITS
+            assert (words[p // BLOOM_WORD_BITS] >> (p % BLOOM_WORD_BITS)) & 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(st.integers(0, 1_000), min_size=1, max_size=120),
+)
+def test_cms_estimate_is_upper_bound_of_exact(spark, rows):
+    """min-over-rows of the CMS counters must never undercount: for any
+    key stream, estimate >= exact frequency for every key (the defining
+    count-min guarantee; equality unless another key collides in all
+    four rows)."""
+    from pinterest_data_pipeline6_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _hash_expr,
+    )
+
+    df = spark.createDataFrame([(k,) for k in rows], "k long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(_hash_expr("k", i, CMS_WIDTH)).cast("long").alias("col"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = df.distinct().select("k", F.explode(cells).alias("c")).select(
+        "k", F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    )
+    est = {
+        r["k"]: r["est"]
+        for r in probes.join(sketch, ["row", "col"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    }
+    from collections import Counter
+
+    exact = Counter(rows)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
