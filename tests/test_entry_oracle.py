@@ -95,7 +95,11 @@ def test_oracle_result_types_survive_driver_hash(duck, name):
     bad = [
         (c, str(t))
         for c, t in zip(rel.columns, rel.types)
-        if str(t) in _DRIVER_UNSAFE_TYPES or "DECIMAL(38" in str(t)
+        # ANY decimal is unsafe, not just DECIMAL(38,*): DuckDB's .df()
+        # renders decimals as float64 while Spark's toPandas keeps
+        # Decimal objects, so the two sides repr-diverge even when the
+        # values agree — route money through ROUND(CAST(... AS DOUBLE))
+        if str(t) in _DRIVER_UNSAFE_TYPES or str(t).startswith("DECIMAL")
     ]
     assert not bad, (
         f"{name}: oracle columns {bad} have driver-unsafe DuckDB types; "
