@@ -58,6 +58,7 @@ def test_registry_order_is_stalest_first():
         privacy,
         relational,
         similarity,
+        sketches,
         subqueries,
         textops,
     )
@@ -66,7 +67,7 @@ def test_registry_order_is_stalest_first():
     for mod in (
         relational, facts, events, textops, dedup, similarity,
         multimodal, collections, subqueries, privacy, curation,
-        dataquality, graph,
+        dataquality, graph, sketches,
     ):
         merged.update(mod.QUERIES)
     orig = {n: i for i, n in enumerate(merged)}
