@@ -423,8 +423,94 @@ ORACLE["fk_fanout_histogram"] = """
     GROUP BY 1 ORDER BY 1
 """
 
+def ks_source_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the document-
+    length distributions of the even- and odd-numbered crawl sources —
+    the nonparametric drift check that catches SHAPE changes the
+    chi-square (categorical) and KL (binned) monitors cannot: KS is the
+    max gap between the two empirical CDFs at any point, binning-free.
+
+    Scale shape: the corpus reduces FIRST to per-distinct-value cohort
+    counts (one partial+final agg — the shuffle carries (value, ca, cb)
+    cells, bounded by the value domain, never document rows); the CDF
+    windows then run over that bounded aggregate only, the same
+    flat-at-any-scale shape as lang_source_chisq. The argmax row
+    arrives via TakeOrderedAndProject on an exact INTEGER gap numerator
+    |cuma*tb - cumb*ta| (ties to the smallest value), so no double
+    comparison decides the winner; the BIGINT numerator is exact below
+    ~3e9 samples per cohort — swap to DECIMAL(38,0) beyond that."""
+    docs = table(spark, sf, "documents")
+    cohort = F.substring("source", 4, 10).cast("int") % 2
+    per_v = (
+        docs.select(F.col("n_chars").alias("v"), cohort.alias("c"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = (
+        per_v.withColumn("cuma", F.sum("ca").over(w_cum))
+        .withColumn("cumb", F.sum("cb").over(w_cum))
+        .withColumn("ta", F.sum("ca").over(w_all))
+        .withColumn("tb", F.sum("cb").over(w_all))
+        .withColumn(
+            "num", F.abs(F.col("cuma") * F.col("tb") - F.col("cumb") * F.col("ta"))
+        )
+    )
+    return (
+        cur.orderBy(F.desc("num"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("ta").alias("n_even"),
+            F.col("tb").alias("n_odd"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("ta").cast("double") * F.col("tb").cast("double")),
+                6,
+            ).alias("ks_stat"),
+            F.col("v").alias("ks_value"),
+        )
+    )
+
+
+ORACLE["ks_source_drift"] = """
+    WITH per_v AS (
+        SELECT n_chars AS v,
+               SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+                        THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 1
+                        THEN 1 ELSE 0 END) AS cb
+        FROM documents
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+               SUM(cb) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+               SUM(ca) OVER () AS ta,
+               SUM(cb) OVER () AS tb
+        FROM per_v
+    )
+    SELECT CAST(ta AS BIGINT) AS n_even,
+           CAST(tb AS BIGINT) AS n_odd,
+           ROUND(CAST(ABS(cuma * tb - cumb * ta) AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS ks_stat,
+           v AS ks_value
+    FROM cum
+    ORDER BY ABS(cuma * tb - cumb * ta) DESC, v
+    LIMIT 1
+"""
+
 QUERIES = {
     "dq_expectations": dq_expectations,
+    "ks_source_drift": ks_source_drift,
     "dq_column_profile": dq_column_profile,
     "freshness_lag_stats": freshness_lag_stats,
     "lang_source_chisq": lang_source_chisq,

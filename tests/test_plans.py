@@ -906,3 +906,20 @@ def test_snapshot_diff_full_outer_hash_join(spark):
     assert has_pushed_filter(df, "o_orderdate")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_ks_drift_aggregates_before_windows(spark):
+    """KS must reduce the corpus to per-distinct-value cohort counts
+    FIRST (one partial+final agg — the CDF windows then run over the
+    bounded aggregate only), and the argmax row must arrive via
+    TakeOrderedAndProject on the exact integer numerator."""
+    from pinterest_data_pipeline6_spark.operators import dataquality
+
+    df = dataquality.QUERIES["ks_source_drift"](spark, SF)
+    plan = executed_plan(df)
+    assert has_take_ordered(df)
+    assert "CartesianProduct" not in plan
+    # the aggregate (with its shuffle) sits BELOW the windows: the scan
+    # feeds HashAggregate before any Window appears
+    agg = plan.index("HashAggregate")
+    assert "Window" in plan and plan.index("Window") < agg  # printed top-down
