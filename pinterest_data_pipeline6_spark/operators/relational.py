@@ -1741,8 +1741,123 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+
+def string_functions_family(spark: SparkSession, sf: str) -> DataFrame:
+    """String-function surface parity sweep (SURVEY.md §2.8 F1-F5
+    widened): seventeen scalar string functions — case mapping,
+    reverse, padding, replace/translate, repeat, length/instr
+    positions, concat_ws, left/right, split_part, contains/starts_with
+    — applied to the first 50 customer names, every output column
+    hash-checked against DuckDB. Pure row-local projection over one
+    pruned scan + TakeOrderedAndProject for the deterministic row set;
+    nothing here shuffles data at any scale.
+
+    Engine deltas the sweep pins: Spark's length/instr return INT vs
+    DuckDB's BIGINT (cast Spark-side), and initcap is absent in DuckDB
+    (excluded). instr's 0-for-absent convention agrees."""
+    customer = table(spark, sf, "customer")
+    name = F.col("c_name")
+    return (
+        customer.orderBy("c_custkey")
+        .limit(50)
+        .select(
+            "c_custkey",
+            F.upper(name).alias("up"),
+            F.lower(name).alias("lo"),
+            F.reverse(name).alias("rev"),
+            F.lpad(name, 25, "*").alias("lpadded"),
+            F.rpad(name, 25, "*").alias("rpadded"),
+            F.regexp_replace(name, "0", "O").alias("replaced"),
+            F.translate(name, "0123456789", "abcdefghij").alias("translated"),
+            F.repeat(F.substring(name, 1, 3), 2).alias("repeated"),
+            F.length(name).cast("long").alias("len"),
+            F.instr(name, "1").cast("long").alias("pos1"),
+            F.concat_ws("|", name, F.col("c_custkey").cast("string")).alias("joined"),
+            F.expr("left(c_name, 4)").alias("l4"),
+            F.expr("right(c_name, 4)").alias("r4"),
+            F.split_part(name, F.lit("#"), F.lit(2)).alias("after_hash"),
+            F.contains(name, F.lit("00")).alias("has_00"),
+            F.startswith(name, F.lit("Cus")).alias("is_cus"),
+        )
+    )
+
+
+ORACLE["string_functions_family"] = """
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_name) AS lo,
+           reverse(c_name) AS rev,
+           lpad(c_name, 25, '*') AS lpadded,
+           rpad(c_name, 25, '*') AS rpadded,
+           replace(c_name, '0', 'O') AS replaced,
+           translate(c_name, '0123456789', 'abcdefghij') AS translated,
+           repeat(substr(c_name, 1, 3), 2) AS repeated,
+           length(c_name) AS len,
+           instr(c_name, '1') AS pos1,
+           concat_ws('|', c_name, CAST(c_custkey AS VARCHAR)) AS joined,
+           left(c_name, 4) AS l4,
+           right(c_name, 4) AS r4,
+           split_part(c_name, '#', 2) AS after_hash,
+           contains(c_name, '00') AS has_00,
+           starts_with(c_name, 'Cus') AS is_cus
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 50
+"""
+
+# Salt fan-out for the hot-key aggregation demo: counts/sums are
+# associative, so partials per (key, salt) merge exactly.
+AGG_SALT = 16
+
+
+def salted_hot_key_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage SALTED aggregation over the deliberately hot
+    event_type key (5 distinct values across every event row — the
+    shape where a plain groupBy sends each key's entire volume through
+    one reducer). Stage 1 aggregates per (event_type, salt) with a
+    16-way deterministic salt (event_id % 16), fanning each hot key
+    across 16 reducers; stage 2 merges the 5*16 partials. The result is
+    IDENTICAL to the plain groupBy (associative count/sum — the oracle
+    is the unsalted query), so the entry pins that the skew-dodging
+    rewrite is semantics-preserving, value-hash-exact cross-engine.
+
+    At 100 TB this is the manual fallback when AQE's skew handling
+    cannot apply (e.g. a skewed aggregation rather than a join);
+    functions/partitioning.py carries the reusable join-side variant.
+    Money routes through DECIMAL so partial-merge order is inert."""
+    ev = table(spark, sf, "events")
+    stage1 = (
+        ev.select(
+            "event_type",
+            (F.col("event_id") % AGG_SALT).alias("salt"),
+            F.col("value").cast("decimal(18,6)").alias("dval"),
+        )
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("dval").alias("psum"))
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum").cast("double"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["salted_hot_key_agg"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
 QUERIES = {
     "q1_category_per_country": q1_category_per_country,
+    "string_functions_family": string_functions_family,
+    "salted_hot_key_agg": salted_hot_key_agg,
     "q2_count_per_year": q2_count_per_year,
     "q3a_top_account_per_nation": q3a_top_account_per_nation,
     "q3b_global_top_account": q3b_global_top_account,

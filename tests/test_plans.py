@@ -923,3 +923,32 @@ def test_ks_drift_aggregates_before_windows(spark):
     # feeds HashAggregate before any Window appears
     agg = plan.index("HashAggregate")
     assert "Window" in plan and plan.index("Window") < agg  # printed top-down
+
+
+def test_string_family_single_pruned_scan_topk(spark):
+    """Pure row-local projection: ONE customer scan pruned to
+    (c_custkey, c_name), TakeOrderedAndProject for the deterministic
+    50-row slice, no shuffle of customer rows."""
+    df = relational.string_functions_family(spark, SF)
+    assert has_take_ordered(df)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1
+    schemas = read_schema_columns(df)
+    assert all(len(s) <= 2 for s in schemas), schemas
+
+
+def test_salted_agg_two_stage_shape(spark):
+    """The salted aggregation must fan the hot key across reducers:
+    the FIRST exchange hashes on (event_type, salt), and a second
+    aggregate keyed on event_type alone merges the partials."""
+    import re
+
+    df = relational.salted_hot_key_agg(spark, SF)
+    plan = executed_plan(df)
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    # printed top-down: the final merge exchange (event_type only)
+    # appears above the salted stage-1 exchange
+    assert any("salt" in e for e in ex), ex
+    salted = [e for e in ex if "salt" in e]
+    assert all("event_type" in e for e in salted), ex
+    assert "CartesianProduct" not in plan
