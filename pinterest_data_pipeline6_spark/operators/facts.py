@@ -397,13 +397,19 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     Quartiles are EQUI-HEIGHT (ntile(4) semantics) over (metric,
     c_custkey) — the unique key makes every assignment deterministic
     cross-engine. A global ``ntile OVER (ORDER BY ...)`` would funnel
-    every customer through one task; this reuses the distributed exact
-    ntile (range-partition + per-partition ranks + rank offsets —
-    textops._distributed_ntile, plan-proven for curriculum_deciles), so
-    each of the three quartile passes is a shuffle of slim
-    (metric, key) pairs. The date anchor is a 1-row broadcast;
-    recency compares DATE-truncated calendar days so both engines
-    count identically.
+    every customer through one task; this stacks the three metrics into
+    long format and runs ONE grouped distributed-ntile pass
+    (textops._distributed_ntile with group_cols=[metric]): a single
+    range shuffle of slim (metric, score, key) triples covers all three
+    quartile orderings, the rank-offset prefix-sums partition by metric
+    (no SinglePartition exchange anywhere), and a conditional aggregate
+    pivots the long assignments back to one row per customer. The
+    metric scores travel as doubles — recency/frequency are small ints
+    and monetary is a 2-decimal quantity below 2^53, so the cast is
+    order-preserving and collision-free, which keeps every assignment
+    identical to ntile over the native types. The date anchor is a
+    1-row broadcast; recency compares DATE-truncated calendar days so
+    both engines count identically.
     """
     from pinterest_data_pipeline6_spark.operators.textops import _distributed_ntile
 
@@ -421,18 +427,23 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         "dec_monetary",
     )
 
-    def quartile(metric: str, out: str) -> DataFrame:
-        scored = base.select(
-            F.col(metric).alias("score"), F.col("o_custkey").alias("doc_id")
-        )
-        return _distributed_ntile(scored, n_buckets=4).select(
-            F.col("doc_id").alias("o_custkey"), F.col("decile").alias(out)
-        )
+    long = base.select(
+        F.col("o_custkey").alias("doc_id"),
+        F.expr(
+            "stack(3, 'r', CAST(recency_days AS DOUBLE),"
+            " 'f', CAST(frequency AS DOUBLE),"
+            " 'm', CAST(dec_monetary AS DOUBLE)) AS (metric, score)"
+        ),
+    )
+    binned = _distributed_ntile(long, n_buckets=4, group_cols=["metric"])
+    quart = binned.groupBy(F.col("doc_id").alias("o_custkey")).agg(
+        F.max(F.when(F.col("metric") == "r", F.col("decile"))).alias("r_quartile"),
+        F.max(F.when(F.col("metric") == "f", F.col("decile"))).alias("f_quartile"),
+        F.max(F.when(F.col("metric") == "m", F.col("decile"))).alias("m_quartile"),
+    )
 
     return (
-        base.join(quartile("recency_days", "r_quartile"), "o_custkey")
-        .join(quartile("frequency", "f_quartile"), "o_custkey")
-        .join(quartile("dec_monetary", "m_quartile"), "o_custkey")
+        base.join(quart, "o_custkey")
         .groupBy("r_quartile", "f_quartile", "m_quartile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -240,8 +240,9 @@ def curriculum_deciles(
     Scale path (default): EXACT ntile semantics without the global
     single-partition sort. The (score, doc_id) projection is
     range-partitioned, each partition computes local row_numbers in
-    parallel, and the per-partition row counts (one tiny scalar-only
-    driver job — #partitions values, never data) convert local ranks to
+    parallel, and the per-partition row counts (a prefix-sum over
+    #partitions scalar rows inside the SAME lazy plan — never data)
+    convert local ranks to
     global ranks; ntile's bucket-size arithmetic (first N%10 buckets get
     one extra row) is then applied row-locally. Every stage is a
     distributed shuffle of 24-byte pairs — nothing ever funnels through
@@ -277,55 +278,98 @@ def curriculum_deciles(
     )
 
 
-def _distributed_ntile(scored: DataFrame, n_buckets: int) -> DataFrame:
-    """Exact ntile(n) over (score, doc_id) with no single-partition stage.
+def _distributed_ntile(
+    scored: DataFrame, n_buckets: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact ntile(n) over (score, doc_id) with no single-partition sort
+    of the DATA, expressed as ONE fully-lazy plan (no driver collect, no
+    persist). With ``group_cols``, computes an INDEPENDENT ntile inside
+    every group in the same single pass — one range shuffle covers all
+    groups (range keys lead with the group columns so each group's rows
+    stay globally ordered), the prefix-sum windows partition by group
+    (so no SinglePartition exchange exists at all in grouped mode), and
+    the bucket arithmetic uses each group's own total. Callers that need
+    several ntile passes over the same rows (rfm_segments quartiles
+    three metrics) stack the metrics into long format and pay ONE
+    pipeline instead of three.
 
-    1. ``repartitionByRange(score, doc_id)`` — the only data shuffle;
-    2. per-partition ``row_number`` (window keyed on the partition id, so
-       every partition sorts independently);
-    3. per-partition counts → prefix-sum offsets on the driver (one
-       scalar-only job over #partitions rows) → broadcast-joined back;
+    1. ``repartitionByRange(score, doc_id)`` — the only data shuffle.
+       The explicit partition count marks the exchange
+       REPARTITION_BY_NUM, so AQE never re-coalesces it and every
+       consumer below observes the same pid ↦ rows mapping (the range
+       sampler's seed is per-input-partition-deterministic, and the
+       repeated subtree deduplicates via ReusedExchange anyway).
+    2. per-partition ``row_number`` (window keyed on the partition id,
+       so every partition sorts independently);
+    3. per-partition counts → prefix-sum offsets + grand total via a
+       window over the #partitions-row count table — scalar rows only,
+       never data, the same O(#partitions) driver-equivalent the old
+       collect-based shape moved to the driver — broadcast-joined back;
     4. ntile's bucket arithmetic on the global rank, in exact integer
-       form (``pmod``-based floor-div keeps bigint math away from double
-       rounding).
+       form: every division's numerator is (a - a mod b), a multiple of
+       b below 2^53, so the double division is exact.
+
+    The previous shape persisted the ranged data and collected counts to
+    the driver — correct, but one eager materialization + driver
+    sync-point PER CALL (rfm_segments makes three, serially, while
+    building its plan) and pinned storage left behind after the query
+    returned. Lazy composition lets callers stack ntile passes with zero
+    construction-time jobs.
     """
     from pyspark.sql.window import Window
 
     spark = scored.sparkSession
+    grp = list(group_cols or [])
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = (
-        scored.repartitionByRange(nparts, "score", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+    ranged = scored.repartitionByRange(nparts, *grp, "score", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
     )
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    total = sum(counts.values())
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, rank_offset long")
-    w = Window.partitionBy("pid").orderBy("score", "doc_id")
-    g = F.col("rank_offset") + F.row_number().over(w)
+    counts = ranged.groupBy("pid", *grp).agg(F.count("*").alias("cnt"))
+    w_prev = (
+        Window.partitionBy(*grp)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*grp)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    off_df = counts.select(
+        "pid",
+        *grp,
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("rank_offset"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
 
-    def idiv(a: Column, b: int) -> Column:
-        # exact floor-division for bigints: (a - a mod b) is divisible
-        # by b, so the double division below is exact
-        return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+    w = Window.partitionBy("pid", *grp).orderBy("score", "doc_id")
 
-    q, r = divmod(total, n_buckets)
-    if q == 0:  # fewer rows than buckets: ntile gives each row its rank
-        decile = g
-    else:
-        boundary = r * (q + 1)
-        decile = F.when(g <= F.lit(boundary), idiv(g + q, q + 1)).otherwise(
-            F.lit(r) + idiv(g - boundary + q - 1, q)
-        )
-    return ranged.join(F.broadcast(off_df), "pid").withColumn(
-        "decile", decile.cast("int")
+    def idiv(a: Column, b: Column) -> Column:
+        # exact floor-division for nonnegative bigints: (a - a mod b) is
+        # a multiple of b and stays below 2^53, so the double division
+        # below is exact
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    g = F.col("_grank")
+    total = F.col("total")
+    q = idiv(total, F.lit(n_buckets))
+    r = F.pmod(total, F.lit(n_buckets))
+    boundary = r * (q + F.lit(1))
+    # CaseWhen evaluates branches sequentially at runtime, so the q=0
+    # guard keeps the later divisions away from zero divisors
+    decile = (
+        F.when(q == F.lit(0), g)  # fewer rows than buckets: rank = bucket
+        .when(g <= boundary, idiv(g + q, q + F.lit(1)))
+        .otherwise(r + idiv(g - boundary + q - F.lit(1), q))
+    )
+    return (
+        ranged.join(F.broadcast(off_df), ["pid", *grp])
+        # materialize the global rank BEFORE the ntile arithmetic so the
+        # CaseWhen branches share ONE window expression (inlining g into
+        # each branch made the physical Window compute row_number 6x)
+        .withColumn("_grank", F.col("rank_offset") + F.row_number().over(w))
+        .withColumn("decile", decile.cast("int"))
+        .drop("total", "_grank")
     )
 
 

@@ -288,19 +288,47 @@ def test_funnel_stages_are_keyed_joins(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def _assert_single_partition_only_over_pid_counts(plan: str) -> None:
+    """Every ``Exchange SinglePartition`` in the plan must sit DIRECTLY
+    above the distributed-ntile pid-count HashAggregate — i.e. it moves
+    #partitions scalar count rows (the lazy prefix-sum's input), never
+    data rows. The physical tree prints children below parents, so the
+    line after the exchange is its input operator."""
+    import re
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        scalar_input = re.search(
+            # pid-count table (ntile prefix-sum) or a keyless global
+            # aggregate (one partial row per partition, e.g. a max()
+            # date anchor) — both move scalar rows, never data
+            r"HashAggregate.*keys=\[(pid|\])",
+            nxt,
+        )
+        assert scalar_input, (
+            f"SinglePartition exchange over non-scalar input:\n{line}\n{nxt}"
+        )
+
+
 def test_curriculum_deciles_has_no_global_sort(spark):
-    """Default curriculum_deciles must never funnel rows through one
-    task: the distributed-ntile path range-partitions and ranks per
-    partition, so no ntile window and no SinglePartition exchange may
-    appear (the exact_plan=True variant exists only as the textbook
-    comparison form)."""
+    """Default curriculum_deciles must never funnel DATA rows through
+    one task: the distributed-ntile path range-partitions and ranks per
+    partition, so no ntile window may appear, and the only permitted
+    SinglePartition exchange is the prefix-sum over the per-partition
+    COUNT table (#partitions scalar rows — the lazy-plan equivalent of
+    the old driver-side offsets collect). Plan-shape proof: every
+    SinglePartition exchange must sit directly above the pid-count
+    HashAggregate, never above data-carrying operators."""
     from pinterest_data_pipeline6_spark.operators import textops
 
     plan = executed_plan(textops.curriculum_deciles(spark, SF))
     low = plan.lower()
     assert "ntile" not in low
-    assert "singlepartition" not in low
     assert "rangepartitioning" in low
+    _assert_single_partition_only_over_pid_counts(plan)
     # the comparison form DOES carry the global window (sanity check
     # that the assertion above is actually discriminating)
     exact = executed_plan(textops.curriculum_deciles(spark, SF, exact_plan=True))
@@ -815,18 +843,15 @@ def test_bm25_prunes_terms_before_tf_agg(spark):
 
 
 def test_rfm_quartiles_avoid_global_window_sort(spark):
-    """rfm_segments must use the distributed exact ntile — no
-    single-partition global Window sort may appear in the plan."""
+    """rfm_segments must use the distributed exact ntile — the only
+    SinglePartition exchanges allowed are the three quartile passes'
+    prefix-sums over their pid-count tables (scalar rows); no
+    single-partition Window may ever receive customer rows."""
     from pinterest_data_pipeline6_spark.operators import facts
 
     plan = executed_plan(facts.rfm_segments(spark, SF))
     assert "Window" in plan  # per-partition row_number windows
-    # the textbook global ntile plans as 'Exchange SinglePartition' feeding
-    # a Window — forbidden here
-    import re
-
-    bad = re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan)
-    assert not bad, "global single-partition window sort found"
+    _assert_single_partition_only_over_pid_counts(plan)
 
 
 def test_event_pattern_single_shuffle(spark):

@@ -47,6 +47,44 @@ def test_distributed_ntile_matches_window_ntile(spark, rows):
 
 @settings(max_examples=8, deadline=None)
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(0, 1, width=32),
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.sampled_from([3, 4, 10]),
+)
+def test_grouped_distributed_ntile_matches_per_group_window(spark, rows, n_buckets):
+    """The grouped variant must equal ntile(n) OVER (PARTITION BY grp
+    ORDER BY score, doc_id) for any group mix — including groups
+    smaller than n, score ties, absent groups, and empty input."""
+    from pyspark.sql.window import Window
+
+    from pinterest_data_pipeline6_spark.operators.textops import _distributed_ntile
+
+    df = spark.createDataFrame(
+        [(i, g, float(s)) for i, g, s in rows],
+        "doc_id long, grp string, score double",
+    )
+    got = {
+        (r["doc_id"], r["grp"], r["decile"])
+        for r in _distributed_ntile(df, n_buckets, group_cols=["grp"]).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("score", "doc_id")
+    want = {
+        (r["doc_id"], r["grp"], r["decile"])
+        for r in df.withColumn("decile", F.ntile(n_buckets).over(w)).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
     edges=st.lists(
         st.tuples(st.integers(0, 40), st.integers(0, 40)),
         min_size=1,
