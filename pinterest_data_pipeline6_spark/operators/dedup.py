@@ -362,6 +362,73 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.3  # flag pairs where either doc is ≥30% contained
+
+
+def ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: n-gram containment C(A→B) =
+    |sh(A) ∩ sh(B)| / |sh(A)| — the signal Jaccard misses when a short
+    document is wholly quoted inside a much longer one (the union term
+    dilutes Jaccard toward 0 while containment of the short side stays
+    ~1). This is the subset-duplication check a training-data pipeline
+    runs to catch templated intros, quoted passages, and prompt-in-
+    completion leakage that symmetric measures under-flag.
+
+    Same scale shape as ``ngram_jaccard_pairs`` (one inverted-index
+    equijoin on the shingle hash within (lang, size-band) blocks — pairs
+    sharing zero shingles never materialize, AQE splits skewed frequent-
+    shingle keys), then BOTH directions' containment come from the one
+    symmetric intersection count — no second join. Emits pairs where
+    either direction reaches the threshold."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("sz"),
+        "text",
+    )
+    e = (
+        _exploded_shingles(d, "doc_id", "lang", "sz")
+        .select("doc_id", "lang", "sz", F.xxhash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.sz") == F.col("b.sz"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = F.broadcast(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    )
+    nb = F.broadcast(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    )
+    cont_a = F.round(F.col("inter").cast("double") / F.col("n_a"), 6)
+    cont_b = F.round(F.col("inter").cast("double") / F.col("n_b"), 6)
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("cont_a_in_b"),
+            cont_b.alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
 EMB_DIM = 64  # embeddings.embedding width (schema-fixed)
 
 
@@ -1250,6 +1317,33 @@ ORACLE: dict[str, str] = {
         FROM pairs
         WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= {JACCARD_THRESHOLD}
     """,
+    # same inverted-index pair table; both containment directions derive
+    # from the one symmetric intersection count
+    "ngram_containment_pairs": f"""
+        WITH d AS (
+            SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS sz,
+                   list_transform({_SHINGLES_SQL}, s -> {H64_SQL.format(expr="s")}) AS sh
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, lang, sz, len(sh) AS n_sh, unnest(sh) AS h FROM d
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+            FROM e a JOIN e b
+              ON a.h = b.h AND a.lang = b.lang AND a.sz = b.sz
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(inter AS DOUBLE) / n_a, 6) AS cont_a_in_b,
+               ROUND(CAST(inter AS DOUBLE) / n_b, 6) AS cont_b_in_a
+        FROM pairs
+        WHERE GREATEST(ROUND(CAST(inter AS DOUBLE) / n_a, 6),
+                       ROUND(CAST(inter AS DOUBLE) / n_b, 6))
+              >= {CONTAINMENT_THRESHOLD}
+    """,
     # transitive closure via recursive CTE = the declarative twin of the
     # Spark-side iterative label propagation (both label every node with
     # the min doc_id reachable through the undirected candidate graph)
@@ -1585,6 +1679,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "embedding_cosine_stats": embedding_cosine_stats,
     "dedup_clusters": dedup_clusters,
     "dedup_survivorship": dedup_survivorship,

@@ -215,6 +215,51 @@ def semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+K_ANON = 5  # minimum equivalence-class size considered re-id safe
+BAL_BAND = 1000  # account-balance generalization width (the QI coarsening)
+
+
+def k_anonymity_report(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the customer table: rows sharing the same
+    quasi-identifier tuple (nation, market segment, generalized
+    account-balance band) form an equivalence class; any class smaller
+    than k=5 is a re-identification risk (Sweeney's k-anonymity — the
+    standard release-gate check before person-level data feeds training
+    or analytics). Emits the class-size-band histogram a governance
+    dashboard shows: per band, how many classes and individuals sit
+    there and whether the band is below the k threshold.
+
+    Scale shape: ONE hash aggregate over the QI tuple (map-side
+    partials — the shuffle carries one row per distinct QI combination,
+    not per person), then a re-aggregate of the tiny class table into
+    ≤4 band rows. No window, no join; at 100 TB this is a single
+    all-reduce whose width is the QI-space cardinality."""
+    cust = table(spark, sf, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / BAL_BAND).cast("int").alias("bal_band"),
+    ).agg(F.count("*").alias("class_size"))
+    band = (
+        F.when(F.col("class_size") == 1, "1")
+        .when(F.col("class_size") <= 4, "2-4")
+        .when(F.col("class_size") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    return (
+        classes.select(band.alias("size_band"), "class_size")
+        .groupBy("size_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_individuals"),
+            F.min("class_size").cast("bigint").alias("min_class_size"),
+            F.max("class_size").cast("bigint").alias("max_class_size"),
+            F.max((F.col("class_size") < K_ANON).cast("bigint")).alias("at_risk"),
+        )
+        .orderBy("size_band")
+    )
+
+
 def corpus_drift_kl(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-drift monitor: KL divergence (base 2, add-one
     smoothed) between the language mix of two corpus halves (doc_id
@@ -316,6 +361,25 @@ ORACLE: dict[str, str] = {
                      / SUM(pow(n_docs, {MIX_ALPHA})) OVER (), 2) AS expected_draws
         FROM counts
     """,
+    "k_anonymity_report": f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / {BAL_BAND}) AS INT) AS bal_band,
+                   COUNT(*) AS class_size
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT CASE WHEN class_size = 1 THEN '1'
+                    WHEN class_size <= 4 THEN '2-4'
+                    WHEN class_size <= 9 THEN '5-9'
+                    ELSE '10+' END AS size_band,
+               COUNT(*) AS n_classes,
+               CAST(SUM(class_size) AS BIGINT) AS n_individuals,
+               CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+               CAST(MAX(class_size) AS BIGINT) AS max_class_size,
+               CAST(MAX(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS at_risk
+        FROM classes GROUP BY 1
+    """,
     "corpus_drift_kl": """
         WITH counts AS (
             SELECT lang,
@@ -371,5 +435,6 @@ QUERIES = {
     "decontamination_overlap": decontamination_overlap,
     "source_mixture_weights": source_mixture_weights,
     "corpus_drift_kl": corpus_drift_kl,
+    "k_anonymity_report": k_anonymity_report,
     "semantic_decontamination": semantic_decontamination,
 }

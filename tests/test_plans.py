@@ -60,6 +60,29 @@ def test_no_cartesian_in_blocked_pairs(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_containment_pairs_no_cartesian_single_pair_agg(spark):
+    """Containment shares Jaccard's inverted-index shape: the candidate
+    join must stay a keyed equijoin, and BOTH containment directions
+    must come from the one symmetric intersection count — exactly one
+    (doc_a, doc_b) aggregate pair, not a second join of the pair
+    table."""
+    plan = executed_plan(dedup.ngram_containment_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(doc_a") <= 2  # partial+final pair
+
+
+def test_k_anonymity_is_two_stage_agg_no_join(spark):
+    """The k-anonymity audit is one QI-keyed hash aggregate (shuffle
+    width = distinct QI tuples, not people) re-aggregated into band
+    rows — no join, no window anywhere."""
+    from pinterest_data_pipeline6_spark.operators import privacy
+
+    plan = executed_plan(privacy.k_anonymity_report(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two stages
+
+
 def test_knn_broadcasts_query_side(spark):
     plan = executed_plan(similarity.knn_brute_force(spark, SF))
     assert "Broadcast" in plan
