@@ -260,6 +260,48 @@ def k_anonymity_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+L_DIVERSE = 3  # minimum distinct sensitive values per QI class
+
+
+def l_diversity_check(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion check: a class can
+    be large (k-safe) yet still leak if everyone in it shares the same
+    SENSITIVE value (homogeneity attack). Here the quasi-identifiers
+    are (nation, balance band) and the sensitive attribute is the
+    market segment; a class is l-diverse when it contains ≥3 distinct
+    segments. Emits per nation: class count, how many classes fail
+    l-diversity, the worst (minimum) diversity, and the population in
+    failing classes — the drill-down that tells a reviewer WHERE
+    generalization must coarsen before release.
+
+    Scale shape: one hash aggregate keyed on the QI tuple computing
+    count + count_distinct(sensitive) (Spark plans distinct-agg as a
+    two-phase expand over the class key — both shuffles carry class
+    rows, not people), then a per-nation re-aggregate of the class
+    table. No join, no window."""
+    cust = table(spark, sf, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / BAL_BAND).cast("int").alias("bal_band"),
+    ).agg(
+        F.count("*").alias("class_size"),
+        F.count_distinct("c_mktsegment").alias("l_div"),
+    )
+    failing = F.col("l_div") < L_DIVERSE
+    return (
+        classes.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum(failing.cast("bigint")).cast("bigint").alias("n_failing"),
+            F.min("l_div").cast("bigint").alias("min_diversity"),
+            F.sum(F.when(failing, F.col("class_size")).otherwise(0))
+            .cast("bigint")
+            .alias("pop_at_risk"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def corpus_drift_kl(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-drift monitor: KL divergence (base 2, add-one
     smoothed) between the language mix of two corpus halves (doc_id
@@ -380,6 +422,23 @@ ORACLE: dict[str, str] = {
                    AS at_risk
         FROM classes GROUP BY 1
     """,
+    "l_diversity_check": f"""
+        WITH classes AS (
+            SELECT c_nationkey,
+                   CAST(FLOOR(c_acctbal / {BAL_BAND}) AS INT) AS bal_band,
+                   COUNT(*) AS class_size,
+                   COUNT(DISTINCT c_mktsegment) AS l_div
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS n_classes,
+               CAST(SUM(CASE WHEN l_div < {L_DIVERSE} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_failing,
+               CAST(MIN(l_div) AS BIGINT) AS min_diversity,
+               CAST(SUM(CASE WHEN l_div < {L_DIVERSE} THEN class_size ELSE 0 END)
+                    AS BIGINT) AS pop_at_risk
+        FROM classes GROUP BY c_nationkey
+    """,
     "corpus_drift_kl": """
         WITH counts AS (
             SELECT lang,
@@ -436,5 +495,6 @@ QUERIES = {
     "source_mixture_weights": source_mixture_weights,
     "corpus_drift_kl": corpus_drift_kl,
     "k_anonymity_report": k_anonymity_report,
+    "l_diversity_check": l_diversity_check,
     "semantic_decontamination": semantic_decontamination,
 }

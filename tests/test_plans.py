@@ -83,6 +83,19 @@ def test_k_anonymity_is_two_stage_agg_no_join(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final x two stages
 
 
+def test_l_diversity_is_agg_only_no_join(spark):
+    """l-diversity shares the audit shape: class aggregate (with the
+    distinct-sensitive expand keyed on the class tuple) + per-nation
+    rollup — never a join or window, and no exchange keyed on the
+    person-level c_custkey."""
+    from pinterest_data_pipeline6_spark.operators import privacy
+
+    plan = executed_plan(privacy.l_diversity_check(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+
+
 def test_knn_broadcasts_query_side(spark):
     plan = executed_plan(similarity.knn_brute_force(spark, SF))
     assert "Broadcast" in plan
