@@ -285,9 +285,15 @@ def map_explode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     count maps are exploded back to (key, value) rows and re-aggregated
     globally — proving the map cell round-trips losslessly. The explode
     emits exactly cardinality(m) rows per user; the final agg is a
-    5-group hash agg."""
+    5-group hash agg. Null event types are dropped BEFORE the map build
+    (a map key cannot be null — on a null-bearing corpus the unfiltered
+    form throws NULL_MAP_KEY; the oracle carries the same filter)."""
     ev = table(spark, sf, "events")
-    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    per_type = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
     maps = per_type.groupBy("user_id").agg(
         F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
     )
@@ -476,7 +482,8 @@ ORACLE: dict[str, str] = {
     "map_explode_roundtrip": """
         WITH per_type AS (
             SELECT user_id, event_type, COUNT(*) AS n
-            FROM events GROUP BY user_id, event_type
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY user_id, event_type
         ),
         maps AS (
             SELECT user_id, map_from_entries(list({'k': event_type, 'v': n})) AS m

@@ -161,6 +161,8 @@ def sample_frames(media: DataFrame, every: int = 4, frame_size: int = 32) -> Dat
         for pdf in batches:
             out_ids, out_idx, out_frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # absent/undecodable asset: no frames
+                    continue
                 frames = [
                     payload[o : o + frame_size]
                     for o in range(0, len(payload), frame_size)
@@ -190,7 +192,10 @@ def resize_payloads(media: DataFrame, factor: int = 4) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "payload": [bytes(p[::factor]) for p in pdf["payload"]],
+                    "payload": [
+                        bytes(p[::factor]) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 

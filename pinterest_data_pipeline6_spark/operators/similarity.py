@@ -335,8 +335,14 @@ def activity_profile_knn(spark: SparkSession, sf: str) -> DataFrame:
         ]
     )
     arr = F.array(*[F.col(f"h_{h}").cast("double") for h in range(PAA_HOURS)])
-    signed = prof.select("user_id", arr.alias("profile")).withColumn(
-        "nrm", _norm64(F.col("profile"))
+    signed = (
+        prof.select("user_id", arr.alias("profile"))
+        .withColumn("nrm", _norm64(F.col("profile")))
+        # a zero-norm profile (user with no measurable activity — e.g.
+        # all-null values upstream) has no cosine direction; keeping it
+        # would divide by zero, which ANSI mode raises. No-op on any
+        # corpus with real activity; the oracle carries the same guard.
+        .filter(F.col("nrm") > 0)
     )
     q = signed.filter(F.col("user_id") < PAA_QUERIES).select(
         F.col("user_id").alias("query_id"),
@@ -505,9 +511,12 @@ def grouped_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
         mu = pdf["norm"].mean()
         sd = pdf["norm"].std(ddof=1)
         z = (pdf["norm"] - mu) / sd
+        # a NULL group key arrives as NaN (pandas promotes int+null to
+        # float) — int(NaN) raises, so pass the null through instead
+        lab = pdf["label"].iloc[0]
         return pd.DataFrame(
             {
-                "label": [int(pdf["label"].iloc[0])],
+                "label": [int(lab) if pd.notna(lab) else None],
                 "n_vecs": [len(pdf)],
                 "n_outliers": [int((z.abs() > 2).sum())],
                 "sd_norm": [round(float(sd), 4)],
@@ -1069,9 +1078,11 @@ def _paa_oracle_sql() -> str:
         f"({dot('q.profile', 'c.profile')} / "
         f"(sqrt({dot('q.profile', 'q.profile')}) * sqrt({dot('c.profile', 'c.profile')})))"
     )
+    self_dot = dot("s.profile", "s.profile")
     return f"""
         WITH prof AS (SELECT user_id, {cols} FROM events GROUP BY user_id),
-        signed AS (SELECT user_id, {plist} AS profile FROM prof)
+        all_signed AS (SELECT user_id, {plist} AS profile FROM prof),
+        signed AS (SELECT * FROM all_signed s WHERE {self_dot} > 0)
         SELECT query_id, user_id, cos, CAST(rank AS INT) AS rank
         FROM (
             SELECT q.user_id AS query_id, c.user_id AS user_id,

@@ -706,6 +706,8 @@ def udtf_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, n_tokens int")
     class ChunkSplit:
         def eval(self, text: str):
+            if text is None:  # null document: zero chunks, like LATERAL over empty
+                return
             n = len(text.split(" "))
             for i in range(0, n, CHUNK_TOKENS):
                 yield i // CHUNK_TOKENS, min(CHUNK_TOKENS, n - i)

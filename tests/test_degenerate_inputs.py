@@ -71,3 +71,33 @@ def singleton_sf(spark, tmp_path_factory):
 def test_query_survives_singleton_corpus(spark, singleton_sf, name):
     df = QUERIES[name](spark, singleton_sf)
     df.count()  # executing must not raise
+
+
+def _is_key(col: str) -> bool:
+    return col.endswith(("_id", "key")) or col in ("copy",)
+
+
+@pytest.fixture(scope="module")
+def nulls_sf(spark, tmp_path_factory):
+    """Every NON-KEY column nulled (keys kept so joins/groupings still
+    have something to chew on) — the shape a half-ingested or
+    schema-drifted upstream delivers. Queries must tolerate null text,
+    null dates, null arrays, null metrics without throwing; null/empty
+    RESULTS are fine."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("nulls_sf")
+    for t in TABLES:
+        src = spark.read.parquet(f"{SRC_SF}/{t}.parquet")
+        cols = [
+            F.col(c) if _is_key(c) else F.lit(None).cast(dt).alias(c)
+            for c, dt in src.dtypes
+        ]
+        src.select(*cols).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_all_null_values(spark, nulls_sf, name):
+    df = QUERIES[name](spark, nulls_sf)
+    df.count()  # executing must not raise
