@@ -1219,6 +1219,45 @@ def mad_price_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def sql_udf_pricing_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 SQL UDFs (``CREATE FUNCTION ... RETURN <expr>``) — the
+    catalog-registered, dialect-native way to share business logic
+    (here: net-price and discount-band rules) across queries. Catalyst
+    INLINES the function body into the calling plan, so unlike any
+    Python UDF the call costs nothing: the executed plan contains the
+    raw expressions inside one whole-stage-codegen span with no UDF
+    node at all (plan-asserted) — at 100 TB, SQL UDFs are free
+    abstraction, Python UDFs are a serialization boundary.
+
+    Per discount band: item count and net revenue. Revenue follows the
+    engine's money discipline: per-row net prices round at 6 decimals
+    then sum as DECIMAL(28,6), so the total is independent of
+    partial-aggregate merge order; the oracle inlines the identical
+    bodies (DuckDB macros can't ride the single-statement gate)."""
+    table(spark, sf, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pdp6_net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0d - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pdp6_disc_band(d DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN d = 0.0d THEN 'none' "
+        "WHEN d < 0.05d THEN 'low' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT pdp6_disc_band(l_discount) AS band,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(ROUND(
+                   pdp6_net_price(l_extendedprice, l_discount), 6)
+                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS net_revenue
+        FROM sqludf_lineitem
+        GROUP BY pdp6_disc_band(l_discount)
+        ORDER BY band
+        """
+    )
+
+
 ORACLE: dict[str, str] = {
     "ratio_to_report_share": """
         WITH cells AS (
@@ -1845,6 +1884,17 @@ def salted_hot_key_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ORACLE["sql_udf_pricing_bands"] = """
+    SELECT CASE WHEN l_discount = 0.0 THEN 'none'
+                WHEN l_discount < 0.05 THEN 'low'
+                ELSE 'high' END AS band,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+                AS DECIMAL(28,6))), 2) AS DOUBLE) AS net_revenue
+    FROM lineitem
+    GROUP BY 1
+"""
+
 ORACLE["salted_hot_key_agg"] = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1879,6 +1929,7 @@ QUERIES = {
     "calendar_functions_family": calendar_functions_family,
     "set_ops_all_variants": set_ops_all_variants,
     "price_equidepth_histogram": price_equidepth_histogram,
+    "sql_udf_pricing_bands": sql_udf_pricing_bands,
     "mad_price_outliers": mad_price_outliers,
     "pivot_status_by_priority": pivot_status_by_priority,
     "semi_anti_customer_activity": semi_anti_customer_activity,

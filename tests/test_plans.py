@@ -83,6 +83,20 @@ def test_k_anonymity_is_two_stage_agg_no_join(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final x two stages
 
 
+def test_sql_udf_fully_inlines(spark):
+    """SQL UDF calls must vanish from the physical plan — Catalyst
+    inlines the RETURN expressions, leaving a plain codegen projection
+    (no BatchEvalPython / ArrowEvalPython / ScalaUDF node). This is the
+    property that makes SQL UDFs free at scale."""
+    plan = executed_plan(relational.sql_udf_pricing_bands(spark, SF))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "ScalaUDF", "Invoke"):
+        assert node not in plan
+    assert "CASE WHEN" in plan  # the inlined band body
+    from pinterest_data_pipeline6_spark.plans import wholestage_codegen_count
+
+    assert wholestage_codegen_count(relational.sql_udf_pricing_bands(spark, SF)) >= 1
+
+
 def test_l_diversity_is_agg_only_no_join(spark):
     """l-diversity shares the audit shape: class aggregate (with the
     distinct-sensitive expand keyed on the class tuple) + per-nation
