@@ -91,6 +91,65 @@ def _canon_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
+@pytest.fixture(scope="module")
+def dup_sf(spark, tmp_path_factory):
+    """Duplicate-HEAVY corpus: documents and embeddings doubled with a
+    key-shifted identical copy (every doc/vector gains one exact twin),
+    other tables copied through. The fixed corpus has few real
+    duplicates, so this is the variant that actually exercises cluster
+    formation, survivorship argmax ties, exact-dup collapse, and
+    identical-vector similarity ties in BOTH engines."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("dup_sf")
+    for t, key in KEYS.items():
+        src = spark.read.parquet(f"{SRC_SF}/{t}.parquet")
+        if t in ("documents", "embeddings"):
+            shift = src.agg(F.max(key)).first()[0] + 1
+            twin = src.withColumn(key, F.col(key) + F.lit(shift))
+            src = src.unionByName(twin)
+        src.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def dup_duck(dup_sf):
+    con = duckdb.connect()
+    for t in KEYS:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{dup_sf}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+# the dedup + similarity families read documents/embeddings — the
+# tables the dup variant doubles
+def _dup_entries():
+    from pinterest_data_pipeline6_spark.operators import dedup, similarity
+
+    names = set(dedup.ORACLE) | set(similarity.ORACLE)
+    return sorted(n for n in names if n in QUERIES and n in ORACLES)
+
+
+@pytest.mark.parametrize("name", _dup_entries())
+def test_dedup_family_matches_oracle_on_dup_heavy(spark, dup_sf, dup_duck, name):
+    sdf = QUERIES[name](spark, dup_sf)
+    s_cols, s_rows = _canon_rows(
+        list(sdf.columns), [tuple(r) for r in sdf.collect()]
+    )
+    rel = dup_duck.execute(ORACLES[name])
+    d_cols, d_rows = _canon_rows(
+        [d[0] for d in rel.description], rel.fetchall()
+    )
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:5]
+    assert not mismatches, f"{name}: value mismatches (first 5): {mismatches}"
+
+
 @pytest.mark.parametrize(
     "name", sorted(k for k in QUERIES if k in ORACLES and k not in SKIP)
 )
