@@ -150,6 +150,62 @@ def test_dedup_family_matches_oracle_on_dup_heavy(spark, dup_sf, dup_duck, name)
     assert not mismatches, f"{name}: value mismatches (first 5): {mismatches}"
 
 
+@pytest.fixture(scope="module")
+def unicode_sf(spark, tmp_path_factory):
+    """Multibyte corpus: every document's text gains a UTF-8 suffix
+    with 2- and 3-byte code points. The fixed corpus is pure ASCII, so
+    without this the engines' agreement on utf-8 hashing (md5/xxhash
+    over multibyte), tokenization, regex classes, and char-vs-byte
+    length semantics is untested."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("unicode_sf")
+    for t in KEYS:
+        src = spark.read.parquet(f"{SRC_SF}/{t}.parquet")
+        if t == "documents":
+            src = src.withColumn("text", F.concat(F.col("text"), F.lit(" héllo 漢字")))
+        src.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(unicode_sf):
+    con = duckdb.connect()
+    for t in KEYS:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{unicode_sf}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def _text_entries():
+    from pinterest_data_pipeline6_spark.operators import dedup, privacy, textops
+
+    names = set(dedup.ORACLE) | set(textops.ORACLE) | set(privacy.ORACLE)
+    return sorted(n for n in names if n in QUERIES and n in ORACLES)
+
+
+@pytest.mark.parametrize("name", _text_entries())
+def test_text_family_matches_oracle_on_multibyte(
+    spark, unicode_sf, unicode_duck, name
+):
+    sdf = QUERIES[name](spark, unicode_sf)
+    s_cols, s_rows = _canon_rows(
+        list(sdf.columns), [tuple(r) for r in sdf.collect()]
+    )
+    rel = unicode_duck.execute(ORACLES[name])
+    d_cols, d_rows = _canon_rows(
+        [d[0] for d in rel.description], rel.fetchall()
+    )
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:5]
+    assert not mismatches, f"{name}: value mismatches (first 5): {mismatches}"
+
+
 @pytest.mark.parametrize(
     "name", sorted(k for k in QUERIES if k in ORACLES and k not in SKIP)
 )
