@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
+pytestmark = pytest.mark.sweep
+
 SRC_SF = "/root/testdata/sf0.001"
 
 # table -> key column the subset filter runs on
