@@ -1663,9 +1663,16 @@ def inverted_index_sample(spark: SparkSession, sf: str) -> DataFrame:
         pairs.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP).alias(
-                "postings"
-            ),
+            # postings travel as a canonical comma-joined STRING: an
+            # array<bigint> output column has never crossed the external
+            # gate, and the driver's pandas canonicalization of list
+            # cells (numpy array vs python list repr) is exactly the
+            # divergence class that produced round-3's HUGEINT false
+            # reds — a string column is repr-stable in every layer
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+                ",",
+            ).alias("postings"),
         )
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(INDEX_TOP_TERMS)
@@ -1678,7 +1685,7 @@ ORACLE["inverted_index_sample"] = f"""
         FROM documents
     )
     SELECT term, COUNT(*) AS df,
-           list_sort(list(doc_id))[1:{POSTINGS_CAP}] AS postings
+           array_to_string(list_sort(list(doc_id))[1:{POSTINGS_CAP}], ',') AS postings
     FROM pairs
     WHERE term <> ''
     GROUP BY term

@@ -98,8 +98,14 @@ def test_oracle_result_types_survive_driver_hash(duck, name):
         # ANY decimal is unsafe, not just DECIMAL(38,*): DuckDB's .df()
         # renders decimals as float64 while Spark's toPandas keeps
         # Decimal objects, so the two sides repr-diverge even when the
-        # values agree — route money through ROUND(CAST(... AS DOUBLE))
-        if str(t) in _DRIVER_UNSAFE_TYPES or str(t).startswith("DECIMAL")
+        # values agree — route money through ROUND(CAST(... AS DOUBLE));
+        # nested types (LIST/STRUCT/MAP) are equally unsafe: pandas
+        # renders them as numpy arrays on one side and python lists on
+        # the other — serialize to a canonical string instead (see
+        # inverted_index_sample's comma-joined postings)
+        if str(t) in _DRIVER_UNSAFE_TYPES
+        or str(t).startswith(("DECIMAL", "STRUCT", "MAP"))
+        or str(t).endswith("[]")
     ]
     assert not bad, (
         f"{name}: oracle columns {bad} have driver-unsafe DuckDB types; "
