@@ -170,23 +170,33 @@ def dq_column_profile(spark: SparkSession, sf: str) -> DataFrame:
 def freshness_lag_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Event-time freshness per event type: latest event, lag in hours
     behind the corpus watermark (global max ts), and how many events
-    landed inside the trailing 7-day horizon. One hash agg to a
-    #types-row table; the watermark is a window over that aggregate."""
+    landed inside the trailing 7-day horizon.
+
+    Recency is measured against each type's own span end (the signal a
+    monitor uses to detect "source went quiet then burst"). The per-type
+    watermark is a plain groupBy max — partial-aggregated map-side, so
+    the shuffle carries #types rows per task, never data — broadcast-
+    joined back onto the scan for the recency test, then one more
+    partial+final agg. No stage ever hash-partitions RAW event rows on
+    the #types-cardinality key (the earlier window form did exactly
+    that: with ~5 distinct types the whole fact table funneled into 5
+    reducers, and the window's co-location requirement blocked map-side
+    combining — the skew shape ``hot_key_detection`` exists to catch)."""
     events = table(spark, sf, "events")
-    # recency is measured against each type's own span end (the signal a
-    # monitor uses to detect "source went quiet then burst"); the
-    # per-type watermark rides a window over the raw rows, which Spark
-    # plans as one shuffle shared with the groupBy on the same key.
-    with_mx = events.withColumn(
-        "mx_us", F.max(F.unix_micros("ts")).over(Window.partitionBy("event_type"))
+    marks = events.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("mx_us")
     )
-    per_type = with_mx.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max("ts").alias("max_ts"),
-        F.sum(
-            ((F.col("mx_us") - F.unix_micros("ts")) <= FRESH_WINDOW_H * 3600 * 1_000_000)
-            .cast("bigint")
-        ).alias("n_recent"),
+    per_type = (
+        events.join(F.broadcast(marks), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("max_ts"),
+            F.sum(
+                ((F.col("mx_us") - F.unix_micros("ts")) <= FRESH_WINDOW_H * 3600 * 1_000_000)
+                .cast("bigint")
+            ).alias("n_recent"),
+        )
     )
     w = Window.partitionBy()
     lag_h = (F.max(F.unix_micros("max_ts")).over(w) - F.unix_micros("max_ts")) / 3.6e9

@@ -375,21 +375,26 @@ def ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     completion leakage that symmetric measures under-flag.
 
     Same scale shape as ``ngram_jaccard_pairs`` (one inverted-index
-    equijoin on the shingle hash within (lang, size-band) blocks — pairs
-    sharing zero shingles never materialize, AQE splits skewed frequent-
-    shingle keys), then BOTH directions' containment come from the one
-    symmetric intersection count — no second join. Emits pairs where
-    either direction reaches the threshold."""
+    equijoin on the shingle hash — pairs sharing zero shingles never
+    materialize, AQE splits skewed frequent-shingle keys), then BOTH
+    directions' containment come from the one symmetric intersection
+    count — no second join. Emits pairs where either direction reaches
+    the threshold.
+
+    Blocking is (lang, shingle-hash) ONLY — deliberately NOT the
+    size band Jaccard uses. Size banding is sound for Jaccard (a high-J
+    pair necessarily has similar shingle counts) but would silence
+    containment's whole point: a short doc swallowed by a 10x-longer
+    one lands in different bands by construction, and that asymmetric
+    pair is exactly what this operator exists to flag. The inverted
+    index still prunes — a candidate must share at least one shingle —
+    and the hash key (corpus-vocabulary cardinality) keeps the join
+    distributed at any scale."""
     docs = widen_small_scan(table(spark, sf, "documents"))
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / 100).cast("int").alias("sz"),
-        "text",
-    )
+    d = docs.select("doc_id", "lang", "text")
     e = (
-        _exploded_shingles(d, "doc_id", "lang", "sz")
-        .select("doc_id", "lang", "sz", F.xxhash64(F.col("shingle")).alias("h"))
+        _exploded_shingles(d, "doc_id", "lang")
+        .select("doc_id", "lang", F.xxhash64(F.col("shingle")).alias("h"))
         .distinct()
     )
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -399,7 +404,6 @@ def ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.sz") == F.col("b.sz"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -1317,22 +1321,24 @@ ORACLE: dict[str, str] = {
         FROM pairs
         WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= {JACCARD_THRESHOLD}
     """,
-    # same inverted-index pair table; both containment directions derive
-    # from the one symmetric intersection count
+    # same inverted-index pair table MINUS the size band (containment is
+    # asymmetric by design — the short-in-long pair Jaccard's banding
+    # drops is the one this operator exists for); both containment
+    # directions derive from the one symmetric intersection count
     "ngram_containment_pairs": f"""
         WITH d AS (
-            SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS sz,
+            SELECT doc_id, lang,
                    list_transform({_SHINGLES_SQL}, s -> {H64_SQL.format(expr="s")}) AS sh
             FROM documents
         ),
         e AS (
-            SELECT doc_id, lang, sz, len(sh) AS n_sh, unnest(sh) AS h FROM d
+            SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS h FROM d
         ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
             FROM e a JOIN e b
-              ON a.h = b.h AND a.lang = b.lang AND a.sz = b.sz
+              ON a.h = b.h AND a.lang = b.lang
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4
         )

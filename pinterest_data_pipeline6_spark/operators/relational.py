@@ -1233,8 +1233,20 @@ def sql_udf_pricing_bands(spark: SparkSession, sf: str) -> DataFrame:
     engine's money discipline: per-row net prices round at 6 decimals
     then sum as DECIMAL(28,6), so the total is independent of
     partial-aggregate merge order; the oracle inlines the identical
-    bodies (DuckDB macros can't ride the single-statement gate)."""
-    table(spark, sf, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    bodies (DuckDB macros can't ride the single-statement gate).
+
+    SESSION MUTATION NOTE (unavoidable — SQL UDFs and SQL-on-view are
+    catalog objects, registration IS the feature under test): the two
+    ``pdp6_*`` temporary functions persist in the session after the
+    call; their bodies are constant, so re-registration by any caller
+    is idempotent. The temp VIEW carries the sf path in its name, so
+    interleaved calls against different sf dirs can never read each
+    other's table — the one genuinely racy piece of the earlier
+    fixed-name form."""
+    import hashlib
+
+    view = f"sqludf_lineitem_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    table(spark, sf, "lineitem").createOrReplaceTempView(view)
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION pdp6_net_price(p DOUBLE, d DOUBLE) "
         "RETURNS DOUBLE RETURN p * (1.0d - d)"
@@ -1245,13 +1257,13 @@ def sql_udf_pricing_bands(spark: SparkSession, sf: str) -> DataFrame:
         "WHEN d < 0.05d THEN 'low' ELSE 'high' END"
     )
     return spark.sql(
-        """
+        f"""
         SELECT pdp6_disc_band(l_discount) AS band,
                COUNT(*) AS n_items,
                CAST(ROUND(SUM(CAST(ROUND(
                    pdp6_net_price(l_extendedprice, l_discount), 6)
                    AS DECIMAL(28,6))), 2) AS DOUBLE) AS net_revenue
-        FROM sqludf_lineitem
+        FROM {view}
         GROUP BY pdp6_disc_band(l_discount)
         ORDER BY band
         """

@@ -124,7 +124,11 @@ _PORTABLE: dict[str, str] = {
             WHERE p.doc_id IS NULL OR p.lang <> d.lang
         ),
         walk(start_id, cur_id, lang, depth) AS (
-            SELECT doc_id, doc_id, lang, 1 FROM starts
+            -- explicit aliases: "doc_id, doc_id" would give the anchor
+            -- two attributes with ONE exprId, and Spark's recursion
+            -- materialization (LogicalRDD) warns on every execution
+            -- about the duplicate output (bench-tail noise)
+            SELECT doc_id AS start_id, doc_id AS cur_id, lang, 1 AS depth FROM starts
             UNION ALL
             SELECT w.start_id, n.doc_id, w.lang, w.depth + 1
             FROM walk w JOIN documents n

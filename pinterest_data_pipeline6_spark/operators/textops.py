@@ -105,19 +105,19 @@ def token_gini_per_lang(spark: SparkSession, sf: str) -> DataFrame:
 
     G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over token counts sorted
     ascending — every term an exact integer, so the single double
-    division is bit-identical cross-engine. The rank needs a per-
-    language sort: fine wherever one language's DOC COUNT fits a
-    partition's sort budget; at extreme scale swap the exact rank for
-    the equi-depth histogram formulation (price_equidepth_histogram's
-    boundary trick) and accept an approximate G."""
-    from pyspark.sql.window import Window
-
+    division is bit-identical cross-engine. The exact per-language rank
+    rides ``_distributed_rank`` (the grouped range-partition +
+    prefix-sum core under ``_distributed_ntile``): the sort parallelism
+    is the range-partition count, never one task per language, so one
+    giant language (English is half of any web corpus) costs the same
+    as ten small ones."""
     docs = table(spark, sf, "documents")
     tl = docs.select(
-        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("t")
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("score")
     )
-    w = Window.partitionBy("lang").orderBy("t", "doc_id")
-    ranked = tl.withColumn("i", F.row_number().over(w))
+    ranked = _distributed_rank(tl, group_cols=["lang"]).select(
+        "lang", F.col("score").alias("t"), F.col("_grank").alias("i")
+    )
     return (
         ranked.groupBy("lang")
         .agg(
@@ -316,6 +316,46 @@ def _distributed_ntile(
     returned. Lazy composition lets callers stack ntile passes with zero
     construction-time jobs.
     """
+    ranked = _distributed_rank(scored, group_cols)
+
+    def idiv(a: Column, b: Column) -> Column:
+        # exact floor-division for nonnegative bigints: (a - a mod b) is
+        # a multiple of b and stays below 2^53, so the double division
+        # below is exact
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    g = F.col("_grank")
+    total = F.col("total")
+    q = idiv(total, F.lit(n_buckets))
+    r = F.pmod(total, F.lit(n_buckets))
+    boundary = r * (q + F.lit(1))
+    # CaseWhen evaluates branches sequentially at runtime, so the q=0
+    # guard keeps the later divisions away from zero divisors
+    decile = (
+        F.when(q == F.lit(0), g)  # fewer rows than buckets: rank = bucket
+        .when(g <= boundary, idiv(g + q, q + F.lit(1)))
+        .otherwise(r + idiv(g - boundary + q - F.lit(1), q))
+    )
+    return ranked.withColumn("decile", decile.cast("int")).drop("total", "_grank")
+
+
+def _distributed_rank(
+    scored: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The rank core of ``_distributed_ntile``, reusable on its own:
+    exact global ``row_number() OVER ([PARTITION BY group] ORDER BY
+    score, doc_id)`` as ``_grank`` (plus the [group] row count as
+    ``total``), with no single-task sort anywhere — one range shuffle
+    of the data, per-partition local row_numbers, and a prefix-sum over
+    the #partitions-row count table broadcast back (see the ntile
+    docstring for why the repeated range subtree is safe: explicit
+    partition count → REPARTITION_BY_NUM → AQE never re-coalesces, and
+    the duplicate subtree deduplicates via ReusedExchange —
+    plan-asserted in tests/test_plans.py). Callers that need exact
+    per-group ranks over unbounded groups (``token_gini_per_lang``'s
+    Gini rank) use this instead of a raw ``row_number`` window, whose
+    one-task-per-group sort dies when a single group outgrows an
+    executor."""
     from pyspark.sql.window import Window
 
     spark = scored.sparkSession
@@ -341,35 +381,14 @@ def _distributed_ntile(
         F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("rank_offset"),
         F.sum("cnt").over(w_all).alias("total"),
     )
-
     w = Window.partitionBy("pid", *grp).orderBy("score", "doc_id")
-
-    def idiv(a: Column, b: Column) -> Column:
-        # exact floor-division for nonnegative bigints: (a - a mod b) is
-        # a multiple of b and stays below 2^53, so the double division
-        # below is exact
-        return ((a - F.pmod(a, b)) / b).cast("long")
-
-    g = F.col("_grank")
-    total = F.col("total")
-    q = idiv(total, F.lit(n_buckets))
-    r = F.pmod(total, F.lit(n_buckets))
-    boundary = r * (q + F.lit(1))
-    # CaseWhen evaluates branches sequentially at runtime, so the q=0
-    # guard keeps the later divisions away from zero divisors
-    decile = (
-        F.when(q == F.lit(0), g)  # fewer rows than buckets: rank = bucket
-        .when(g <= boundary, idiv(g + q, q + F.lit(1)))
-        .otherwise(r + idiv(g - boundary + q - F.lit(1), q))
-    )
     return (
         ranged.join(F.broadcast(off_df), ["pid", *grp])
-        # materialize the global rank BEFORE the ntile arithmetic so the
-        # CaseWhen branches share ONE window expression (inlining g into
-        # each branch made the physical Window compute row_number 6x)
+        # materialize the global rank as a column so downstream
+        # consumers share ONE window expression (inlining it into each
+        # CaseWhen branch made the physical Window compute row_number 6x)
         .withColumn("_grank", F.col("rank_offset") + F.row_number().over(w))
-        .withColumn("decile", decile.cast("int"))
-        .drop("total", "_grank")
+        .drop("pid", "rank_offset")
     )
 
 
@@ -712,12 +731,24 @@ def udtf_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(0, n, CHUNK_TOKENS):
                 yield i // CHUNK_TOKENS, min(CHUNK_TOKENS, n - i)
 
-    spark.udtf.register("chunk_split", ChunkSplit)
-    table(spark, sf, "documents").createOrReplaceTempView("udtf_docs")
+    # register once per session: re-registration is harmless but logs a
+    # replaced-function WARN per call, and bench sweeps call this 200+
+    # times — the flag rides the session object so a fresh session
+    # (tests, driver) still registers
+    if not getattr(spark, "_pdp6_chunk_split_registered", False):
+        spark.udtf.register("chunk_split", ChunkSplit)
+        spark._pdp6_chunk_split_registered = True
+    # sf-derived view name: interleaved calls against different sf dirs
+    # must not clobber each other's table (same rule as
+    # sql_udf_pricing_bands)
+    import hashlib
+
+    view = f"udtf_docs_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    table(spark, sf, "documents").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT chunk_idx, COUNT(*) AS n_chunks, SUM(n_tokens) AS sum_tokens
-        FROM udtf_docs, LATERAL chunk_split(text)
+        FROM {view}, LATERAL chunk_split(text)
         GROUP BY chunk_idx ORDER BY chunk_idx
         """
     )

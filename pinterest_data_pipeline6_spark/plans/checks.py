@@ -70,6 +70,85 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\(\d+\)", plan)))
 
 
+# Columns whose distinct-value count is a small constant at ANY corpus
+# size (enum-like labels, not ids): an Exchange that hash-partitions
+# RAW rows solely on these keys funnels the whole input into a handful
+# of reducers — and when a Window forces the co-location, map-side
+# combining can't shrink it either. Aggregated rows (a HashAggregate
+# below the exchange, partial or final) are fine: the shuffle then
+# carries at most #distinct-keys rows per task.
+LOW_CARDINALITY_COLUMNS = frozenset(
+    {
+        "event_type",
+        "lang",
+        "source",
+        "pred_lang",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipmode",
+        "l_shipinstruct",
+        "o_orderstatus",
+        "o_orderpriority",
+        "c_mktsegment",
+        "p_brand",
+        "p_container",
+        "r_name",
+    }
+)
+
+
+def _node_depth(line: str) -> int:
+    """Depth of a node in Spark's plan-tree text = where the node name
+    starts (after the ``:  +- `` tree art)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-*(0123456789)":
+        i += 1
+    return i
+
+
+def raw_low_cardinality_exchanges(plan: str) -> list[str]:
+    """Scale-hygiene sweep: return every ``Exchange hashpartitioning``
+    whose partition keys are ALL low-cardinality label columns and
+    whose input subtree reaches a file scan without passing through any
+    row-reducing node — i.e. a raw-row shuffle onto a handful of
+    reducers (the ``freshness_lag_stats`` r4 anti-pattern). Walks the
+    executed-plan text: for each flagged exchange, scan its subtree
+    (deeper-indented lines until depth returns to the exchange's
+    level); seeing a HashAggregate/ObjectHashAggregate/SortAggregate OR
+    a WindowGroupLimit (the map-side top-k cut: the shuffle then
+    carries ≤ k rows per key per map partition) before any FileScan
+    means the shuffled rows were already reduced — fine. Returns the
+    offending exchange lines (empty = clean)."""
+    lines = plan.splitlines()
+    flagged: list[str] = []
+    for i, line in enumerate(lines):
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", line)
+        if not m:
+            continue
+        keys = {
+            p.strip().split("#")[0]
+            for p in m.group(1).split(",")
+            if p.strip() and not p.strip().isdigit()
+        }
+        if not keys or not keys <= LOW_CARDINALITY_COLUMNS:
+            continue
+        depth = _node_depth(line)
+        aggregated = False
+        for sub in lines[i + 1 :]:
+            if not sub.strip():
+                continue
+            if _node_depth(sub) <= depth:
+                break  # left the exchange's subtree
+            if re.search(r"\b((Hash|ObjectHash|Sort)Aggregate|WindowGroupLimit)\b", sub):
+                aggregated = True
+                break
+            if "FileScan" in sub or "Scan ExistingRDD" in sub:
+                break  # raw rows reached the exchange
+        if not aggregated:
+            flagged.append(line.strip())
+    return flagged
+
+
 def plan_audit(df: DataFrame) -> dict:
     """One-call cost audit of a DataFrame's physical plan — the numbers
     a reviewer asks about before shipping a query to a 1000-executor

@@ -65,6 +65,10 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
+        # no [Stage ...] progress bars on stderr: the driver's bench
+        # capture keeps only the last ~2000 chars of output, and
+        # progress art was crowding out the JSON headline line
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

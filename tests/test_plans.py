@@ -508,12 +508,23 @@ def test_dq_column_profile_two_hash_passes(spark):
     assert "SortAggregate(key=[o_" not in plan, plan
 
 
-def test_freshness_single_scan_of_events(spark):
-    """Watermark + recency + per-type agg all ride one events scan."""
+def test_freshness_two_skinny_scans_no_raw_window(spark):
+    """The r5 shape deliberately trades the old single-scan window form
+    (which hash-partitioned the WHOLE fact table on the ~5-value
+    event_type key — VERDICT r4 "What's wrong" #1) for two scans that
+    each read only (ts, event_type) and partial-aggregate map-side:
+    the watermark scan shuffles #types rows per task, the main scan
+    shuffles #types aggregate rows. Two skinny scans beat one skewed
+    full-data shuffle at any scale."""
     from pinterest_data_pipeline6_spark.operators import dataquality
+    from pinterest_data_pipeline6_spark.plans import read_schema_columns
 
-    plan = executed_plan(dataquality.freshness_lag_stats(spark, SF))
-    assert plan.count("FileScan parquet") == 1, plan
+    df = dataquality.freshness_lag_stats(spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("FileScan parquet") == 2, plan
+    assert all(s <= {"ts", "event_type"} for s in read_schema_columns(df))
+    # the only Window left runs over the #types-row aggregate
+    assert plan.count("Window ") == 1, plan
 
 
 def test_no_accidental_cartesian_in_any_registry_query(spark):
@@ -1027,3 +1038,97 @@ def test_salted_agg_two_stage_shape(spark):
     salted = [e for e in ex if "salt" in e]
     assert all("event_type" in e for e in salted), ex
     assert "CartesianProduct" not in plan
+
+
+# --- round 5: low-cardinality raw-row shuffle hygiene -----------------------
+
+
+def test_freshness_watermark_is_broadcast_join_not_raw_window(spark):
+    """freshness_lag_stats must never hash-partition RAW event rows on
+    the #types-cardinality event_type key (the r4 anti-pattern: a
+    window over raw rows funneled the whole fact table into ~5
+    reducers with no map-side combine possible). The fixed shape:
+    per-type watermark via partial-aggregated groupBy, broadcast-joined
+    back, then one partial+final agg — every event_type exchange sits
+    above an aggregate."""
+    from pinterest_data_pipeline6_spark.operators import dataquality
+    from pinterest_data_pipeline6_spark.plans import raw_low_cardinality_exchanges
+
+    plan = executed_plan(dataquality.freshness_lag_stats(spark, SF))
+    assert raw_low_cardinality_exchanges(plan) == []
+    assert "BroadcastHashJoin" in plan
+
+
+def test_low_cardinality_detector_catches_seeded_regression(spark):
+    """The detector must flag the exact shape the r4 audit found: a
+    window over raw fact rows partitioned solely by a label column.
+    (If this fails, the registry-wide sweep below is asserting
+    nothing.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pinterest_data_pipeline6_spark.plans import raw_low_cardinality_exchanges
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    seeded = events.withColumn(
+        "mx", F.max("ts").over(Window.partitionBy("event_type"))
+    )
+    flagged = raw_low_cardinality_exchanges(executed_plan(seeded))
+    assert flagged, "detector missed a raw-row window shuffle on event_type"
+
+
+# GROUPED_AGG pandas UDFs cannot partial-aggregate — the whole group
+# must reach one Python worker (documented in the operator docstring);
+# the raw shuffle on l_returnflag is the semantic of that UDF class,
+# not an accident. Every other registry query must stay clean.
+INTENTIONAL_RAW_LOW_CARD_SHUFFLE = {"pandas_udaf_weighted_price"}
+
+
+@pytest.mark.sweep
+def test_no_raw_low_cardinality_shuffle_in_any_registry_query(spark):
+    """Registry-wide hygiene sweep (generalizes the freshness_lag_stats
+    and token_gini_per_lang r4 findings): no query may shuffle raw
+    base-table rows partitioned solely by a low-cardinality label
+    column — at 100x the data that exchange funnels everything into a
+    handful of reducers. Guards every FUTURE operator, same spirit as
+    the registry-wide cartesian sweep."""
+    import __spark_entry__ as E
+
+    from pinterest_data_pipeline6_spark.plans import raw_low_cardinality_exchanges
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        if name in INTENTIONAL_RAW_LOW_CARD_SHUFFLE:
+            continue
+        bad = raw_low_cardinality_exchanges(executed_plan(fn(spark, SF)))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["curriculum_deciles", "rfm_segments", "token_gini_per_lang"],
+)
+def test_distributed_rank_range_exchange_is_reused(spark, query):
+    """The lazy _distributed_rank/_distributed_ntile core consumes its
+    repartitionByRange subtree twice (counts/offsets branch + data
+    branch); correctness of the pid-keyed offset join requires both
+    consumers to observe the SAME range boundaries, which holds because
+    the duplicate exchange deduplicates via ReusedExchange. Pin that on
+    the post-execution plan so a reuse regression fails loudly instead
+    of silently corrupting ranks."""
+    import __spark_entry__ as E
+
+    from pinterest_data_pipeline6_spark.plans import final_plan
+
+    assert (
+        spark.conf.get("spark.sql.exchange.reuse", "true") == "true"
+    ), "exchange reuse disabled: _distributed_rank's offset join is unsafe"
+    plan = final_plan(E.queries()[query](spark, SF))
+    reused_range = [
+        line
+        for line in plan.splitlines()
+        if "ReusedExchange" in line and "rangepartitioning" in line
+    ]
+    assert reused_range, f"{query}: range exchange not reused\n{plan[:2000]}"
