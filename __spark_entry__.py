@@ -36,6 +36,18 @@ SF0001 = "/root/testdata/sf0.001"
 # TIE-BREAK among never-checked entries (round 3's priority: dedup /
 # similarity / textops / privacy / curation / pit_scd2 / multimodal /
 # subqueries / the distinctive collections entries first).
+# Entries added in round 5 AFTER the registry freeze.  Exactly 50
+# never-checked entries existed when round 5 opened — precisely the
+# driver's window size — so a brand-new (also never-checked) entry would
+# displace one of them and break the 199/199 coverage plan.  Names
+# listed here get staleness 0.5 instead of 0 while unchecked: AFTER
+# every pre-freeze never-checked entry (they cannot claim an r5 window
+# slot) but BEFORE everything already checked (they claim the r6 window
+# first).  Once an entry gains a green CORRECTNESS row the marker is
+# inert; the list can then be emptied.
+_DEFERRED_NEW: frozenset[str] = frozenset()
+
+
 _DRIVER_WINDOW: list[str] = [
     # dedup (6) — flagship LLM-pipeline family, never driver-checked
     "dedup_exact_text",
@@ -143,14 +155,26 @@ def _rotate(full: dict) -> dict:
        among never-checked entries so round 3's curated priority holds);
     3. original registry order (stable fallback).
 
+    Entries in ``_DEFERRED_NEW`` that are still unchecked take
+    staleness 0.5 — behind every pre-freeze never-checked entry, ahead
+    of everything already green — so post-freeze additions wait for the
+    r6 window instead of displacing the planned r5 coverage.
+
     Self-maintaining: each round's CORRECTNESS_r*.json pushes the
     just-checked entries to the back, so the next round's prefix
     automatically covers whatever is left, then cycles oldest-first."""
     last = _last_checked()
     rank = {name: i for i, name in enumerate(_DRIVER_WINDOW)}
     orig = {name: i for i, name in enumerate(full)}
+
+    def stale(k: str) -> float:
+        s = last.get(k, 0)
+        if s == 0 and k in _DEFERRED_NEW:
+            return 0.5
+        return s
+
     ordered = sorted(
-        full, key=lambda k: (last.get(k, 0), rank.get(k, len(rank)), orig[k])
+        full, key=lambda k: (stale(k), rank.get(k, len(rank)), orig[k])
     )
     return {k: full[k] for k in ordered}
 

@@ -71,8 +71,15 @@ def test_registry_order_is_stalest_first():
     ):
         merged.update(mod.QUERIES)
     orig = {n: i for i, n in enumerate(merged)}
+
+    def stale(k: str) -> float:
+        s = last.get(k, 0)
+        if s == 0 and k in entrymod._DEFERRED_NEW:
+            return 0.5
+        return s
+
     want = sorted(
-        merged, key=lambda k: (last.get(k, 0), rank.get(k, len(rank)), orig[k])
+        merged, key=lambda k: (stale(k), rank.get(k, len(rank)), orig[k])
     )
     assert list(q) == want
 
@@ -125,6 +132,29 @@ def test_failed_entries_requeue_at_front():
             "grouped_zscore_outliers", "udtf_chunk_stats",
             "hof_token_metrics", "hof_position_weighted",
         } <= set(q[:50])
+
+
+def test_deferred_new_entries_wait_for_the_next_window():
+    """Round-5 freeze rule: an entry added after the freeze (listed in
+    ``_DEFERRED_NEW``) must not occupy a window slot while pre-freeze
+    never-checked entries remain, but must outrank every already-green
+    entry so it claims the following round's window first."""
+    q = list(entrymod.queries())
+    last = _last_checked()
+    deferred_unchecked = [
+        k for k in entrymod._DEFERRED_NEW if last.get(k, 0) == 0 and k in q
+    ]
+    prefreeze_backlog = [
+        k
+        for k in q
+        if last.get(k, 0) <= 0 and k not in entrymod._DEFERRED_NEW
+    ]
+    if len(prefreeze_backlog) >= 50:
+        assert not set(q[:50]) & set(deferred_unchecked)
+    # deferred-but-unchecked entries still beat every checked entry
+    checked_positions = [q.index(k) for k, v in last.items() if v > 0 and k in q]
+    for k in deferred_unchecked:
+        assert q.index(k) < min(checked_positions, default=len(q))
 
 
 def test_queries_and_oracles_cover_same_names():
