@@ -45,7 +45,13 @@ SF0001 = "/root/testdata/sf0.001"
 # slot) but BEFORE everything already checked (they claim the r6 window
 # first).  Once an entry gains a green CORRECTNESS row the marker is
 # inert; the list can then be emptied.
-_DEFERRED_NEW: frozenset[str] = frozenset()
+_DEFERRED_NEW: frozenset[str] = frozenset({
+    "tokenizer_fertility_stats",
+    "padding_waste_bins",
+    "normalization_dedup_lift",
+    "cross_split_leakage",
+    "embedding_centroid_shift",
+})
 
 
 _DRIVER_WINDOW: list[str] = [

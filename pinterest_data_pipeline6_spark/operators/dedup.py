@@ -1678,6 +1678,76 @@ ORACLE["quality_dup_correlation"] = f"""
     GROUP BY len_bucket
 """
 
+
+def normalization_dedup_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """How much extra duplication text normalization exposes: per
+    source, the distinct-digest count of the RAW text vs the text
+    normalized the way web-corpus dedup pipelines do (lowercase, strip
+    non-alphanumerics, collapse whitespace).  The gap is the
+    duplicates that byte-exact dedup misses but normalized-exact dedup
+    catches — the cheapest near-dup tier, sitting between
+    ``dedup_exact_text`` and the MinHash family.
+
+    Row-local normalization (lower / regexp_replace / trim, all
+    whole-stage codegen) then ONE hash aggregate with two DISTINCT
+    digests: Catalyst plans the multi-distinct via Expand (x2 row
+    multiplier on the projected (source, digest) pairs — 32 bytes/row,
+    not document text), each branch partially aggregated before the
+    shuffle. Corpus text never leaves the map side.
+
+    The regex classes stay in the Java-regex ∩ RE2 subset; DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all semantics."""
+    docs = table(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    d = docs.select(
+        "source", F.md5("text").alias("raw_d"), F.md5(norm).alias("norm_d")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_d").alias("raw_distinct"),
+            F.countDistinct("norm_d").alias("norm_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "raw_distinct",
+            "norm_distinct",
+            (F.col("raw_distinct") - F.col("norm_distinct")).alias("merged_by_norm"),
+            F.round(
+                (F.col("raw_distinct") - F.col("norm_distinct"))
+                / F.nullif(F.col("raw_distinct").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("norm_dup_lift"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["normalization_dedup_lift"] = """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT raw_d) AS raw_distinct,
+           COUNT(DISTINCT norm_d) AS norm_distinct,
+           COUNT(DISTINCT raw_d) - COUNT(DISTINCT norm_d) AS merged_by_norm,
+           ROUND((COUNT(DISTINCT raw_d) - COUNT(DISTINCT norm_d))
+                 / CAST(NULLIF(COUNT(DISTINCT raw_d), 0) AS DOUBLE), 6)
+               AS norm_dup_lift
+    FROM (SELECT source, md5(text) AS raw_d,
+                 md5(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                     ' +', ' ', 'g'))) AS norm_d
+          FROM documents)
+    GROUP BY source
+"""
+
 QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "minhash_band_pairs": minhash_band_pairs,
@@ -1699,4 +1769,5 @@ QUERIES = {
     "lsh_tuning_sweep": lsh_tuning_sweep,
     "quality_dup_correlation": quality_dup_correlation,
     "ngram_novelty_profile": ngram_novelty_profile,
+    "normalization_dedup_lift": normalization_dedup_lift,
 }

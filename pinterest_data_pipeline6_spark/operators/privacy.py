@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pinterest_data_pipeline6_spark.operators.dedup import _exploded_shingles
-from pinterest_data_pipeline6_spark.operators.textops import H64_SQL
+from pinterest_data_pipeline6_spark.operators.textops import H64_SQL, _h64_spark
 from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
 # Java-regex ∩ RE2 subset — identical match semantics in Spark and DuckDB
@@ -489,6 +489,107 @@ def _semantic_decontam_sql() -> str:
 
 ORACLE["semantic_decontamination"] = _semantic_decontam_sql()
 
+def cross_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test leakage audit: with documents routed into splits
+    by the same content-stable hash as ``curation.dataset_split_counts``
+    (h64(doc_id) mod 100 against 90/5 bounds), report — for each split
+    pair — how many exact-text digests appear on BOTH sides and how
+    many documents of the pair's second split are leaked (share a
+    digest with the first).  ``decontamination_overlap`` guards the
+    corpus against an external benchmark; this guards the corpus
+    against ITSELF — exact duplicates straddling a split boundary are
+    eval contamination no external list can catch.
+
+    Shape: one digest-keyed hash aggregate folds the corpus to one row
+    per distinct digest (high-cardinality shuffle key, partial-agg
+    shrinks dup-heavy sources map-side), then a single global
+    aggregate produces the six pair sums at once and ``stack`` unpivots
+    the one-row result to the three pair rows — no self-join of the
+    digest table, no second pass over the corpus."""
+    from pinterest_data_pipeline6_spark.operators.curation import SPLIT_BOUNDS
+
+    docs = table(spark, sf, "documents")
+    pct = F.pmod(_h64_spark(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(pct < SPLIT_BOUNDS[0], "train")
+        .when(pct < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    d = docs.select(F.md5("text").alias("digest"), split.alias("split"))
+
+    def _in(s: str) -> Column:
+        return F.max((F.col("split") == s).cast("int"))
+
+    def _n(s: str) -> Column:
+        return F.sum((F.col("split") == s).cast("int"))
+
+    per_digest = d.groupBy("digest").agg(
+        _in("train").alias("it"),
+        _in("val").alias("iv"),
+        _in("test").alias("ix"),
+        _n("val").alias("nv"),
+        _n("test").alias("nx"),
+    )
+    one = per_digest.agg(
+        F.coalesce(F.sum(F.col("it") * F.col("iv")), F.lit(0)).alias("tv_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("it") == 1, F.col("nv")).otherwise(0)), F.lit(0)
+        ).alias("tv_docs"),
+        F.coalesce(F.sum(F.col("it") * F.col("ix")), F.lit(0)).alias("tx_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("it") == 1, F.col("nx")).otherwise(0)), F.lit(0)
+        ).alias("tx_docs"),
+        F.coalesce(F.sum(F.col("iv") * F.col("ix")), F.lit(0)).alias("vx_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("iv") == 1, F.col("nx")).otherwise(0)), F.lit(0)
+        ).alias("vx_docs"),
+    )
+    return one.selectExpr(
+        "stack(3, 'train|val',  CAST(tv_d AS BIGINT), CAST(tv_docs AS BIGINT),"
+        "         'train|test', CAST(tx_d AS BIGINT), CAST(tx_docs AS BIGINT),"
+        "         'val|test',   CAST(vx_d AS BIGINT), CAST(vx_docs AS BIGINT))"
+        " AS (split_pair, shared_digests, leaked_docs)"
+    ).orderBy("split_pair")
+
+
+_SPLIT_SQL = f"""
+    SELECT md5(text) AS digest,
+           CASE WHEN pct < {{lo}} THEN 'train'
+                WHEN pct < {{hi}} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT text,
+                 ({H64_SQL.format(expr="CAST(doc_id AS VARCHAR)")}) % 100 AS pct
+          FROM documents)
+"""
+
+ORACLE_CROSS_SPLIT = """
+    WITH d AS ({split_sql}),
+    g AS (
+        SELECT digest,
+               MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS it,
+               MAX(CASE WHEN split = 'val'   THEN 1 ELSE 0 END) AS iv,
+               MAX(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS ix,
+               SUM(CASE WHEN split = 'val'   THEN 1 ELSE 0 END) AS nv,
+               SUM(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS nx
+        FROM d GROUP BY digest
+    ),
+    o AS (
+        SELECT COALESCE(SUM(it * iv), 0) AS tv_d,
+               COALESCE(SUM(CASE WHEN it = 1 THEN nv ELSE 0 END), 0) AS tv_docs,
+               COALESCE(SUM(it * ix), 0) AS tx_d,
+               COALESCE(SUM(CASE WHEN it = 1 THEN nx ELSE 0 END), 0) AS tx_docs,
+               COALESCE(SUM(iv * ix), 0) AS vx_d,
+               COALESCE(SUM(CASE WHEN iv = 1 THEN nx ELSE 0 END), 0) AS vx_docs
+        FROM g
+    )
+    SELECT 'train|val' AS split_pair, CAST(tv_d AS BIGINT) AS shared_digests,
+           CAST(tv_docs AS BIGINT) AS leaked_docs FROM o
+    UNION ALL
+    SELECT 'train|test', CAST(tx_d AS BIGINT), CAST(tx_docs AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'val|test', CAST(vx_d AS BIGINT), CAST(vx_docs AS BIGINT) FROM o
+"""
+
 QUERIES = {
     "pii_redaction_stats": pii_redaction_stats,
     "decontamination_overlap": decontamination_overlap,
@@ -497,4 +598,16 @@ QUERIES = {
     "k_anonymity_report": k_anonymity_report,
     "l_diversity_check": l_diversity_check,
     "semantic_decontamination": semantic_decontamination,
+    "cross_split_leakage": cross_split_leakage,
 }
+
+def _cross_split_oracle() -> str:
+    # import deferred: curation itself imports dedup/textops helpers
+    from pinterest_data_pipeline6_spark.operators.curation import SPLIT_BOUNDS
+
+    return ORACLE_CROSS_SPLIT.format(
+        split_sql=_SPLIT_SQL.format(lo=SPLIT_BOUNDS[0], hi=SPLIT_BOUNDS[1])
+    )
+
+
+ORACLE["cross_split_leakage"] = _cross_split_oracle()

@@ -995,6 +995,70 @@ def arrow_batch_norms(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("vec_id")
 
 
+def embedding_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding drift: the L2 distance between each label's
+    centroid and the global corpus centroid — the cluster-separation /
+    subpopulation-shift monitor a curation pipeline tracks when a new
+    source or crawl lands (a label whose centroid sits far from the
+    corpus mean dominates its region of embedding space; one that sits
+    on top of it adds no diversity).
+
+    Shape: one posexplode -> (label, dim) hash aggregate — the only
+    shuffle carries labels x dim partially-aggregated cells, never the
+    corpus. The global centroid derives from those same cells (a
+    second tiny agg, broadcast back), so the corpus is scanned ONCE.
+    Determinism is the kmeans recipe: DECIMAL(28,12)-exact sums (float
+    double-summation is accumulation-order-dependent across
+    partitions), then an array_sort'd struct fold so the 64-term sum
+    of squares accumulates in dimension order in both engines."""
+    emb = widen_small_scan(table(spark, sf, "embeddings")).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = (
+        emb.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    glob = cells.groupBy("i").agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("g")
+    )
+    diff = cells.join(F.broadcast(glob), "i").select(
+        "label",
+        "n",
+        "i",
+        (F.col("s").cast("double") / F.col("n") - F.col("g")).alias("dm"),
+    )
+    return (
+        diff.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("i"), (F.col("dm") * F.col("dm")).alias("d2"))
+                )
+            ).alias("pairs"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform("pairs", lambda p: p["d2"]),
+                        F.lit(0.0),
+                        lambda a, b: a + b,
+                    )
+                ),
+                6,
+            ).alias("centroid_shift"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -1012,7 +1076,47 @@ QUERIES = {
     "arrow_batch_norms": arrow_batch_norms,
     "ann_recall_eval": ann_recall_eval,
     "activity_profile_knn": activity_profile_knn,
+    "embedding_centroid_shift": embedding_centroid_shift,
 }
+
+
+def _centroid_shift_oracle() -> str:
+    """Oracle for embedding_centroid_shift — same determinism recipe
+    as the kmeans oracle: DECIMAL(28,12)-exact per-(label,dim) sums
+    (order-independent), identical double divisions for the means, and
+    an ORDER BY i left fold for the cross-dimension sum of squares so
+    both engines accumulate in the same association."""
+    return f"""
+    WITH cells AS (
+        SELECT label, i,
+               SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+        FROM (
+            SELECT label,
+                   unnest(list_transform(generate_series(1, {DIM}),
+                       j -> {{'i': j, 'x': CAST(embedding[j] AS DOUBLE)}}),
+                       recursive := true)
+            FROM embeddings
+        )
+        GROUP BY label, i
+    ),
+    gcent AS (
+        SELECT i, CAST(SUM(s) AS DOUBLE) / SUM(n) AS g FROM cells GROUP BY i
+    ),
+    diff AS (
+        SELECT label, n, c.i,
+               (CAST(s AS DOUBLE) / n - g) AS dm
+        FROM cells c JOIN gcent USING (i)
+    )
+    SELECT label, MAX(n) AS n_vecs,
+           ROUND(sqrt(list_reduce(list(dm * dm ORDER BY i), (a, b) -> a + b)), 6)
+               AS centroid_shift
+    FROM diff
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+ORACLE["embedding_centroid_shift"] = _centroid_shift_oracle()
 
 
 def _rp_oracle_sql() -> str:

@@ -1797,6 +1797,106 @@ ORACLE["bm25_doc_ranking"] = f"""
     ORDER BY n_query_terms, score_bucket
 """
 
+def tokenizer_fertility_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility audit per language: chars-per-token,
+    bytes-per-token (multibyte scripts inflate bytes, not chars), and
+    the BPE-vs-whitespace fertility ratio — the numbers that decide
+    how much compute a language actually costs per unit of text and
+    whether a tokenizer under-serves non-Latin scripts.
+
+    Row-local projections (length / octet_length / regexp_count) +
+    one partial-aggregatable hash aggregate on ``lang`` — corpus text
+    never crosses a shuffle, only per-lang sums do.  Exact integer
+    sums; the three ratios are single double divisions of those sums,
+    so they are bit-identical cross-engine before ROUND(.., 6)."""
+    docs = table(spark, sf, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").alias("chars"),
+        F.octet_length("text").alias("bytes"),
+        F.size(_tokens()).alias("ws"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).alias("bpe"),
+    )
+    bpe_d = F.nullif(F.sum("bpe").cast("double"), F.lit(0.0))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("bpe").alias("total_bpe_tokens"),
+            F.round(F.sum("chars") / bpe_d, 6).alias("chars_per_token"),
+            F.round(F.sum("bytes") / bpe_d, 6).alias("bytes_per_token"),
+            F.round(
+                F.sum("bpe") / F.nullif(F.sum("ws").cast("double"), F.lit(0.0)), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+# fixed-shape padding buckets (powers of two) and the truncation cap —
+# the static batch shapes a training stack compiles kernels for
+PAD_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+PAD_CAP = 2048
+
+
+def padding_waste_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-waste accounting under fixed power-of-two batch shapes:
+    each document is truncated to the max sequence length, routed to
+    the smallest bucket that holds it, and padded up to the bucket
+    size.  Reports per-bucket docs, kept tokens, padded slots, the
+    waste fraction, and truncation losses — the trade study behind
+    choosing bucket boundaries (vs the concat-and-chunk scheme that
+    ``sequence_packing_bins`` accounts for, which wastes nothing but
+    lets documents straddle boundaries).
+
+    Pure row-local CASE routing + one hash aggregate on the 6-value
+    bucket key: partial aggregation collapses each map task to <=6
+    rows before the exchange, so raw rows never shuffle.  All sums are
+    exact integers; the one ratio is a single rounded division."""
+    docs = table(spark, sf, "documents")
+    t = F.size(_tokens())
+    kept = F.least(t, F.lit(PAD_CAP))
+    bucket = F.when(kept.isNull(), F.lit(None).cast("int"))
+    for b in PAD_BUCKETS[:-1]:
+        bucket = bucket.when(kept <= b, F.lit(b))
+    bucket = bucket.otherwise(F.lit(PAD_CAP))
+    per = docs.select(
+        bucket.alias("bucket"),
+        kept.alias("kept"),
+        (t > PAD_CAP).cast("int").alias("trunc"),
+        F.greatest(t - PAD_CAP, F.lit(0)).alias("lost"),
+    )
+    slots = (F.col("bucket").cast("bigint") * F.col("n_docs")).alias("padded_slots")
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("kept_tokens"),
+            F.sum("trunc").alias("n_truncated"),
+            F.sum("lost").alias("truncated_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "kept_tokens",
+            slots,
+            F.round(
+                F.lit(1.0)
+                - F.col("kept_tokens")
+                / F.nullif(
+                    (F.col("bucket") * F.col("n_docs")).cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("pad_waste_pct"),
+            "n_truncated",
+            "truncated_tokens",
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "bm25_doc_ranking": bm25_doc_ranking,
     "bpe_token_counts": bpe_token_counts,
@@ -1824,4 +1924,51 @@ QUERIES = {
     "inverted_index_sample": inverted_index_sample,
     "readability_bands": readability_bands,
     "hapax_legomena_stats": hapax_legomena_stats,
+    "tokenizer_fertility_stats": tokenizer_fertility_stats,
+    "padding_waste_bins": padding_waste_bins,
 }
+
+ORACLE["tokenizer_fertility_stats"] = f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+           ROUND(SUM(chars) / CAST(NULLIF(SUM(bpe), 0) AS DOUBLE), 6)
+               AS chars_per_token,
+           ROUND(SUM(bytes) / CAST(NULLIF(SUM(bpe), 0) AS DOUBLE), 6)
+               AS bytes_per_token,
+           ROUND(SUM(bpe) / CAST(NULLIF(SUM(ws), 0) AS DOUBLE), 6)
+               AS fertility
+    FROM (SELECT lang,
+                 length(text) AS chars,
+                 strlen(text) AS bytes,
+                 len(string_split(text, ' ')) AS ws,
+                 len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe
+          FROM documents)
+    GROUP BY lang
+"""
+
+ORACLE["padding_waste_bins"] = f"""
+    WITH per AS (
+        SELECT CASE WHEN kept IS NULL THEN NULL
+                    {" ".join(f"WHEN kept <= {b} THEN {b}" for b in PAD_BUCKETS[:-1])}
+                    ELSE {PAD_CAP} END AS bucket,
+               kept,
+               CASE WHEN t > {PAD_CAP} THEN 1 ELSE 0 END AS trunc,
+               GREATEST(t - {PAD_CAP}, 0) AS lost
+        FROM (SELECT len(string_split(text, ' ')) AS t,
+                     LEAST(len(string_split(text, ' ')), {PAD_CAP}) AS kept
+              FROM documents)
+    )
+    SELECT bucket, n_docs,
+           CAST(kept_tokens AS BIGINT) AS kept_tokens,
+           CAST(bucket * n_docs AS BIGINT) AS padded_slots,
+           ROUND(1.0 - kept_tokens
+                       / CAST(NULLIF(bucket * n_docs, 0) AS DOUBLE), 6)
+               AS pad_waste_pct,
+           CAST(n_truncated AS BIGINT) AS n_truncated,
+           CAST(truncated_tokens AS BIGINT) AS truncated_tokens
+    FROM (SELECT bucket, COUNT(*) AS n_docs, SUM(kept) AS kept_tokens,
+                 SUM(trunc) AS n_truncated, SUM(lost) AS truncated_tokens
+          FROM per GROUP BY bucket)
+"""
