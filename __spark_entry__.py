@@ -51,6 +51,10 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     "normalization_dedup_lift",
     "cross_split_leakage",
     "embedding_centroid_shift",
+    "code_switch_stats",
+    "jaccard_prefix_filter_pairs",
+    "trailing_distinct_users",
+    "asof_tolerance_join",
 })
 
 

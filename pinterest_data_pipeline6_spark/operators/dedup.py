@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pinterest_data_pipeline6_spark.operators.textops import H64_SQL, _h64_spark
 from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
@@ -1732,6 +1733,118 @@ def normalization_dedup_lift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# token-set Jaccard threshold tau = 19/20 = 0.95, kept as an integer
+# rational: 0.95 has no exact double, and ceil(n * 0.95hat) overshoots
+# at n = 20k (20 * 0.95hat = 19.000000000000004 -> ceil 20, exact 19),
+# silently shortening the prefix and breaking completeness. All prefix
+# and threshold math below is integer-only.
+JACCARD_TAU_NUM, JACCARD_TAU_DEN = 19, 20
+
+
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT token-set Jaccard >= 0.95 pairs within each language,
+    computed with PPJoin-style prefix filtering — the lossless
+    candidate-pruning alternative to LSH banding: instead of indexing
+    EVERY token (``ngram_jaccard_pairs``'s inverted index) or accepting
+    false negatives (MinHash bands), each document indexes only its
+    prefix — its |d| - ceil(tau*|d|) + 1 globally RAREST tokens.  Any
+    pair with J >= tau shares >= ceil(tau*|d|) tokens, so its
+    smallest-ranked common token must land inside both prefixes
+    (pigeonhole) — candidate generation is complete, and an exact
+    array_intersect verification makes the output identical to the
+    brute-force answer the oracle computes.
+
+    Why this is the 100 TB shape: the inverted index is built ONLY from
+    rare tokens — the head of the Zipf curve (the tokens that blow up
+    an all-token index into near-cartesian posting lists, the skew AQE
+    has to firefight in ``ngram_jaccard_pairs``) never enters the join
+    by construction.  Stages: one (lang, token) count agg, one
+    doc-keyed rank window (high-cardinality key), one equijoin on the
+    rare prefix tokens, then a verify join that moves each candidate
+    doc's sorted token array once."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    t = docs.select("doc_id", "lang", F.explode(toks).alias("tok"))
+    dfreq = t.groupBy("lang", "tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        t.join(dfreq, ["lang", "tok"])
+        .withColumn("pos", F.row_number().over(w.orderBy("df", "tok")))
+        .withColumn("n_t", F.count("*").over(w))
+    )
+    # ceil(tau * n) in exact integer arithmetic: (num*n + den-1) DIV den
+    ceil_tau_n = F.floor(
+        (F.lit(JACCARD_TAU_NUM) * F.col("n_t") + F.lit(JACCARD_TAU_DEN - 1))
+        / F.lit(JACCARD_TAU_DEN)
+    )
+    prefix_len = F.col("n_t") - ceil_tau_n + 1
+    pref = ranked.filter(F.col("pos") <= prefix_len).select("lang", "tok", "doc_id")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = docs.select(
+        "doc_id", F.array_sort(toks).alias("arr"), F.size(toks).alias("n")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("lang", "doc_a", "doc_b", inter.alias("i"), "na", "nb")
+        # integer-arithmetic threshold: J = i/(na+nb-i) >= num/den
+        # <=>  (num+den)*i >= num*(na+nb) — no float compare at the edge
+        .filter(
+            F.lit(JACCARD_TAU_NUM + JACCARD_TAU_DEN) * F.col("i")
+            >= F.lit(JACCARD_TAU_NUM) * (F.col("na") + F.col("nb"))
+        )
+    )
+    return verified.select(
+        "lang",
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"), 6
+        ).alias("jaccard"),
+    ).orderBy("lang", "doc_a", "doc_b")
+
+
+ORACLE["jaccard_prefix_filter_pairs"] = """
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS arr
+        FROM documents
+    ),
+    p AS (
+        SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.arr, b.arr)) AS i,
+               len(a.arr) AS na, len(b.arr) AS nb
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT lang, doc_a, doc_b,
+           ROUND(i / CAST(na + nb - i AS DOUBLE), 6) AS jaccard
+    FROM p
+    WHERE 39 * i >= 19 * (na + nb)
+"""
+
 ORACLE["normalization_dedup_lift"] = """
     SELECT source, COUNT(*) AS n_docs,
            COUNT(DISTINCT raw_d) AS raw_distinct,
@@ -1770,4 +1883,5 @@ QUERIES = {
     "quality_dup_correlation": quality_dup_correlation,
     "ngram_novelty_profile": ngram_novelty_profile,
     "normalization_dedup_lift": normalization_dedup_lift,
+    "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
 }

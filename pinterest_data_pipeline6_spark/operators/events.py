@@ -1489,6 +1489,164 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def trailing_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-day distinct active users (plus trailing event count)
+    per observed day — the rolling-DAU/WAU monitor.  DISTINCT over a
+    sliding window has no partial aggregate, so the naive window form
+    re-scans raw events per day; the scalable shape reduces first and
+    explodes the small relation:
+
+    - one DISTINCT down to (user_id, day) — orders of magnitude smaller
+      than the event table, and the ONLY pass over raw events besides
+      the per-day count aggregate;
+    - each user-day row then explodes into the <=7 trailing days it
+      contributes to (``sequence``/``date_add``), and a day-keyed
+      count-distinct folds it back — the x7 blowup applies to the
+      reduced relation, never the corpus;
+    - the observed-day calendar (tiny) broadcasts to trim the phantom
+      tail past the last day."""
+    ev = table(spark, sf, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct().withColumnRenamed("d", "day")
+    cover = F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day")
+    users = (
+        ud.select("user_id", cover)
+        .join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    dc = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("n_ev"))
+    evs = (
+        dc.select("n_ev", cover)
+        .join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.sum("n_ev").alias("n_events"))
+    )
+    return users.join(evs, "day").orderBy("day")
+
+
+ASOF_TOLERANCE_S = 3600  # max staleness of the matched purchase
+
+
+def asof_tolerance_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join WITH a tolerance bound (pandas ``merge_asof``
+    semantics): each click matches the most recent purchase by the same
+    user only if it is at most 1 hour stale — the variant that matters
+    when an enrichment value expires (price quotes, consent flags,
+    feature snapshots).
+
+    Same single-shuffle union + ``last(ignorenulls)`` formulation as
+    ``asof_join_enrich`` (no time-range explode, no per-user nested
+    loop), additionally threading the matched purchase's TIMESTAMP
+    through the window so the staleness test is a row-local filter
+    after the pick.  Matched-value sums are DECIMAL-exact before the
+    final rounding (double summation is accumulation-order-dependent)."""
+    ev = table(spark, sf, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select(
+            "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+            "pvalue", F.col("ts").alias("pts"), F.lit(0).alias("side"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("pvalue"),
+        F.lit(None).cast("timestamp").alias("pts"), F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = (
+        purchases.unionByName(clicks)
+        .withColumn("asof_value", F.last("pvalue", ignorenulls=True).over(w))
+        .withColumn("asof_ts", F.last("pts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    fresh = (
+        F.col("asof_ts").isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")
+            <= ASOF_TOLERANCE_S
+        )
+    ).cast("int")
+    return (
+        enriched.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        .withColumn("fresh", fresh)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count("asof_value").alias("n_matched"),
+            F.sum("fresh").alias("n_fresh"),
+            F.round(
+                F.sum(
+                    F.when(F.col("fresh") == 1, F.col("asof_value"))
+                    .otherwise(None)
+                    .cast("decimal(18,6)")
+                ).cast("double"),
+                4,
+            ).alias("sum_fresh_value"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["trailing_distinct_users"] = """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM ev),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM ev),
+    dc AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_ev
+           FROM ev GROUP BY 1)
+    SELECT day, n_users, n_events
+    FROM (SELECT days.day, COUNT(DISTINCT u.user_id) AS n_users
+          FROM days JOIN ud u
+            ON u.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+          GROUP BY days.day) a
+    JOIN (SELECT days.day, CAST(SUM(c.n_ev) AS BIGINT) AS n_events
+          FROM days JOIN dc c
+            ON c.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+          GROUP BY days.day) b
+    USING (day)
+"""
+
+ORACLE["asof_tolerance_join"] = f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    purchases AS (
+        SELECT user_id, ts, MAX(value) AS pvalue
+        FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'
+    ),
+    enriched AS (
+        SELECT c.ts, p.pvalue AS asof_value, p.ts AS asof_ts
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    flagged AS (
+        SELECT ts, asof_value,
+               CASE WHEN asof_ts IS NOT NULL
+                     AND epoch(ts) - epoch(asof_ts) <= {ASOF_TOLERANCE_S}
+                    THEN 1 ELSE 0 END AS fresh
+        FROM enriched
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_clicks,
+           COUNT(asof_value) AS n_matched,
+           CAST(SUM(fresh) AS BIGINT) AS n_fresh,
+           ROUND(CAST(SUM(CASE WHEN fresh = 1
+                               THEN CAST(asof_value AS DECIMAL(18,6))
+                          END) AS DOUBLE), 4) AS sum_fresh_value
+    FROM flagged
+    GROUP BY day
+"""
+
 QUERIES = {
     "window_lag_delta": window_lag_delta,
     "sessionize_events": sessionize_events,
@@ -1517,4 +1675,6 @@ QUERIES = {
     "event_pattern_counts": event_pattern_counts,
     "session_window_batch": session_window_batch,
     "interval_join_batch": interval_join_batch,
+    "trailing_distinct_users": trailing_distinct_users,
+    "asof_tolerance_join": asof_tolerance_join,
 }

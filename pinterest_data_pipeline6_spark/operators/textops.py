@@ -1897,6 +1897,77 @@ def padding_waste_bins(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CODE_SWITCH_MIN_HITS = 2
+
+
+def code_switch_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-switching / language-mixture detection: a document is
+    flagged as mixed when marker tokens of two or more languages each
+    appear at least CODE_SWITCH_MIN_HITS times — the multilingual-
+    contamination signal that decides whether a doc can carry a single
+    language tag (mislabeled or mixed docs poison per-language
+    tokenizer and mixture-weight decisions downstream).
+
+    Same row-local marker scoring as ``lang_id_confusion`` (size of a
+    filtered token array per lexicon, all whole-stage codegen), plus a
+    static 5-term fold counting evidenced languages; the only shuffle
+    is the per-label rollup."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = _tokens()
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = docs.select("lang", *scores)
+    n_evid = sum(
+        (F.col(f"s_{lg}") >= CODE_SWITCH_MIN_HITS).cast("int")
+        for lg in _LANGS_SORTED
+    )
+    flagged = scored.select(
+        "lang",
+        n_evid.alias("n_evid"),
+        (n_evid >= 2).cast("int").alias("mixed"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("mixed").alias("n_code_switched"),
+            F.round(F.avg("mixed"), 6).alias("switch_rate"),
+            F.round(F.avg("n_evid"), 4).alias("avg_evidenced_langs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _code_switch_oracle() -> str:
+    score_defs = ",\n               ".join(
+        f"len(list_filter(toks, t -> list_contains({_markers_sql(LANG_MARKERS[lg])}, t))) AS s_{lg}"
+        for lg in _LANGS_SORTED
+    )
+    n_evid = " + ".join(
+        f"CASE WHEN s_{lg} >= {CODE_SWITCH_MIN_HITS} THEN 1 ELSE 0 END"
+        for lg in _LANGS_SORTED
+    )
+    return f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(mixed) AS BIGINT) AS n_code_switched,
+               ROUND(AVG(CAST(mixed AS DOUBLE)), 6) AS switch_rate,
+               ROUND(AVG(CAST(n_evid AS DOUBLE)), 4) AS avg_evidenced_langs
+        FROM (
+            SELECT lang, n_evid,
+                   CASE WHEN n_evid >= 2 THEN 1 ELSE 0 END AS mixed
+            FROM (
+                SELECT lang, ({n_evid}) AS n_evid
+                FROM (SELECT lang, {score_defs}
+                      FROM (SELECT lang, string_split(text, ' ') AS toks
+                            FROM documents))
+            )
+        )
+        GROUP BY lang
+    """
+
+
 QUERIES = {
     "bm25_doc_ranking": bm25_doc_ranking,
     "bpe_token_counts": bpe_token_counts,
@@ -1926,7 +1997,10 @@ QUERIES = {
     "hapax_legomena_stats": hapax_legomena_stats,
     "tokenizer_fertility_stats": tokenizer_fertility_stats,
     "padding_waste_bins": padding_waste_bins,
+    "code_switch_stats": code_switch_stats,
 }
+
+ORACLE["code_switch_stats"] = _code_switch_oracle()
 
 ORACLE["tokenizer_fertility_stats"] = f"""
     SELECT lang, COUNT(*) AS n_docs,
