@@ -1778,14 +1778,39 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
         / F.lit(JACCARD_TAU_DEN)
     )
     prefix_len = F.col("n_t") - ceil_tau_n + 1
-    pref = ranked.filter(F.col("pos") <= prefix_len).select("lang", "tok", "doc_id")
+    pref = ranked.filter(F.col("pos") <= prefix_len).select(
+        "lang", "tok", "doc_id", "pos", "n_t"
+    )
     a, b = pref.alias("a"), pref.alias("b")
+    num, den = F.lit(JACCARD_TAU_NUM), F.lit(JACCARD_TAU_DEN)
+    # lossless candidate pruning inside the equijoin (both standard
+    # PPJoin filters, both integer-only):
+    # - size filter: J >= tau forces min(na,nb) >= tau * max(na,nb)
+    # - positional filter: the overlap still reachable after this
+    #   prefix position, min(na-pa, nb-pb)+1, must cover the required
+    #   overlap alpha = ceil(num*(na+nb)/(num+den))
+    alpha = F.floor(
+        (
+            F.lit(JACCARD_TAU_NUM) * (F.col("a.n_t") + F.col("b.n_t"))
+            + F.lit(JACCARD_TAU_NUM + JACCARD_TAU_DEN - 1)
+        )
+        / F.lit(JACCARD_TAU_NUM + JACCARD_TAU_DEN)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (den * F.col("b.n_t") >= num * F.col("a.n_t"))
+            & (den * F.col("a.n_t") >= num * F.col("b.n_t"))
+            & (
+                F.least(
+                    F.col("a.n_t") - F.col("a.pos"), F.col("b.n_t") - F.col("b.pos")
+                )
+                + 1
+                >= alpha
+            ),
         )
         .select(
             F.col("a.lang").alias("lang"),

@@ -1132,3 +1132,30 @@ def test_distributed_rank_range_exchange_is_reused(spark, query):
         if "ReusedExchange" in line and "rangepartitioning" in line
     ]
     assert reused_range, f"{query}: range exchange not reused\n{plan[:2000]}"
+
+
+def test_prefix_filter_join_is_equijoin_no_cartesian(spark):
+    """jaccard_prefix_filter_pairs: candidate generation must hash-join
+    on the (lang, token) prefix keys and verification must hash-join on
+    doc ids — a nested-loop anywhere would defeat the whole point of
+    prefix filtering."""
+    plan = executed_plan(dedup.jaccard_prefix_filter_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trailing_distinct_users_broadcasts_calendar(spark):
+    """The observed-day calendar (tiny) must broadcast onto the
+    exploded coverage rows — shuffling user-day coverage against a
+    day list would add a pointless corpus-sized exchange."""
+    df = events.trailing_distinct_users(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_centroid_shift_broadcasts_global_centroid(spark):
+    """embedding_centroid_shift: the per-dim global centroid (DIM rows)
+    must broadcast back onto the (label, dim) cells; raw vectors must
+    never appear in a join."""
+    df = similarity.embedding_centroid_shift(spark, SF)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in executed_plan(df)
