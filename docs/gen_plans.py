@@ -45,6 +45,9 @@ SHOWCASE = [
     ("cogroup_order_reconciliation", "FlatMapCoGroupsInPandas keyed on the fixed 256-key bucket; both scans pruned to the reconcile columns"),
     ("freshness_lag_stats", "r5 fix: per-type watermark is a partial-aggregated groupBy broadcast-joined back — NO exchange ever hash-partitions raw event rows on the #types-value key (the r4 raw-row window did)"),
     ("token_gini_per_lang", "r5 fix: exact per-language Gini rank rides _distributed_rank (range shuffle + prefix-sum offsets, ReusedExchange) — no per-language single-task sort"),
+    ("jaccard_prefix_filter_pairs", "EXACT Jaccard self-join: only each doc's rarest prefix tokens enter the inverted-index equijoin; PPJoin size+positional filters prune inside the join; verify joins stay hash-keyed — no nested loop anywhere"),
+    ("trailing_distinct_users", "sliding DISTINCT reduced to (user, day) first; x7 coverage explode applies to the reduced relation; the observed-day calendar broadcasts"),
+    ("embedding_centroid_shift", "one posexplode scan to decimal-exact (label, dim) cells; the per-dim global centroid (a second tiny agg) broadcasts back — vectors never join"),
 ]
 
 

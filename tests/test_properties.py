@@ -331,3 +331,174 @@ def test_cms_estimate_is_upper_bound_of_exact(spark, rows):
     exact = Counter(rows)
     for k, n in exact.items():
         assert est[k] >= n, (k, est[k], n)
+
+
+# ---------------------------------------------------------------- round 5
+
+
+TOKENS = [f"t{i}" for i in range(20)]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 500),
+            st.sampled_from(["en", "es"]),
+            st.lists(st.sampled_from(TOKENS), min_size=0, max_size=40),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_prefix_filter_jaccard_matches_brute_force(spark, docs, tmp_path_factory):
+    """jaccard_prefix_filter_pairs is an EXACT algorithm: for any
+    corpus the prefix+size+positional filters must lose no qualifying
+    pair and the verify step must admit no extra one. Randomized check
+    against a pure-Python brute force over all within-lang pairs
+    (duplicated tokens, empty texts, singleton langs included)."""
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        JACCARD_TAU_DEN,
+        JACCARD_TAU_NUM,
+        jaccard_prefix_filter_pairs,
+    )
+
+    out = tmp_path_factory.mktemp("jpf_prop")
+    rows = [(i, lg, " ".join(toks), len(" ".join(toks))) for i, lg, toks in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        (r["lang"], r["doc_a"], r["doc_b"])
+        for r in jaccard_prefix_filter_pairs(spark, str(out)).collect()
+    }
+    want = set()
+    sets = {i: (lg, set(text.split(" "))) for i, lg, text, _ in rows}
+    for a in sets:
+        for b in sets:
+            if a >= b or sets[a][0] != sets[b][0]:
+                continue
+            sa, sb = sets[a][1], sets[b][1]
+            i = len(sa & sb)
+            na, nb = len(sa), len(sb)
+            if (JACCARD_TAU_NUM + JACCARD_TAU_DEN) * i >= JACCARD_TAU_NUM * (
+                na + nb
+            ):
+                want.add((sets[a][0], a, b))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 20),  # day offset
+            st.integers(0, 8),  # user
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_trailing_distinct_users_matches_brute_force(
+    spark, events, tmp_path_factory
+):
+    """The reduce-then-explode trailing-7-day rollup must equal the
+    textbook per-day set union for any event set — including day gaps
+    larger than the window, repeated (user, day) events, and empty
+    input."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        trailing_distinct_users,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    out = tmp_path_factory.mktemp("tdu_prop")
+    rows = [
+        (base + datetime.timedelta(days=d), u) for d, u in events
+    ]
+    spark.createDataFrame(rows, "ts timestamp, user_id long").write.mode(
+        "overwrite"
+    ).parquet(str(out / "events.parquet"))
+
+    got = {
+        (str(r["day"]), r["n_users"], r["n_events"])
+        for r in trailing_distinct_users(spark, str(out)).collect()
+    }
+    days = sorted({d for d, _ in events})
+    want = set()
+    for d in days:
+        users = {u for dd, u in events if d - 6 <= dd <= d}
+        n_ev = sum(1 for dd, _ in events if d - 6 <= dd <= d)
+        day = (base + datetime.timedelta(days=d)).date()
+        want.add((str(day), len(users), n_ev))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 10_000),  # seconds offset
+            st.sampled_from(["click", "purchase", "view"]),
+            st.integers(0, 400),  # value in quarter units
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_asof_tolerance_matches_brute_force(spark, events, tmp_path_factory):
+    """asof_tolerance_join must match the literal spec — most recent
+    purchase with ts <= click.ts (ties: the dedup-max value), fresh iff
+    <= 1 h stale — for any interleaving of clicks and purchases,
+    including equal timestamps across users and value ties."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        ASOF_TOLERANCE_S,
+        asof_tolerance_join,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    out = tmp_path_factory.mktemp("asof_prop")
+    rows = [
+        (i, base + datetime.timedelta(seconds=s), u, et, v / 4.0)
+        for i, (u, s, et, v) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    res = {
+        r["day"]: (r["n_clicks"], r["n_matched"], r["n_fresh"], r["sum_fresh_value"])
+        for r in asof_tolerance_join(spark, str(out)).collect()
+    }
+
+    purchases: dict[tuple[int, datetime.datetime], float] = {}
+    for _, ts, u, et, v in rows:
+        if et == "purchase":
+            key = (u, ts)
+            purchases[key] = max(purchases.get(key, float("-inf")), v)
+    clicks = [(ts, u) for _, ts, u, et, _ in rows if et == "click"]
+    agg: dict[str, list] = {}
+    for ts, u in clicks:
+        cand = [(pts, v) for (pu, pts), v in purchases.items() if pu == u and pts <= ts]
+        day = str(ts.date())
+        rec = agg.setdefault(day, [0, 0, 0, 0.0])
+        rec[0] += 1
+        if cand:
+            pts, v = max(cand)
+            rec[1] += 1
+            if (ts - pts).total_seconds() <= ASOF_TOLERANCE_S:
+                rec[2] += 1
+                rec[3] += v
+    assert set(res) == set(agg)
+    for day, (nc, nm, nf, sv) in agg.items():
+        gc, gm, gf, gs = res[day]
+        assert (gc, gm, gf) == (nc, nm, nf), (day, res[day], agg[day])
+        assert gs is None and nf == 0 or abs((gs or 0.0) - sv) < 1e-6, (
+            day, gs, sv,
+        )
