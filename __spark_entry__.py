@@ -55,6 +55,12 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     "jaccard_prefix_filter_pairs",
     "trailing_distinct_users",
     "asof_tolerance_join",
+    # TPC-H completion wave 2 (Q2/Q9/Q11/Q16/Q20 shapes)
+    "min_cost_supplier_parts",
+    "nation_profit_trend",
+    "important_part_share",
+    "supplier_count_by_attrs",
+    "qualified_part_shippers",
 })
 
 

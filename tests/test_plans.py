@@ -478,6 +478,7 @@ INTENTIONAL_BNLJ = {
     "rfm_segments",         # 1-row date-anchor aggregate broadcast
     "bm25_doc_ranking",     # 1-row (N, total_len) corpus-stats broadcast
     "bloom_prune_stats",    # 1-row build-cardinality aggregate crossJoined
+    "important_part_share",  # 1-row (total_rev, n_parts) scalar broadcast
 }
 
 
@@ -1159,3 +1160,58 @@ def test_centroid_shift_broadcasts_global_centroid(spark):
     df = similarity.embedding_centroid_shift(spark, SF)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in executed_plan(df)
+
+
+# --- round 5: TPC-H completion wave 2 (Q2/Q9/Q11/Q16/Q20 shapes) ------------
+
+
+def test_min_cost_supplier_decorrelates_to_single_agg(spark):
+    """min_cost_supplier_parts: the correlated `= (SELECT MIN ...)`
+    must decorrelate into ONE min(struct) aggregate — a join between a
+    per-part MIN relation and the offers (the naive decorrelation)
+    would shuffle the filtered lines twice. Also: the global top-100 is
+    TakeOrderedAndProject, never a full sort."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    plan = executed_plan(facts.min_cost_supplier_parts(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # exactly one aggregate pair (partial+final) over the offers; a
+    # second HashAggregate keyed on p_partkey would mean the two-stage
+    # min materialized separately.
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_nation_profit_single_wide_shuffle(spark):
+    """nation_profit_trend: lineitem joins orders on the order key (the
+    one unavoidable fact-fact exchange); part/supplier/nation must all
+    broadcast — any of them arriving via shuffle adds a fact-sized
+    exchange per dimension."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    plan = executed_plan(facts.nation_profit_trend(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_supplier_count_exclusion_is_broadcast_anti_join(spark):
+    """supplier_count_by_attrs: the NOT IN complaint set must plan as a
+    broadcast left-anti hash join; a shuffled anti join (or worse, a
+    nested loop for NULL-safety) would exchange the fact table against
+    a handful of excluded keys."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    plan = executed_plan(facts.supplier_count_by_attrs(spark, SF))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qualified_shippers_scans_lineitem_once(spark):
+    """qualified_part_shippers: both sides of the share test (the
+    per-(part,supplier) year quantity and the per-part total) must
+    derive from ONE pass over the name-filtered lines — the textbook
+    Q20 plan re-scans lineitem for the inner SUM. The supplier
+    dimension attaches via left-semi."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    plan = executed_plan(facts.qualified_part_shippers(spark, SF))
+    assert plan.count("FileScan parquet") <= 4, plan  # li, part, supplier, nation
+    assert "LeftSemi" in plan, plan
