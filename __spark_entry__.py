@@ -61,6 +61,11 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     "important_part_share",
     "supplier_count_by_attrs",
     "qualified_part_shippers",
+    # training-pipeline wave (Gopher rules, dim health, engagement)
+    "gopher_quality_flags",
+    "embedding_dim_profile",
+    "event_cooccurrence_lift",
+    "user_power_curve",
 })
 
 

@@ -1678,3 +1678,127 @@ QUERIES = {
     "trailing_distinct_users": trailing_distinct_users,
     "asof_tolerance_join": asof_tolerance_join,
 }
+
+
+def event_cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Association lift between event types at the user level — the
+    market-basket signal (`P(a,b) / (P(a) P(b))` over users) behind
+    "users who error also churn" style findings.
+
+    Scale shape: the corpus reduces to distinct (user, type) pairs
+    FIRST (one shuffle on the user key with map-side dedup — at most
+    |types| rows survive per user), then self-joins on user_id where
+    each user contributes at most C(|types|, 2) pairs — bounded fanout,
+    never quadratic in events. The per-type marginals re-aggregate from
+    the SAME distinct relation and broadcast (|types| rows). The lift
+    divides exact bigint products in one double division, identical in
+    both engines.
+    """
+    ev = table(spark, sf, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    # 1-row distinct-user total, crossJoined as a broadcast scalar so
+    # the whole operator stays one lazy plan (no driver-side count)
+    totals = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    marg = ut.groupBy(F.col("event_type").alias("t")).agg(
+        F.count("*").alias("n_t")
+    )
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (a.user_id == b.uid_b) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnsRenamed({"t": "ta", "n_t": "n_a"})),
+            F.col("type_a") == F.col("ta"),
+        )
+        .join(
+            F.broadcast(marg.withColumnsRenamed({"t": "tb", "n_t": "n_b"})),
+            F.col("type_b") == F.col("tb"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def user_power_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """The power-user curve: how many users were active on exactly d
+    distinct days, with the "at least d days" cumulative tail — the
+    engagement-depth histogram behind DAU/MAU and stickiness decks.
+
+    Two aggregates: (user, day) dedup + per-user distinct-day count
+    (one shuffle keyed on the high-cardinality user id, map-side
+    dedup), then a histogram over the |max days| <= 366-row domain.
+    The cumulative tail windows the HISTOGRAM rows (bounded input, the
+    documented partitionless-window-over-aggregates pattern), never
+    raw events.
+    """
+    ev = table(spark, sf, "events")
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("days_active"))
+    )
+    hist = per_user.groupBy("days_active").agg(F.count("*").alias("n_users"))
+    cum = Window.orderBy(F.desc("days_active")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "days_active",
+        "n_users",
+        F.sum("n_users").over(cum).alias("n_users_at_least"),
+    ).orderBy("days_active")
+
+
+QUERIES["event_cooccurrence_lift"] = event_cooccurrence_lift
+ORACLE["event_cooccurrence_lift"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    marg AS (SELECT event_type AS t, COUNT(*) AS n_t FROM ut GROUP BY 1),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(CAST(p.n_both * u.n_users AS DOUBLE)
+                 / (ma.n_t * mb.n_t), 6) AS lift
+    FROM pairs p
+    JOIN marg ma ON p.type_a = ma.t
+    JOIN marg mb ON p.type_b = mb.t
+    CROSS JOIN u
+    ORDER BY type_a, type_b
+"""
+
+QUERIES["user_power_curve"] = user_power_curve
+ORACLE["user_power_curve"] = """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS days_active
+        FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)
+        GROUP BY user_id
+    ),
+    hist AS (
+        SELECT days_active, COUNT(*) AS n_users FROM per_user GROUP BY 1
+    )
+    SELECT days_active, n_users,
+           SUM(n_users) OVER (ORDER BY days_active DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS n_users_at_least
+    FROM hist
+    ORDER BY days_active
+"""

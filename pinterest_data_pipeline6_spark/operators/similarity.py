@@ -1290,3 +1290,68 @@ def _kmeans_oracle_sql() -> str:
 
 
 ORACLE["kmeans_embeddings"] = _kmeans_oracle_sql()
+
+
+def embedding_dim_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension corpus health profile: n / mean / variance / min /
+    max for each of the 64 embedding dimensions — the first monitor an
+    embedding pipeline grows (a collapsed dimension means the encoder
+    head died; a runaway variance means a normalization bug upstream).
+
+    Shape: one posexplode -> per-dim hash aggregate. The shuffle
+    carries 64 partially-aggregated cells per map task, never vectors;
+    output is DIM rows at any corpus size. Determinism is the
+    centroid-shift recipe: sums and sums-of-squares accumulate in
+    DECIMAL(28,12) (float double-summation is partition-order
+    dependent); mean and variance then derive via IDENTICAL single
+    double expressions in both engines, and min/max are exact.
+    """
+    emb = widen_small_scan(table(spark, sf, "embeddings")).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    cells = emb.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("s2"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    return cells.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean_x"),
+        F.round(
+            F.col("s2").cast("double") / F.col("n") - mean * mean, 6
+        ).alias("var_x"),
+        "min_x",
+        "max_x",
+    ).orderBy("dim")
+
+
+QUERIES["embedding_dim_profile"] = embedding_dim_profile
+ORACLE["embedding_dim_profile"] = f"""
+    WITH cells AS (
+        SELECT i - 1 AS dim,
+               COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(28,12))) AS s,
+               SUM(CAST(x * x AS DECIMAL(28,12))) AS s2,
+               ROUND(MIN(x), 6) AS min_x,
+               ROUND(MAX(x), 6) AS max_x
+        FROM (
+            SELECT unnest(list_transform(generate_series(1, {DIM}),
+                       j -> {{'i': j, 'x': CAST(embedding[j] AS DOUBLE)}}),
+                   recursive := true)
+            FROM embeddings
+        )
+        GROUP BY i
+    )
+    SELECT dim, n,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_x,
+           ROUND(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+               AS var_x,
+           min_x, max_x
+    FROM cells
+    ORDER BY dim
+"""

@@ -2046,3 +2046,92 @@ ORACLE["padding_waste_bins"] = f"""
                  SUM(trunc) AS n_truncated, SUM(lost) AS truncated_tokens
           FROM per GROUP BY bucket)
 """
+
+
+# Gopher-style rule bounds, tuned so each rule splits the synthetic
+# corpus non-trivially (word counts run 10-99 with mean 54; mean word
+# length runs 3.7-5.3; 'the' appears in ~3/4 of docs; distinct-token
+# ratio centers on 0.5). Real deployments would widen these to the
+# published Gopher thresholds (50-100k words, mean word length 3-10).
+GOPHER_WC_MIN = 25
+GOPHER_WC_MAX = 80
+GOPHER_MWL_MIN = 4   # mean word length lower bound (x wc, integer math)
+GOPHER_MWL_MAX = 5   # upper bound
+GOPHER_STOPWORD = "the"
+GOPHER_TTR_NUM = 2   # pass when TTR >= 1/TTR_NUM (2 -> ratio >= 0.5)
+
+
+def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models" App. A: word-count bounds, mean-word-length bounds,
+    stopword presence, and a repetition proxy via the distinct-token
+    ratio), reported as a per-language rule-pass ledger — the
+    go/no-go audit a corpus curation run prints before filtering.
+
+    Every rule is a row-local boolean over the token array; the only
+    shuffle carries (lang, five 0/1 flags) partially aggregated — text
+    never crosses the exchange, and the output is |langs| rows. All
+    comparisons are integer cross-multiplications (mean word length in
+    [4, 5] tests ``4*wc <= letters <= 5*wc``), so both engines agree
+    exactly with no double division anywhere.
+    """
+    docs = table(spark, sf, "documents")
+    toks = _tokens()
+    wc = F.size(toks)
+    # chars minus the single spaces between tokens = total word letters
+    letters = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    dt = F.size(F.array_distinct(toks))
+    pass_wc = wc.between(GOPHER_WC_MIN, GOPHER_WC_MAX)
+    pass_mwl = (letters >= GOPHER_MWL_MIN * wc) & (letters <= GOPHER_MWL_MAX * wc)
+    pass_stop = F.array_contains(toks, GOPHER_STOPWORD)
+    pass_ttr = GOPHER_TTR_NUM * dt >= wc
+    flag = lambda c: F.sum(c.cast("int"))  # noqa: E731
+    return (
+        docs.select("lang", pass_wc.alias("p1"), pass_mwl.alias("p2"),
+                    pass_stop.alias("p3"), pass_ttr.alias("p4"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            flag(F.col("p1")).alias("n_pass_wordcount"),
+            flag(F.col("p2")).alias("n_pass_wordlen"),
+            flag(F.col("p3")).alias("n_pass_stopword"),
+            flag(F.col("p4")).alias("n_pass_ttr"),
+            flag(F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4")).alias(
+                "n_pass_all"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["gopher_quality_flags"] = gopher_quality_flags
+ORACLE["gopher_quality_flags"] = f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN wc BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordcount,
+           CAST(SUM(CASE WHEN letters >= {GOPHER_MWL_MIN} * wc
+                          AND letters <= {GOPHER_MWL_MAX} * wc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
+           CAST(SUM(CASE WHEN has_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_stopword,
+           CAST(SUM(CASE WHEN {GOPHER_TTR_NUM} * dt >= wc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_ttr,
+           CAST(SUM(CASE WHEN wc BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX}
+                          AND letters >= {GOPHER_MWL_MIN} * wc
+                          AND letters <= {GOPHER_MWL_MAX} * wc
+                          AND has_stop
+                          AND {GOPHER_TTR_NUM} * dt >= wc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM (
+        SELECT lang,
+               len(string_split(text, ' ')) AS wc,
+               length(replace(text, ' ', '')) AS letters,
+               list_contains(string_split(text, ' '), '{GOPHER_STOPWORD}')
+                   AS has_stop,
+               len(list_distinct(string_split(text, ' '))) AS dt
+        FROM documents
+    )
+    GROUP BY lang
+    ORDER BY lang
+"""

@@ -479,6 +479,7 @@ INTENTIONAL_BNLJ = {
     "bm25_doc_ranking",     # 1-row (N, total_len) corpus-stats broadcast
     "bloom_prune_stats",    # 1-row build-cardinality aggregate crossJoined
     "important_part_share",  # 1-row (total_rev, n_parts) scalar broadcast
+    "event_cooccurrence_lift",  # 1-row distinct-user total broadcast
 }
 
 
@@ -1215,3 +1216,51 @@ def test_qualified_shippers_scans_lineitem_once(spark):
     plan = executed_plan(facts.qualified_part_shippers(spark, SF))
     assert plan.count("FileScan parquet") <= 4, plan  # li, part, supplier, nation
     assert "LeftSemi" in plan, plan
+
+
+# --- round 5: training-pipeline wave ----------------------------------------
+
+
+def test_gopher_flags_text_never_crosses_shuffle(spark):
+    """gopher_quality_flags: every rule is row-local — the exchange must
+    carry (lang, 0/1 flags) partial aggregates, never the text column."""
+    from pinterest_data_pipeline6_spark.operators import textops
+
+    plan = executed_plan(textops.gopher_quality_flags(spark, SF))
+    assert "Exchange" in plan
+    post_exchange = plan.split("Exchange", 1)[0]  # above the exchange
+    assert "text" not in post_exchange.lower().replace("context", ""), plan
+    assert "partial" in plan.lower()
+
+
+def test_embedding_dim_profile_is_explode_then_partial_agg(spark):
+    """embedding_dim_profile: one generator (posexplode) feeding a
+    partial+final hash aggregate on the 64-value dim key — no join, no
+    window, and vectors never cross the exchange."""
+    plan = executed_plan(similarity.embedding_dim_profile(spark, SF))
+    assert "Generate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_cooccurrence_lift_joins_on_user_key(spark):
+    """event_cooccurrence_lift: the pair join must key on user_id (the
+    only non-broadcast join) — the marginals and the 1-row user total
+    broadcast. A cartesian of the distinct relation against itself
+    would be |users x types| squared."""
+    plan = executed_plan(events.event_cooccurrence_lift(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan or "user_id" in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_power_curve_windows_only_histogram_rows(spark):
+    """user_power_curve: the cumulative tail windows the bounded
+    histogram (<= 366 rows), never raw events — the raw side must
+    finish with hash aggregates before any Window node appears."""
+    from pinterest_data_pipeline6_spark.plans import raw_low_cardinality_exchanges
+
+    plan = executed_plan(events.user_power_curve(spark, SF))
+    assert raw_low_cardinality_exchanges(plan) == []
+    assert "Window" in plan

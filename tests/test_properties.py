@@ -502,3 +502,94 @@ def test_asof_tolerance_matches_brute_force(spark, events, tmp_path_factory):
         assert gs is None and nf == 0 or abs((gs or 0.0) - sv) < 1e-6, (
             day, gs, sv,
         )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user
+            st.sampled_from(["click", "error", "purchase", "view"]),
+        ),
+        min_size=0,
+        max_size=50,
+    )
+)
+def test_cooccurrence_lift_matches_brute_force(spark, pairs, tmp_path_factory):
+    """event_cooccurrence_lift must equal the literal market-basket
+    definition — n_both over distinct user sets, lift = n_both * U /
+    (n_a * n_b) — for any event multiset, including repeated events,
+    users with one type, and empty input."""
+    import datetime
+    import itertools
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        event_cooccurrence_lift,
+    )
+
+    out = tmp_path_factory.mktemp("lift_prop")
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(base, u, t) for u, t in pairs]
+    spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        (r["type_a"], r["type_b"], r["n_both"], r["lift"])
+        for r in event_cooccurrence_lift(spark, str(out)).collect()
+    }
+
+    by_type: dict[str, set[int]] = {}
+    for u, t in pairs:
+        by_type.setdefault(t, set()).add(u)
+    n_users = len({u for u, _ in pairs})
+    want = set()
+    for a, b in itertools.combinations(sorted(by_type), 2):
+        both = len(by_type[a] & by_type[b])
+        if both:
+            lift = round(both * n_users / (len(by_type[a]) * len(by_type[b])), 6)
+            want.add((a, b, both, lift))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    days=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20)),  # (user, day)
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_power_curve_matches_brute_force(spark, days, tmp_path_factory):
+    """user_power_curve must equal the literal histogram + descending
+    cumulative tail for any (user, day) multiset — repeated same-day
+    events collapse, the tail counts users with AT LEAST d days."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.events import user_power_curve
+
+    out = tmp_path_factory.mktemp("pc_prop")
+    base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        (base + datetime.timedelta(days=d, minutes=u), u) for u, d in days
+    ]
+    spark.createDataFrame(rows, "ts timestamp, user_id long").write.mode(
+        "overwrite"
+    ).parquet(str(out / "events.parquet"))
+
+    got = {
+        (r["days_active"], r["n_users"], r["n_users_at_least"])
+        for r in user_power_curve(spark, str(out)).collect()
+    }
+
+    per_user: dict[int, set[int]] = {}
+    for u, d in days:
+        per_user.setdefault(u, set()).add(d)
+    hist: dict[int, int] = {}
+    for u, ds in per_user.items():
+        hist[len(ds)] = hist.get(len(ds), 0) + 1
+    want = set()
+    for d_act, n in hist.items():
+        at_least = sum(v for k, v in hist.items() if k >= d_act)
+        want.add((d_act, n, at_least))
+    assert got == want
