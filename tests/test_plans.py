@@ -1264,3 +1264,16 @@ def test_power_curve_windows_only_histogram_rows(spark):
     plan = executed_plan(events.user_power_curve(spark, SF))
     assert raw_low_cardinality_exchanges(plan) == []
     assert "Window" in plan
+
+
+def test_important_share_scans_lineitem_once_at_runtime(spark):
+    """important_part_share derives the scalar total from the SAME
+    per-part aggregate the HAVING filters — in the static plan the two
+    branches print as separate scans, but AQE must deduplicate them via
+    ReusedExchange at runtime so lineitem is read once. Pin the runtime
+    reuse (the 100 TB property) on the post-execution plan."""
+    from pinterest_data_pipeline6_spark.operators import facts
+    from pinterest_data_pipeline6_spark.plans import final_plan
+
+    plan = final_plan(facts.important_part_share(spark, SF))
+    assert "ReusedExchange" in plan, plan[:2000]
