@@ -66,6 +66,9 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     "embedding_dim_profile",
     "event_cooccurrence_lift",
     "user_power_curve",
+    # wave 3 (semantic dedup + exact distributed quantiles)
+    "semdedup_prune",
+    "exact_price_quantiles",
 })
 
 

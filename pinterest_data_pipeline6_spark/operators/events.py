@@ -1796,9 +1796,10 @@ ORACLE["user_power_curve"] = """
         SELECT days_active, COUNT(*) AS n_users FROM per_user GROUP BY 1
     )
     SELECT days_active, n_users,
-           SUM(n_users) OVER (ORDER BY days_active DESC
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND CURRENT ROW) AS n_users_at_least
+           CAST(SUM(n_users) OVER (ORDER BY days_active DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+               AS n_users_at_least
     FROM hist
     ORDER BY days_active
 """

@@ -1968,3 +1968,80 @@ QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "approx_sketch_family": approx_sketch_family,
 }
+
+
+EXACT_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def exact_price_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT global quantiles of l_extendedprice — the precise
+    counterpart of the workload's `percentile_approx` medians (SURVEY
+    §2 A4), for the audits where an approximation bound isn't
+    acceptable (billing reconciliation, SLA percentiles).
+
+    The textbook form (`ORDER BY price` + pick rank ceil(q*n)) funnels
+    the corpus through one task. This reuses the distributed exact-rank
+    core (textops._distributed_rank: range shuffle + per-partition
+    row_number + a prefix-sum over the #partitions-row count table) —
+    every stage is a parallel shuffle of (price, id) pairs, so the plan
+    survives any corpus size. The <= |quantiles| candidate rows are
+    filtered BEFORE the quantile labels explode onto them, and the
+    (price, line id) tie-break makes the picked row unique, so both
+    engines select the identical element.
+    """
+    from pinterest_data_pipeline6_spark.operators.textops import _distributed_rank
+
+    li = table(spark, sf, "lineitem")
+    scored = li.select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("score"),
+        # unique tie-break id: linenumber is 1..7 in TPC-H-shaped data
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+    )
+    ranked = _distributed_rank(scored)
+    targets = [
+        F.ceil(F.lit(q) * F.col("total")).cast("long") for q in EXACT_QUANTILES
+    ]
+    cond = F.col("_grank") == targets[0]
+    for t in targets[1:]:
+        cond = cond | (F.col("_grank") == t)
+    qarr = F.array(*[F.lit(q) for q in EXACT_QUANTILES])
+    return (
+        ranked.filter(cond)
+        .select("score", "_grank", "total", F.explode(qarr).alias("quantile"))
+        .filter(
+            F.col("_grank") == F.ceil(F.col("quantile") * F.col("total")).cast("long")
+        )
+        .select(
+            "quantile",
+            F.col("score").cast("double").alias("value"),
+            F.col("_grank").alias("rank"),
+            F.col("total").alias("n_rows"),
+        )
+        .orderBy("quantile")
+    )
+
+
+QUERIES["exact_price_quantiles"] = exact_price_quantiles
+ORACLE["exact_price_quantiles"] = """
+    WITH r AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS score,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                            l_orderkey * 10 + l_linenumber) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem
+    )
+    -- quantile literals route through DOUBLE before the multiply:
+    -- DuckDB VALUES are DECIMAL, and ceil(decimal 0.9 * n) can differ
+    -- by one from ceil(double 0.9 * n) exactly when q*n is integral
+    -- (double 0.9 sits a half-ulp ABOVE 9/10), so both engines must
+    -- run the SAME IEEE product.
+    SELECT CAST(q.quantile AS DOUBLE) AS quantile,
+           CAST(r.score AS DOUBLE) AS value,
+           r.rn AS rank,
+           r.n AS n_rows
+    FROM r
+    JOIN (VALUES (0.5), (0.9), (0.99)) q(quantile)
+      ON r.rn = CAST(CEIL(CAST(q.quantile AS DOUBLE) * r.n) AS BIGINT)
+    ORDER BY quantile
+"""

@@ -1355,3 +1355,90 @@ ORACLE["embedding_dim_profile"] = f"""
     FROM cells
     ORDER BY dim
 """
+
+
+# SemDeDup within-cell cosine threshold: the synthetic embeddings are
+# near-orthogonal (within-cell pairwise cosine: p50 0.04, p99 0.32,
+# max 0.49 at every SF), so the paper's 0.95+ would drop nothing —
+# 0.30 keeps the top ~1% of pairs and yields a non-degenerate dropped
+# set at each SF. Production corpora with real near-dups tune this up.
+SEMDEDUP_TAU = 0.30
+
+
+def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus (the IVF-lite cell
+    assignment), compare pairs ONLY within a cell, and drop the
+    higher-id member of any pair whose cosine exceeds tau —
+    keep-lowest-id survivorship, the embedding-space counterpart of
+    dedup.py's MinHash pipeline. Reports the per-cell dedup ledger
+    (vectors, dropped, kept).
+
+    Scale shape: the quadratic comparison is confined within cells —
+    exactly the paper's trick; cell count grows with the corpus so the
+    per-cell inverted list stays bounded, and the pair join is a cell-
+    keyed equijoin (never a corpus cross join). Dropped ids dedup via
+    (cell, id) distinct BEFORE counting (a vector above tau with many
+    partners must drop once). Cosines round to 6 dp before the
+    threshold compare so both engines make identical keep decisions.
+    """
+    assigned = _cell_assignment(spark, sf)
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot64(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(b, (a.cell == b.cell_b) & (a.id_a < b.id_b))
+        .filter(cos >= SEMDEDUP_TAU)
+        .select("cell", "id_b")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    return (
+        per_cell.join(dropped, "cell", "left_outer")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+QUERIES["semdedup_prune"] = semdedup_prune
+ORACLE["semdedup_prune"] = f"""
+    WITH assign AS ({_ASSIGN_SQL}),
+    dropped AS (
+        SELECT cell, COUNT(*) AS n_dropped
+        FROM (
+            SELECT DISTINCT a.cell, b.vec_id
+            FROM assign a JOIN assign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6)
+                  >= {SEMDEDUP_TAU}
+        )
+        GROUP BY cell
+    ),
+    per_cell AS (
+        SELECT cell, COUNT(*) AS n_vectors FROM assign GROUP BY cell
+    )
+    SELECT p.cell, p.n_vectors,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           p.n_vectors - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM per_cell p LEFT JOIN dropped d ON p.cell = d.cell
+    ORDER BY p.cell
+"""

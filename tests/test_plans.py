@@ -480,6 +480,7 @@ INTENTIONAL_BNLJ = {
     "bloom_prune_stats",    # 1-row build-cardinality aggregate crossJoined
     "important_part_share",  # 1-row (total_rev, n_parts) scalar broadcast
     "event_cooccurrence_lift",  # 1-row distinct-user total broadcast
+    "semdedup_prune",       # composes _cell_assignment's broadcast centroids
 }
 
 
@@ -1277,3 +1278,31 @@ def test_important_share_scans_lineitem_once_at_runtime(spark):
 
     plan = final_plan(facts.important_part_share(spark, SF))
     assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_semdedup_pair_join_is_cell_equijoin(spark):
+    """semdedup_prune: the quadratic comparison must be confined to a
+    cell-keyed equijoin (the SemDeDup trick) — the only nested-loop
+    allowed is _cell_assignment's broadcast-centroid scan."""
+    plan = executed_plan(similarity.semdedup_prune(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_exact_quantiles_have_no_global_sort(spark):
+    """exact_price_quantiles: exact global ranks must come from the
+    distributed rank core — a rangepartitioning shuffle — with no
+    SinglePartition exchange of data rows anywhere (the textbook
+    `ORDER BY + pick rank` plan dies at scale)."""
+    plan = executed_plan(relational.exact_price_quantiles(spark, SF))
+    low = plan.lower()
+    assert "rangepartitioning" in low
+    # offsets prefix-sum windows #partitions-count rows, which arrives
+    # via a SinglePartition exchange of COUNT rows — assert no
+    # SinglePartition exchange consumes the scored data directly
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*?)\n", plan):
+        assert "FileScan" not in m.group(1), plan

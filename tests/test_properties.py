@@ -593,3 +593,45 @@ def test_power_curve_matches_brute_force(spark, days, tmp_path_factory):
         at_least = sum(v for k, v in hist.items() if k >= d_act)
         want.add((d_act, n, at_least))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    prices=st.lists(
+        st.integers(1, 10_000),  # cents, cast to 2-dp prices
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_exact_quantiles_match_sorted_pick(spark, prices, tmp_path_factory):
+    """exact_price_quantiles must return exactly the element at rank
+    ceil(q*n) of the (price, id)-sorted sequence for any multiset —
+    including heavy ties (the id tie-break decides) and n smaller than
+    the quantile count (ranks collide; every quantile still reports)."""
+    import math
+
+    from pinterest_data_pipeline6_spark.operators.relational import (
+        EXACT_QUANTILES,
+        exact_price_quantiles,
+    )
+
+    out = tmp_path_factory.mktemp("eq_prop")
+    rows = [(i, 1, float(c) / 100) for i, c in enumerate(prices)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+
+    got = {
+        (r["quantile"], r["value"], r["rank"], r["n_rows"])
+        for r in exact_price_quantiles(spark, str(out)).collect()
+    }
+
+    ordered = sorted(
+        (round(c / 100, 2), i * 10 + 1) for i, c in enumerate(prices)
+    )
+    n = len(ordered)
+    want = set()
+    for q in EXACT_QUANTILES:
+        rank = math.ceil(q * n)
+        want.add((q, ordered[rank - 1][0], rank, n))
+    assert got == want
