@@ -69,6 +69,9 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     # wave 3 (semantic dedup + exact distributed quantiles)
     "semdedup_prune",
     "exact_price_quantiles",
+    # wave 4 (retrieval-training prep + clustering quality)
+    "hard_negative_mining",
+    "cell_label_purity",
 })
 
 

@@ -1442,3 +1442,139 @@ ORACLE["semdedup_prune"] = f"""
     FROM per_cell p LEFT JOIN dropped d ON p.cell = d.cell
     ORDER BY p.cell
 """
+
+
+HN_K = 5  # hard negatives mined per query
+
+
+def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the
+    DPR / contrastive-learning preparation step): for each query
+    vector, the top-k most similar corpus vectors with a DIFFERENT
+    label — near the query in embedding space yet wrong, exactly the
+    negatives a contrastive loss learns most from.
+
+    Scale shape: knn_ivf's single-probe plan with a label guard — the
+    query side broadcasts, candidates come from the query's IVF cell
+    only (cell-keyed equijoin), and the label filter rides the join
+    condition so mismatches never materialize. Labels attach to the
+    assignment via a vec_id equijoin (co-partitioned with the corpus
+    at scale). The query's own row is excluded for free (its label
+    equals itself). Cosines round to 6 dp before ranking so both
+    engines pick identical negatives.
+    """
+    assigned = _cell_assignment(spark, sf)
+    labels = table(spark, sf, "embeddings").select("vec_id", "label")
+    cand = assigned.join(labels, "vec_id")
+    q = cand.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cell").alias("qcell"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("qlabel"),
+    )
+    cos = F.round(
+        _dot64(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            cand,
+            (F.col("cell") == F.col("qcell")) & (F.col("label") != F.col("qlabel")),
+        )
+        .select("query_id", "vec_id", "label", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+QUERIES["hard_negative_mining"] = hard_negative_mining
+ORACLE["hard_negative_mining"] = f"""
+    WITH assigned AS ({_ASSIGN_SQL}),
+    cand AS (
+        SELECT a.vec_id, a.embedding, a.cell, e.label
+        FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+    )
+    SELECT query_id, vec_id, label, cos, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
+               ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) DESC,
+                            c.vec_id ASC) AS rank
+        FROM cand q JOIN cand c
+          ON c.cell = q.cell AND c.label <> q.label
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {HN_K}
+"""
+
+
+def cell_label_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering-quality audit: per IVF cell, the majority label and
+    its purity (majority fraction) — the standard external evaluation
+    of an unsupervised partition against known classes, and the first
+    sanity check before trusting cells for SemDeDup or single-probe
+    ANN (a cell with purity ~1/|labels| clusters nothing).
+
+    Two hash aggregates: (cell, label) counts — the shuffle carries
+    |cells| x |labels| partially-aggregated rows — then a per-cell
+    max(struct(count, -label)) picks the majority with the LOWER label
+    on ties, no window and no per-cell sort. Purity divides two exact
+    bigints in one double division.
+    """
+    assigned = _cell_assignment(spark, sf)
+    labels = table(spark, sf, "embeddings").select("vec_id", "label")
+    counts = (
+        assigned.join(labels, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.groupBy("cell")
+        .agg(
+            F.sum("cnt").alias("n_vectors"),
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            (-F.col("m.neg")).cast("int").alias("majority_label"),
+            F.round(
+                F.col("m.cnt").cast("double") / F.col("n_vectors"), 6
+            ).alias("purity"),
+        )
+        .orderBy("cell")
+    )
+
+
+QUERIES["cell_label_purity"] = cell_label_purity
+ORACLE["cell_label_purity"] = f"""
+    WITH assigned AS ({_ASSIGN_SQL}),
+    counts AS (
+        SELECT a.cell, e.label, COUNT(*) AS cnt
+        FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT cell,
+               CAST(SUM(cnt) AS BIGINT) AS n_vectors,
+               MAX(ROW(cnt, -label)) AS m
+        FROM counts GROUP BY cell
+    )
+    SELECT cell, n_vectors,
+           CAST(-m[2] AS INT) AS majority_label,
+           ROUND(CAST(m[1] AS DOUBLE) / n_vectors, 6) AS purity
+    FROM best
+    ORDER BY cell
+"""

@@ -481,6 +481,8 @@ INTENTIONAL_BNLJ = {
     "important_part_share",  # 1-row (total_rev, n_parts) scalar broadcast
     "event_cooccurrence_lift",  # 1-row distinct-user total broadcast
     "semdedup_prune",       # composes _cell_assignment's broadcast centroids
+    "hard_negative_mining",  # composes _cell_assignment + broadcast queries
+    "cell_label_purity",    # composes _cell_assignment's broadcast centroids
 }
 
 
@@ -1306,3 +1308,22 @@ def test_exact_quantiles_have_no_global_sort(spark):
 
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*?)\n", plan):
         assert "FileScan" not in m.group(1), plan
+
+
+def test_hard_negatives_probe_single_cell(spark):
+    """hard_negative_mining: candidates must arrive via the cell-keyed
+    equijoin with the broadcast query side (knn_ivf's single-probe
+    shape) — never a corpus-wide comparison; the label guard rides the
+    join condition."""
+    plan = executed_plan(similarity.hard_negative_mining(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_cell_purity_is_two_aggregates_no_window(spark):
+    """cell_label_purity: majority-by-max(struct) — two hash aggregate
+    pairs above the assignment, with NO window keyed on the cell (the
+    only Window in the plan is _cell_assignment's per-vector nearest-
+    centroid pick, partitioned on vec_id)."""
+    plan = executed_plan(similarity.cell_label_purity(spark, SF))
+    assert "windowspecdefinition(cell" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
