@@ -56,6 +56,11 @@ def main() -> None:
     import __spark_entry__ as e
 
     spark = get_spark("bench")
+    # The driver records only the last ~2000 chars of COMBINED output;
+    # executor WARNs (the documented partitionless windows over
+    # aggregated inputs fire WindowExec's blanket warning on every rep)
+    # would otherwise crowd the JSON line out of that capture.
+    spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
 
     # warm the JVM + parquet footer caches so per-query numbers measure

@@ -864,10 +864,15 @@ def important_part_share(spark: SparkSession, sf: str) -> DataFrame:
     the scalar (total revenue + distinct part count) re-derives from
     those SAME per-part rows — a second tiny agg over an already
     |parts|-sized relation, broadcast back as one row.  The threshold
-    is self-scaling ("> MULT x the mean part revenue"), so the shape
-    stays non-degenerate at every SF, and the comparison
-    cross-multiplies in exact decimal x bigint — the double division
-    of a naive `rev > frac * total` never happens.
+    is self-scaling ("> NUM/DEN x the mean part revenue"), so the
+    shape stays non-degenerate at every SF.  The cross-multiplied
+    comparison runs in DOUBLE on BOTH sides: a decimal product here is
+    NOT portable — Spark's allowPrecisionLoss truncates
+    decimal(38,12) x bigint to scale 6 while DuckDB keeps the exact
+    scale-12 product, so the engines would compare at different
+    precisions near the boundary.  Identical IEEE expressions over the
+    same exact decimal sums give bit-identical doubles in both
+    engines, which is the property the oracle gate actually needs.
     """
     li = table(spark, sf, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
@@ -880,8 +885,8 @@ def important_part_share(spark: SparkSession, sf: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(totals))
         .filter(
-            F.col("dec_rev") * F.col("n_parts") * IMPORTANT_SHARE_DEN
-            > F.lit(IMPORTANT_SHARE_NUM) * F.col("total_rev")
+            F.col("dec_rev").cast("double") * F.col("n_parts") * IMPORTANT_SHARE_DEN
+            > F.lit(IMPORTANT_SHARE_NUM) * F.col("total_rev").cast("double")
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -981,10 +986,11 @@ def qualified_part_shippers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE["min_cost_supplier_parts"] = """
+_MIN_COST_TYPES_SQL = ", ".join(f"'{t}'" for t in MIN_COST_TYPES)
+ORACLE["min_cost_supplier_parts"] = f"""
     WITH wanted AS (
         SELECT p_partkey, p_type, p_size FROM part
-        WHERE p_type IN ('ECONOMY', 'PROMO') AND p_size % 5 = 0
+        WHERE p_type IN ({_MIN_COST_TYPES_SQL}) AND p_size % 5 = 0
     ),
     offers AS (
         SELECT w.p_partkey, w.p_type, w.p_size,
@@ -1000,10 +1006,10 @@ ORACLE["min_cost_supplier_parts"] = """
     JOIN supplier s ON b[2] = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     ORDER BY s.s_acctbal DESC, o.p_partkey
-    LIMIT 100
+    LIMIT {MIN_COST_TOP_N}
 """
 
-ORACLE["nation_profit_trend"] = """
+ORACLE["nation_profit_trend"] = f"""
     SELECT n.n_name AS nation,
            EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
            CAST(ROUND(SUM(
@@ -1018,12 +1024,12 @@ ORACLE["nation_profit_trend"] = """
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_name LIKE 'red %'
+    WHERE p.p_name LIKE '{PROFIT_PART_PREFIX}%'
     GROUP BY 1, 2
     ORDER BY nation, order_year DESC
 """
 
-ORACLE["important_part_share"] = """
+ORACLE["important_part_share"] = f"""
     WITH per_part AS (
         SELECT l_partkey,
                SUM(CAST(l_extendedprice AS DECIMAL(18,6))
@@ -1036,16 +1042,17 @@ ORACLE["important_part_share"] = """
     SELECT l_partkey AS p_partkey,
            CAST(ROUND(dec_rev, 2) AS DOUBLE) AS part_revenue
     FROM per_part, totals
-    WHERE dec_rev * n_parts * 2 > 3 * total_rev
+    WHERE CAST(dec_rev AS DOUBLE) * n_parts * {IMPORTANT_SHARE_DEN}
+          > {IMPORTANT_SHARE_NUM} * CAST(total_rev AS DOUBLE)
     ORDER BY part_revenue DESC, p_partkey
 """
 
-ORACLE["supplier_count_by_attrs"] = """
+ORACLE["supplier_count_by_attrs"] = f"""
     SELECT p.p_type, CAST(FLOOR(p.p_size / 10) AS BIGINT) AS size_band,
            COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_type <> 'STANDARD'
+    WHERE p.p_type <> '{EXCLUDED_PART_TYPE}'
       AND l.l_suppkey NOT IN (
           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
       )
@@ -1053,16 +1060,16 @@ ORACLE["supplier_count_by_attrs"] = """
     ORDER BY supplier_cnt DESC, p_type, size_band
 """
 
-ORACLE["qualified_part_shippers"] = """
+ORACLE["qualified_part_shippers"] = f"""
     WITH per_ps AS (
         SELECT l.l_partkey, l.l_suppkey,
-               SUM(CASE WHEN EXTRACT(YEAR FROM l.l_shipdate) = 1996
+               SUM(CASE WHEN EXTRACT(YEAR FROM l.l_shipdate) = {QUALIFY_YEAR}
                         THEN CAST(l.l_quantity AS DECIMAL(18,2)) END)
                    AS year_qty,
                SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS all_qty
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE p.p_name LIKE 'small %'
+        WHERE p.p_name LIKE '{QUALIFY_PART_PREFIX}%'
         GROUP BY 1, 2
     ),
     per_part AS (
@@ -1071,7 +1078,7 @@ ORACLE["qualified_part_shippers"] = """
     qualified AS (
         SELECT DISTINCT ps.l_suppkey
         FROM per_ps ps JOIN per_part pp ON ps.l_partkey = pp.l_partkey
-        WHERE ps.year_qty * 12 > pp.part_qty
+        WHERE ps.year_qty * {QUALIFY_DENOM} > pp.part_qty
     )
     SELECT s.s_suppkey, s.s_name, n.n_name AS nation
     FROM supplier s

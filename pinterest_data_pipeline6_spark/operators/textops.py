@@ -2063,10 +2063,10 @@ GOPHER_TTR_NUM = 2   # pass when TTR >= 1/TTR_NUM (2 -> ratio >= 0.5)
 
 def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, "Scaling
-    Language Models" App. A: word-count bounds, mean-word-length bounds,
-    stopword presence, and a repetition proxy via the distinct-token
-    ratio), reported as a per-language rule-pass ledger — the
-    go/no-go audit a corpus curation run prints before filtering.
+    Language Models", appendix A — word-count bounds, mean-word-length
+    bounds, stopword presence, and a repetition proxy via the
+    distinct-token ratio), reported as a per-language rule-pass ledger:
+    the go/no-go audit a corpus curation run prints before filtering.
 
     Every rule is a row-local boolean over the token array; the only
     shuffle carries (lang, five 0/1 flags) partially aggregated — text

@@ -58,8 +58,18 @@ def replicate_r5w2(spark, k: int) -> str:
     out = replicate(spark, k)  # orders, lineitem, events, documents
     copies = spark.range(k).withColumnRenamed("id", "copy")
 
+    # replicate() shifts l_partkey/l_suppkey by LINEITEM maxima; the
+    # dimension copies must shift by the SAME base or every copy>0
+    # join key dangles and the experiment silently measures K=1 work.
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    li_part, li_supp = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+
     part = spark.read.parquet(f"{SF}/part.parquet")
     n_part = part.agg(F.max("p_partkey")).first()[0] + 1
+    assert n_part == li_part + 1, (
+        f"dim/fact shift bases desynced: max(p_partkey)={n_part - 1} vs "
+        f"max(l_partkey)={li_part} — align replicate()'s shift first"
+    )
     (
         part.crossJoin(copies)
         .select(
@@ -76,6 +86,10 @@ def replicate_r5w2(spark, k: int) -> str:
 
     supp = spark.read.parquet(f"{SF}/supplier.parquet")
     n_supp = supp.agg(F.max("s_suppkey")).first()[0] + 1
+    assert n_supp == li_supp + 1, (
+        f"dim/fact shift bases desynced: max(s_suppkey)={n_supp - 1} vs "
+        f"max(l_suppkey)={li_supp} — align replicate()'s shift first"
+    )
     (
         supp.crossJoin(copies)
         .select(
