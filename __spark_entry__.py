@@ -72,6 +72,12 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     # wave 4 (retrieval-training prep + clustering quality)
     "hard_negative_mining",
     "cell_label_purity",
+    # wave 5 (data selection: DSIR, winnowing, domain caps, budgets, MRL)
+    "dsir_importance_weights",
+    "source_quality_cap",
+    "token_budget_allocation",
+    "winnowing_fingerprints",
+    "matryoshka_truncation_error",
 })
 
 

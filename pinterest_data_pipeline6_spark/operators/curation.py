@@ -536,3 +536,234 @@ QUERIES = {
     "dataset_split_counts": dataset_split_counts,
     "weighted_sample_topk": weighted_sample_topk,
 }
+
+
+# --- data-selection wave (r6 window): DSIR, per-source caps, token budgets ---
+
+DSIR_TARGET_SOURCES = ("src0", "src1")  # the "curated" target distribution
+DSIR_BUCKETS = 128  # hashed-feature buckets (DSIR uses 10k at web scale;
+# 128 keeps the oracle's 128-row CTE readable — the plan shape is identical)
+
+SOURCE_CAP = 20  # max docs kept per source (domain-cap trimming)
+
+BUDGET_FRACTION_NUM, BUDGET_FRACTION_DEN = 1, 2  # train on half the corpus
+
+
+def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every pool document by how much more
+    likely its hashed-unigram features are under a small TARGET corpus
+    (sources ``src0``/``src1`` stand in for the curated target) than
+    under the pool itself.  weight(d) = Σ_tokens ln(p_target(bucket) /
+    p_pool(bucket)) with add-one smoothing over ``DSIR_BUCKETS`` hashed
+    buckets.  Per language: pool docs, mean weight, docs with positive
+    weight (the ones importance resampling keeps), and the keep rate.
+
+    100 TB shape: the feature distributions are a 128-row aggregate
+    (explode → partial+final count per bucket — the explode fan-out is
+    absorbed map-side), broadcast back as the bucket→log-ratio lookup;
+    the per-doc score is then one broadcast-join + one doc_id-keyed
+    aggregate (high-cardinality key).  Nothing iterates, nothing
+    collects, and the text column never crosses a shuffle."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        is_target.alias("is_target"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).withColumn("bucket", F.pmod(_h64_spark(F.col("tok")), F.lit(DSIR_BUCKETS)))
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("bigint")).alias("c_t"),
+        F.sum((~F.col("is_target")).cast("bigint")).alias("c_r"),
+    )
+    # totals via an unpartitioned window over the ≤128-row aggregate —
+    # bounded by the bucket count, never by corpus size
+    w = Window.partitionBy()
+    p_t = (F.col("c_t") + 1) / (F.sum("c_t").over(w) + F.lit(DSIR_BUCKETS))
+    p_r = (F.col("c_r") + 1) / (F.sum("c_r").over(w) + F.lit(DSIR_BUCKETS))
+    ratios = counts.select("bucket", F.log(p_t / p_r).alias("log_ratio"))
+    pool = toks.filter(~F.col("is_target"))
+    doc_w = (
+        pool.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("log_ratio").alias("w"))
+    )
+    return (
+        doc_w.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("w"), 4).alias("mean_weight"),
+            F.sum((F.col("w") > 0).cast("bigint")).alias("n_selected"),
+            F.round(F.avg((F.col("w") > 0).cast("double")), 4).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def source_quality_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain cap trimming (the web-corpus rule that no single
+    domain may dominate the mix): keep at most ``SOURCE_CAP`` documents
+    per source, best-quality first, where quality is the integer
+    composite distinct_tokens * 1_000_000 + n_chars (monotone in
+    lexical diversity, chars as tiebreak — exactly representable, so
+    the keep set is engine-independent).  Per source: docs seen, kept,
+    dropped, and the quality floor of the kept set.
+
+    100 TB shape: ``source`` is a low-cardinality key, so a plain
+    ``row_number() OVER (PARTITION BY source)`` would sort each
+    domain's full document set in ONE task — the exact anti-pattern
+    tests/test_plans.py's hygiene sweep exists to catch.  The rank
+    instead reuses ``_distributed_rank`` (textops): one range shuffle
+    on (source, score, doc_id), per-partition local row_numbers, and a
+    broadcast prefix-sum of per-partition counts — no single-task sort
+    at any domain size."""
+    from pinterest_data_pipeline6_spark.operators.textops import _distributed_rank
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = F.split(F.col("text"), " ")
+    quality = (
+        F.size(F.array_distinct(toks)).cast("bigint") * F.lit(1_000_000)
+        + F.col("n_chars")
+    )
+    scored = docs.select(
+        "doc_id", "source", quality.alias("quality"), (-quality).alias("score")
+    )
+    ranked = _distributed_rank(scored, group_cols=["source"])
+    kept = F.col("_grank") <= SOURCE_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum((~kept).cast("bigint")).alias("n_dropped"),
+            F.min(F.when(kept, F.col("quality"))).alias("quality_floor"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled token-budget planning (the mixture step every
+    pretraining run does before reading a byte): given a total training
+    budget of ``BUDGET_FRACTION`` of the corpus's tokens, allocate each
+    source tokens proportional to sqrt(available) — temperature 0.5
+    up-weights small sources exactly like ``source_mixture_weights`` —
+    clipped at what the source actually has (one-shot waterfill; the
+    clipped surplus is reported, not redistributed).  Per source:
+    available tokens, mixture share, allocated tokens, and the epoch
+    count the allocation implies.
+
+    100 TB shape: one scan → one partial+final agg to a #sources-row
+    table; everything after (shares, clipping, epochs) is arithmetic
+    over that tiny aggregate via unpartitioned windows bounded by the
+    source count.  sqrt (not pow) keeps the weights IEEE-correctly-
+    rounded and therefore bit-identical across engines."""
+    docs = table(spark, sf, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("avail_tokens")
+    )
+    w = Window.partitionBy()
+    weight = F.sqrt(F.col("avail_tokens").cast("double"))
+    share = F.round(weight / F.sum(weight).over(w), 6)
+    budget = F.floor(
+        F.sum("avail_tokens").over(w) * F.lit(BUDGET_FRACTION_NUM)
+        / F.lit(BUDGET_FRACTION_DEN)
+    )
+    shared = avail.select(
+        "source",
+        "avail_tokens",
+        share.alias("share"),
+        F.least(F.col("avail_tokens"), F.floor(budget * share)).alias("alloc_tokens"),
+    )
+    return shared.select(
+        "source",
+        "avail_tokens",
+        "share",
+        "alloc_tokens",
+        F.round(F.col("alloc_tokens") / F.col("avail_tokens"), 4).alias("epochs"),
+    ).orderBy("source")
+
+
+_DSIR_TGT_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+ORACLE["dsir_importance_weights"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source IN ({_DSIR_TGT_IN}) AS is_target,
+               {H64_SQL.format(expr="tok")} % {DSIR_BUCKETS} AS bucket
+        FROM (SELECT doc_id, lang, source,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    ),
+    counts AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+               SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS c_r
+        FROM toks GROUP BY bucket
+    ),
+    ratios AS (
+        SELECT bucket,
+               ln(((c_t + 1) / (SUM(c_t) OVER () + {DSIR_BUCKETS}))
+                  / ((c_r + 1) / (SUM(c_r) OVER () + {DSIR_BUCKETS}))) AS log_ratio
+        FROM counts
+    ),
+    doc_w AS (
+        SELECT t.doc_id, t.lang, SUM(r.log_ratio) AS w
+        FROM toks t JOIN ratios r ON t.bucket = r.bucket
+        WHERE NOT t.is_target
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(w), 4) AS mean_weight,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           ROUND(AVG(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END), 4) AS keep_rate
+    FROM doc_w GROUP BY lang ORDER BY lang
+"""
+
+ORACLE["source_quality_cap"] = f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * 1000000 + n_chars AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC) AS rk
+        FROM scored
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rk > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           MIN(CASE WHEN rk <= {SOURCE_CAP} THEN quality END) AS quality_floor
+    FROM ranked GROUP BY source ORDER BY source
+"""
+
+ORACLE["token_budget_allocation"] = f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    shared AS (
+        SELECT source, avail_tokens,
+               ROUND(sqrt(CAST(avail_tokens AS DOUBLE))
+                     / SUM(sqrt(CAST(avail_tokens AS DOUBLE))) OVER (), 6) AS share,
+               FLOOR(SUM(avail_tokens) OVER () * {BUDGET_FRACTION_NUM}.0
+                     / {BUDGET_FRACTION_DEN}) AS budget
+        FROM avail
+    )
+    SELECT source, avail_tokens, share,
+           CAST(LEAST(avail_tokens, FLOOR(budget * share)) AS BIGINT)
+               AS alloc_tokens,
+           ROUND(LEAST(avail_tokens, FLOOR(budget * share))
+                 / CAST(avail_tokens AS DOUBLE), 4) AS epochs
+    FROM shared ORDER BY source
+"""
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+QUERIES["source_quality_cap"] = source_quality_cap
+QUERIES["token_budget_allocation"] = token_budget_allocation

@@ -1578,3 +1578,102 @@ ORACLE["cell_label_purity"] = f"""
     FROM best
     ORDER BY cell
 """
+
+
+# --- matryoshka truncation audit (r6 window) ---------------------------------
+
+TRUNC_DIM = 16  # retrieval prefix length (Matryoshka: 64-d stored, 16-d served)
+
+
+def matryoshka_truncation_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-representation audit (Kusupati et al. 2022,
+    arXiv:2205.13147): how much ranking signal survives when vectors
+    are truncated to their first ``TRUNC_DIM`` dimensions — the
+    decision every embedding-serving stack makes before paying for
+    full-width ANN.  For each query vector (vec_id < N_QUERIES),
+    against every other vector: the mean |cos_full − cos_truncated|
+    and whether the top-1 neighbour under the truncated metric matches
+    the full-width top-1 (ties broken by lower vec_id, both engines).
+
+    100 TB shape: identical to ``knn_brute_force`` — the N_QUERIES
+    query rows broadcast, both norms are computed once per ROW before
+    the join (each pair then costs two dots + two multiplies), and the
+    per-query reduction is a partial-aggregatable max(struct) argmax,
+    not a window — no low-cardinality raw-row shuffle on query_id."""
+    emb = (
+        widen_small_scan(table(spark, sf, "embeddings"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.slice(F.col("embedding"), 1, TRUNC_DIM).alias("trunc"),
+        )
+        .withColumn("nrm", _norm64(F.col("embedding")))
+        .withColumn("tnrm", _norm64(F.col("trunc")))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("trunc").alias("qt"),
+        F.col("nrm").alias("qnrm"),
+        F.col("tnrm").alias("qtnrm"),
+    )
+    cf = F.round(
+        _dot64(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    ct = F.round(
+        _dot64(F.col("qt"), F.col("trunc")) / (F.col("qtnrm") * F.col("tnrm")), 6
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cf.alias("cf"), ct.alias("ct"))
+    )
+    best_f = F.max(F.struct(F.col("cf").alias("c"), (-F.col("vec_id")).alias("nv")))
+    best_t = F.max(F.struct(F.col("ct").alias("c"), (-F.col("vec_id")).alias("nv")))
+    agg = pairs.groupBy("query_id").agg(
+        F.count("*").alias("n_cands"),
+        F.round(F.avg(F.abs(F.col("cf") - F.col("ct"))), 4).alias("mean_abs_err"),
+        best_f.alias("bf"),
+        best_t.alias("bt"),
+    )
+    return agg.select(
+        "query_id",
+        "n_cands",
+        "mean_abs_err",
+        (-F.col("bf.nv")).alias("top1_full"),
+        (-F.col("bt.nv")).alias("top1_trunc"),
+        (F.col("bf.nv") == F.col("bt.nv")).alias("top1_match"),
+    ).orderBy("query_id")
+
+
+def _cos_trunc_sql(a: str, b: str) -> str:
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {TRUNC_DIM}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (p, q) -> p + q)"
+        )
+
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+ORACLE["matryoshka_truncation_error"] = f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) AS cf,
+               ROUND({_cos_trunc_sql("q.embedding", "c.embedding")}, 6) AS ct
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    agg AS (
+        SELECT query_id, COUNT(*) AS n_cands,
+               ROUND(AVG(ABS(cf - ct)), 4) AS mean_abs_err,
+               MAX(ROW(cf, -vec_id)) AS bf,
+               MAX(ROW(ct, -vec_id)) AS bt
+        FROM pairs GROUP BY query_id
+    )
+    SELECT query_id, n_cands, mean_abs_err,
+           -bf[2] AS top1_full, -bt[2] AS top1_trunc,
+           bf[2] = bt[2] AS top1_match
+    FROM agg ORDER BY query_id
+"""
+QUERIES["matryoshka_truncation_error"] = matryoshka_truncation_error

@@ -2135,3 +2135,124 @@ ORACLE["gopher_quality_flags"] = f"""
     GROUP BY lang
     ORDER BY lang
 """
+
+
+# --- winnowing (local document fingerprinting) -------------------------------
+
+WINNOW_W = 4  # winnowing window: consecutive shingle-hash positions per window
+WINNOW_N = 3  # shingle width in words (same as doc_fingerprints)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) — the LOCAL fingerprinting guarantee that
+    ``doc_fingerprints``' global min/max hash lacks: slide a window of
+    ``WINNOW_W`` consecutive word-3-gram hashes over each document and
+    keep the window minimum, so every match of at least
+    ``WINNOW_N + WINNOW_W - 1`` words is guaranteed to share a selected
+    fingerprint (min/max-of-document gives no such locality). Per
+    source: docs fingerprinted, total hash windows, selected
+    fingerprints (distinct within doc), corpus-distinct fingerprints,
+    and the selection density (theory: ~2/(W+1)).
+
+    100 TB shape: shingling, hashing, the sliding min, and the
+    in-document distinct are ALL row-local array expressions — the text
+    column never crosses a shuffle. Only two tiny aggregates move data:
+    a per-source partial+final rollup of three integers, and the
+    corpus-distinct count, whose shuffle carries (source, fp_hash)
+    pairs — 12 bytes a row, pre-shrunk map-side by partial distinct.
+    The map-only subtree is deliberately recomputed for the two
+    branches rather than cached: re-scanning a columnar text column
+    through codegen is cheaper at scale than materializing per-doc hash
+    arrays."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = _tokens()
+    # guard: Spark's sequence(a, b) DESCENDS when b < a (unlike
+    # DuckDB's generate_series, which returns empty) — gate on size
+    shingles = F.when(
+        F.size(toks) >= WINNOW_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - WINNOW_N),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(shingles, lambda s: _h64_spark(s))
+    n_sh = F.size(hs)
+    fps = F.when(
+        n_sh >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh - (WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice(hs, i, WINNOW_W)),
+            )
+        ),
+    )
+    per_doc = (
+        docs.select("doc_id", "source", n_sh.alias("n_sh"), fps.alias("fps"))
+        .filter(F.col("fps").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            (F.col("n_sh") - (WINNOW_W - 1)).alias("n_windows"),
+            F.col("fps"),
+            F.size("fps").alias("n_fp"),
+        )
+    )
+    rollup = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_windows").alias("n_windows"),
+        F.sum("n_fp").alias("n_fp"),
+    )
+    distinct_fp = (
+        per_doc.select("source", F.explode("fps").alias("fp"))
+        .groupBy("source")
+        .agg(F.count_distinct("fp").alias("n_fp_distinct"))
+    )
+    return (
+        rollup.join(F.broadcast(distinct_fp), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_windows",
+            "n_fp",
+            "n_fp_distinct",
+            F.round(F.col("n_fp") / F.col("n_windows"), 4).alias("density"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["winnowing_fingerprints"] = f"""
+    WITH hashed AS (
+        SELECT doc_id, source,
+               list_transform(
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - {WINNOW_N - 1}),
+                       i -> array_to_string(string_split(text, ' ')[i:i+{WINNOW_N - 1}], ' ')),
+                   s -> {H64_SQL.format(expr="s")}) AS hs
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               len(hs) - {WINNOW_W - 1} AS n_windows,
+               list_distinct(list_transform(
+                   generate_series(1, len(hs) - {WINNOW_W - 1}),
+                   i -> list_aggregate(hs[i:i+{WINNOW_W - 1}], 'min'))) AS fps
+        FROM hashed WHERE len(hs) >= {WINNOW_W}
+    )
+    SELECT r.source, r.n_docs, r.n_windows, r.n_fp, d.n_fp_distinct,
+           ROUND(r.n_fp / CAST(r.n_windows AS DOUBLE), 4) AS density
+    FROM (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+               CAST(SUM(len(fps)) AS BIGINT) AS n_fp
+        FROM per_doc GROUP BY source
+    ) r
+    JOIN (
+        SELECT source, COUNT(DISTINCT fp) AS n_fp_distinct
+        FROM (SELECT source, unnest(fps) AS fp FROM per_doc)
+        GROUP BY source
+    ) d USING (source)
+    ORDER BY source
+"""
+QUERIES["winnowing_fingerprints"] = winnowing_fingerprints
