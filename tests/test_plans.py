@@ -483,6 +483,7 @@ INTENTIONAL_BNLJ = {
     "semdedup_prune",       # composes _cell_assignment's broadcast centroids
     "hard_negative_mining",  # composes _cell_assignment + broadcast queries
     "cell_label_purity",    # composes _cell_assignment's broadcast centroids
+    "matryoshka_truncation_error",  # 5 broadcast query vectors x corpus scan
 }
 
 

@@ -635,3 +635,257 @@ def test_exact_quantiles_match_sorted_pick(spark, prices, tmp_path_factory):
         rank = math.ceil(q * n)
         want.add((q, ordered[rank - 1][0], rank, n))
     assert got == want
+
+
+# --- round-5 wave-5 data-selection family ------------------------------------
+
+
+def _write_docs(spark, tmp_path_factory, tag, rows):
+    """rows: (doc_id, lang, source, text). Writes a minimal documents
+    table (n_chars derived) and returns the sf dir."""
+    out = tmp_path_factory.mktemp(tag)
+    spark.createDataFrame(
+        [(i, lg, src, text, len(text)) for i, lg, src, text in rows],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def _h64_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.sampled_from(["en", "fr"]),
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=14),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_winnowing_matches_python_reference(spark, docs, tmp_path_factory):
+    """winnowing_fingerprints' per-source rollup must equal a
+    pure-Python winnowing (same 60-bit md5 hash, same 3-gram shingles,
+    same W=4 window-min) for any corpus — tiny alphabets force the
+    repeated-shingle / duplicate-window-min cases, and short docs
+    exercise the < W cutoff."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        WINNOW_N,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    rows = [(i, lg, src, " ".join(toks)) for i, lg, src, toks in docs]
+    d = _write_docs(spark, tmp_path_factory, "winnow_prop", rows)
+
+    got = {
+        (
+            r["source"],
+            r["n_docs"],
+            r["n_windows"],
+            r["n_fp"],
+            r["n_fp_distinct"],
+            r["density"],
+        )
+        for r in winnowing_fingerprints(spark, d).collect()
+    }
+
+    per_source: dict[str, list] = {}
+    for i, lg, src, text in rows:
+        toks = text.split(" ")
+        if len(toks) < WINNOW_N:
+            continue
+        hs = [
+            _h64_py(" ".join(toks[j : j + WINNOW_N]))
+            for j in range(len(toks) - WINNOW_N + 1)
+        ]
+        if len(hs) < WINNOW_W:
+            continue
+        fps = {
+            min(hs[j : j + WINNOW_W]) for j in range(len(hs) - WINNOW_W + 1)
+        }
+        per_source.setdefault(src, []).append((len(hs) - WINNOW_W + 1, fps))
+    want = set()
+    for src, entries in per_source.items():
+        n_windows = sum(w for w, _ in entries)
+        n_fp = sum(len(f) for _, f in entries)
+        distinct = len(set().union(*(f for _, f in entries)))
+        density = float(
+            (Decimal(n_fp) / Decimal(n_windows)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        want.add((src, len(entries), n_windows, n_fp, distinct, density))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.sampled_from(["en", "fr"]),
+            st.sampled_from(["sA", "sB"]),
+            st.lists(st.sampled_from(list("abc")), min_size=1, max_size=6),
+        ),
+        min_size=0,
+        max_size=55,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_source_quality_cap_matches_python_reference(
+    spark, docs, tmp_path_factory
+):
+    """The keep/drop split and quality floor must equal a per-source
+    Python sort for any corpus — with up to ~27 docs per source the
+    CAP=20 boundary is actually exercised, and the tiny alphabet
+    forces quality ties broken by doc_id."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        SOURCE_CAP,
+        source_quality_cap,
+    )
+
+    rows = [(i, lg, src, " ".join(toks)) for i, lg, src, toks in docs]
+    d = _write_docs(spark, tmp_path_factory, "cap_prop", rows)
+
+    got = {
+        (r["source"], r["n_docs"], r["n_kept"], r["n_dropped"], r["quality_floor"])
+        for r in source_quality_cap(spark, d).collect()
+    }
+
+    per_source: dict[str, list] = {}
+    for i, lg, src, text in rows:
+        toks = text.split(" ")
+        q = len(set(toks)) * 1_000_000 + len(text)
+        per_source.setdefault(src, []).append((q, i))
+    want = set()
+    for src, qs in per_source.items():
+        ordered = sorted(qs, key=lambda t: (-t[0], t[1]))
+        kept = ordered[:SOURCE_CAP]
+        want.add(
+            (src, len(qs), len(kept), len(qs) - len(kept), min(q for q, _ in kept))
+        )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.sampled_from(["en", "fr"]),
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.lists(st.sampled_from(list("ab")), min_size=1, max_size=9),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_token_budget_allocation_invariants(spark, docs, tmp_path_factory):
+    """For any corpus: per-source availability is exact, every
+    allocation is clipped at availability, the total allocation never
+    exceeds the budget, and shares match the sqrt-temperature formula
+    within rounding."""
+    import math
+
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        BUDGET_FRACTION_DEN,
+        BUDGET_FRACTION_NUM,
+        token_budget_allocation,
+    )
+
+    rows = [(i, lg, src, " ".join(toks)) for i, lg, src, toks in docs]
+    d = _write_docs(spark, tmp_path_factory, "budget_prop", rows)
+
+    out = {r["source"]: r for r in token_budget_allocation(spark, d).collect()}
+
+    avail: dict[str, int] = {}
+    for i, lg, src, text in rows:
+        avail[src] = avail.get(src, 0) + len(text.split(" "))
+    total = sum(avail.values())
+    budget = total * BUDGET_FRACTION_NUM // BUDGET_FRACTION_DEN
+    wsum = sum(math.sqrt(a) for a in avail.values())
+
+    assert set(out) == set(avail)
+    for src, a in avail.items():
+        r = out[src]
+        assert r["avail_tokens"] == a
+        assert 0 <= r["alloc_tokens"] <= a
+        assert abs(r["share"] - math.sqrt(a) / wsum) <= 2e-6
+        assert abs(r["epochs"] - r["alloc_tokens"] / a) <= 2e-4
+    assert sum(r["alloc_tokens"] for r in out.values()) <= budget
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.sampled_from(["en", "fr"]),
+            st.sampled_from(["src0", "sX", "sY"]),  # src0 = DSIR target
+            st.lists(st.sampled_from(list("abcdef")), min_size=1, max_size=10),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_dsir_weights_match_python_reference(spark, docs, tmp_path_factory):
+    """Per-language doc counts and selection counts must be exact, and
+    the mean weight must match a pure-Python add-one-smoothed hashed
+    log-ratio scorer to float tolerance, for any target/pool split —
+    including corpora that are all-target (empty output) or all-pool."""
+    import math
+
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCES,
+        dsir_importance_weights,
+    )
+
+    rows = [(i, lg, src, " ".join(toks)) for i, lg, src, toks in docs]
+    d = _write_docs(spark, tmp_path_factory, "dsir_prop", rows)
+
+    out = {r["lang"]: r for r in dsir_importance_weights(spark, d).collect()}
+
+    c_t: dict[int, int] = {}
+    c_r: dict[int, int] = {}
+    pool_docs = []
+    for i, lg, src, text in rows:
+        buckets = [_h64_py(t) % DSIR_BUCKETS for t in text.split(" ")]
+        if src in DSIR_TARGET_SOURCES:
+            for b in buckets:
+                c_t[b] = c_t.get(b, 0) + 1
+        else:
+            for b in buckets:
+                c_r[b] = c_r.get(b, 0) + 1
+            pool_docs.append((lg, buckets))
+    seen = set(c_t) | set(c_r)
+    tot_t, tot_r = sum(c_t.values()), sum(c_r.values())
+    ratio = {
+        b: math.log(
+            ((c_t.get(b, 0) + 1) / (tot_t + DSIR_BUCKETS))
+            / ((c_r.get(b, 0) + 1) / (tot_r + DSIR_BUCKETS))
+        )
+        for b in seen
+    }
+    per_lang: dict[str, list] = {}
+    for lg, buckets in pool_docs:
+        per_lang.setdefault(lg, []).append(sum(ratio[b] for b in buckets))
+    assert set(out) == set(per_lang)
+    for lg, ws in per_lang.items():
+        r = out[lg]
+        assert r["n_docs"] == len(ws)
+        assert r["n_selected"] == sum(1 for w in ws if w > 0)
+        assert abs(r["mean_weight"] - sum(ws) / len(ws)) <= 2e-4
