@@ -2164,39 +2164,62 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     The map-only subtree is deliberately recomputed for the two
     branches rather than cached: re-scanning a columnar text column
     through codegen is cheaper at scale than materializing per-doc hash
-    arrays."""
-    docs = widen_small_scan(table(spark, sf, "documents"))
-    toks = _tokens()
-    # guard: Spark's sequence(a, b) DESCENDS when b < a (unlike
-    # DuckDB's generate_series, which returns empty) — gate on size
-    shingles = F.when(
-        F.size(toks) >= WINNOW_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - WINNOW_N),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_N)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hs = F.transform(shingles, lambda s: _h64_spark(s))
-    n_sh = F.size(hs)
-    fps = F.when(
-        n_sh >= WINNOW_W,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_sh - (WINNOW_W - 1)),
-                lambda i: F.array_min(F.slice(hs, i, WINNOW_W)),
-            )
-        ),
+    arrays.
+
+    Evaluation-order notes (both measured, both catastrophic when
+    violated):
+
+    - the hash array MUST be materialized as its own projected column
+      before the sliding-min transform. Spark evaluates non-lambda
+      subexpressions inside a higher-order-function lambda once PER
+      ELEMENT, so inlining ``hs`` into ``slice(hs, i, W)`` recomputes
+      every shingle md5 once per window. With ``hs`` bound as an
+      attribute the slice is a field read, and the multi-reference
+      projection survives CollapseProject (which never merges a
+      projection whose non-cheap expressions are consumed more than
+      once).
+    - the short-doc cutoff MUST be a predicate on the raw token count,
+      NOT a null/size test on the fingerprint array: PushDownPredicate
+      rewrites a ``fps IS NOT NULL`` filter by substituting the ENTIRE
+      fps expression tree — hash pipeline inlined back inside the
+      window lambda — into a Filter node below the repartition
+      (measured: 260 s at sf0.1 for a ~5000-doc corpus; 2 s with the
+      cheap predicate). ``size(split(text)) >= N + W - 1`` is
+      equivalent (n_windows >= 1) and costs one split.
+    - the corpus-distinct branch MUST use ``explode_outer``, not
+      ``explode``: InferFiltersFromGenerate adds ``size(fps) > 0 AND
+      fps IS NOT NULL`` to a plain explode and PushDownPredicate then
+      performs the same full-tree substitution as above (measured:
+      13 s at sf0.01 from the inferred filter alone). The outer
+      variant infers nothing, and the token-count predicate already
+      guarantees every array is non-empty, so the rows are
+      identical."""
+    docs = widen_small_scan(table(spark, sf, "documents")).filter(
+        F.size(_tokens()) >= WINNOW_N + WINNOW_W - 1
     )
-    per_doc = (
-        docs.select("doc_id", "source", n_sh.alias("n_sh"), fps.alias("fps"))
-        .filter(F.col("fps").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            (F.col("n_sh") - (WINNOW_W - 1)).alias("n_windows"),
-            F.col("fps"),
-            F.size("fps").alias("n_fp"),
+    toks = _tokens()
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - WINNOW_N),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_N)),
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.transform(shingles, lambda s: _h64_spark(s)).alias("hs"),
+    )
+    n_sh = F.size(F.col("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh - (WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, WINNOW_W)),
         )
+    )
+    per_doc = hashed.select(
+        "doc_id",
+        "source",
+        (n_sh - (WINNOW_W - 1)).alias("n_windows"),
+        fps.alias("fps"),
+        F.size(fps).alias("n_fp"),
     )
     rollup = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -2204,7 +2227,7 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_fp").alias("n_fp"),
     )
     distinct_fp = (
-        per_doc.select("source", F.explode("fps").alias("fp"))
+        per_doc.select("source", F.explode_outer("fps").alias("fp"))
         .groupBy("source")
         .agg(F.count_distinct("fp").alias("n_fp_distinct"))
     )

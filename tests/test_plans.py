@@ -1112,6 +1112,53 @@ def test_no_raw_low_cardinality_shuffle_in_any_registry_query(spark):
     assert not offenders, offenders
 
 
+@pytest.mark.sweep
+def test_no_nested_hof_filter_in_any_registry_query(spark):
+    """Registry-wide hygiene sweep (generalizes the r5
+    winnowing_fingerprints finding): no query's physical plan may carry
+    a Filter that evaluates nested higher-order functions.
+    PushDownPredicate (filter on a derived array column) and
+    InferFiltersFromGenerate (plain explode of a derived array) both
+    substitute the array's FULL defining expression into the predicate;
+    with multi-level array pipelines the inner levels then re-evaluate
+    once per outer lambda element — an O(n^2)-per-row interpreter loop,
+    usually below the repartition (measured: 260 s -> 1.2 s at sf0.1
+    for winnowing). Cheap raw-column predicates and explode_outer are
+    the fixes; this sweep guards every FUTURE operator."""
+    import __spark_entry__ as E
+
+    from pinterest_data_pipeline6_spark.plans import nested_hof_filters
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        bad = nested_hof_filters(executed_plan(fn(spark, SF)))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_nested_hof_filter_detector_catches_seeded_regression(spark):
+    """The detector must flag the exact plan shape the winnowing bug
+    produced: a plain explode over a two-level HOF array column, whose
+    inferred size/notnull filters inline the nested pipeline."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline6_spark.operators.textops import _h64_spark
+    from pinterest_data_pipeline6_spark.plans import nested_hof_filters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    hs = F.transform(toks, lambda s: _h64_spark(s))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - 3, F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, 4)),
+    )
+    seeded = docs.select(F.explode(mins).alias("m"))  # plain explode: infers filters
+    assert nested_hof_filters(executed_plan(seeded)), (
+        "detector missed an inferred nested-HOF filter from explode"
+    )
+
+
 @pytest.mark.parametrize(
     "query",
     ["curriculum_deciles", "rfm_segments", "token_gini_per_lang"],
