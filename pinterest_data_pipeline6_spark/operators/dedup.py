@@ -998,7 +998,14 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.max("k").alias("k"))
     )
-    sets = docs.select("doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh"))
+    # materialize the token array before shingling: _shingles slices the
+    # token list inside a transform lambda, and a lambda body re-evaluates
+    # non-attribute subexpressions once per ELEMENT — with split() inlined
+    # the text re-splits once per shingle (the plan-hygiene class guarded
+    # by plans.nested_hof_filters; here it hid in a Project)
+    sets = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).select(
+        "doc_id", _shingles(F.col("toks")).alias("sh")
+    )
     scored = (
         est.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

@@ -568,7 +568,12 @@ def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     Shingling via transform over an index sequence — no explode, no
     shuffle; the document row count is preserved."""
     docs = table(spark, sf, "documents")
-    toks = _tokens()
+    # token array materialized as a column: the shingle lambda slices it
+    # per element, and lambda bodies re-evaluate non-attribute
+    # subexpressions once per ELEMENT — inlining split() would re-split
+    # the text once per shingle (plans.nested_hof_filters class)
+    tokd = docs.select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
     # guard: Spark's sequence(0, n) DESCENDS when n < 0 (docs with < 3
     # tokens), unlike DuckDB's generate_series which returns empty
     shingles = F.array_distinct(
@@ -580,12 +585,16 @@ def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    hashes = F.transform(shingles, lambda s: _h64_spark(s))
-    return docs.select(
+    # ... and the hash array too, so min/max/size read an attribute
+    # instead of re-hashing the shingles three times per row
+    hashed = tokd.select(
+        "doc_id", F.transform(shingles, lambda s: _h64_spark(s)).alias("hs")
+    )
+    return hashed.select(
         "doc_id",
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
-        F.size(hashes).alias("n_shingles"),
+        F.array_min(F.col("hs")).alias("fp_min"),
+        F.array_max(F.col("hs")).alias("fp_max"),
+        F.size(F.col("hs")).alias("n_shingles"),
     )
 
 
@@ -601,8 +610,6 @@ def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     100 TB this is scan-bound, embarrassingly parallel, and prunes to
     the single ``text`` column."""
     docs = widen_small_scan(table(spark, sf, "documents"))
-    toks = _tokens()
-    n_tok = F.size(toks)
 
     def max_freq_frac(arr: Column) -> Column:
         top = F.array_max(
@@ -613,6 +620,14 @@ def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         return top / F.size(arr)
 
+    # token and bigram arrays materialized as columns before the
+    # frequency lambdas: max_freq_frac filters the array once per
+    # DISTINCT element, and a lambda body re-evaluates non-attribute
+    # subexpressions per element — inlining split() would re-split the
+    # text once per distinct token (plans.nested_hof_filters class)
+    tokd = docs.select(_tokens().alias("toks"))
+    toks = F.col("toks")
+    n_tok = F.size(toks)
     bigrams = F.when(
         n_tok >= 2,
         F.transform(
@@ -620,15 +635,16 @@ def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    arrd = tokd.select("toks", bigrams.alias("bigrams"))
     # integer decile: floor(((n - distinct) * 10) / n). Exact in both
     # engines — operands are small exact integers, so the FP quotient
     # can't straddle an integer — unlike round(double, 1), whose halfway
     # behavior diverges cross-engine.
     dup_decile = F.floor(((n_tok - F.size(F.array_distinct(toks))) * 10) / n_tok)
-    per_doc = docs.select(
+    per_doc = arrd.select(
         dup_decile.cast("int").alias("rep_bucket"),
         max_freq_frac(toks).alias("top_tok_frac"),
-        max_freq_frac(bigrams).alias("top_bigram_frac"),
+        max_freq_frac(F.col("bigrams")).alias("top_bigram_frac"),
     )
     return (
         per_doc.groupBy("rep_bucket")
@@ -881,7 +897,12 @@ def token_entropy_stats(spark: SparkSession, sf: str) -> DataFrame:
     ``+ 0.0`` normalizes IEEE ``-0.0`` (single-distinct-token docs) so
     both engines emit the same sign."""
     docs = table(spark, sf, "documents")
-    toks = _tokens()
+    # token array materialized as a column: the per-term fold filters it
+    # once per DISTINCT term, and lambda bodies re-evaluate non-attribute
+    # subexpressions per element — inlining split() would re-split the
+    # text once per distinct term (plans.nested_hof_filters class)
+    tokd = docs.select("lang", _tokens().alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks).cast("double")
     terms = F.array_sort(F.array_distinct(toks))
 
@@ -891,7 +912,7 @@ def token_entropy_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     ent = F.round(-F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + _term(t)), 6) + 0.0
     return (
-        docs.select("lang", ent.alias("ent"))
+        tokd.select("lang", ent.alias("ent"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -2197,12 +2218,15 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     docs = widen_small_scan(table(spark, sf, "documents")).filter(
         F.size(_tokens()) >= WINNOW_N + WINNOW_W - 1
     )
-    toks = _tokens()
+    # token array materialized as a column for the same reason as hs
+    # below: the shingle lambda slices it per element
+    tokd = docs.select("doc_id", "source", _tokens().alias("toks"))
+    toks = F.col("toks")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - WINNOW_N),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_N)),
     )
-    hashed = docs.select(
+    hashed = tokd.select(
         "doc_id",
         "source",
         F.transform(shingles, lambda s: _h64_spark(s)).alias("hs"),

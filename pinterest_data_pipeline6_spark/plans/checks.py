@@ -182,8 +182,9 @@ def plan_audit(df: DataFrame) -> dict:
 
 
 def nested_hof_filters(plan: str) -> list[str]:
-    """Scale-hygiene sweep: return every Filter or Generate node that
-    re-computes a DERIVED ARRAY inside a lambda body.
+    """Scale-hygiene sweep: return every plan node — Filter, Generate,
+    Project, Aggregate, ... — that re-computes a DERIVED ARRAY inside a
+    lambda body.
 
     Why this exists: Spark evaluates a higher-order function's array
     argument once per row, but everything inside the lambda body once
@@ -219,8 +220,6 @@ def nested_hof_filters(plan: str) -> list[str]:
     flagged = []
     for line in plan.splitlines():
         stripped = line.strip()
-        if not re.match(r"[:+\-* ]*\(?\d*\)?\s*(Filter|Generate)\b", stripped):
-            continue
         bodies = []
         i = 0
         while True:
