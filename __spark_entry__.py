@@ -78,6 +78,9 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     "token_budget_allocation",
     "winnowing_fingerprints",
     "matryoshka_truncation_error",
+    # wave 6 (LM prep: Kneser-Ney continuation counts, PMI collocations)
+    "kn_continuation_stats",
+    "pmi_collocations",
 })
 
 

@@ -2303,3 +2303,212 @@ ORACLE["winnowing_fingerprints"] = f"""
     ORDER BY source
 """
 QUERIES["winnowing_fingerprints"] = winnowing_fingerprints
+
+
+# --- LM-prep wave (r6 window): KN continuation + PMI collocations ------------
+
+KN_TOP = 5  # words reported per language
+PMI_MIN_COUNT = 3  # collocation support floor (classic PMI junk filter)
+PMI_TOP = 5  # collocations reported per language
+
+
+def kn_continuation_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Kneser-Ney continuation statistics — the count pass that
+    distinguishes KN smoothing from plain Katz/add-k (Kneser & Ney
+    1995): a word's continuation probability is driven by how many
+    DISTINCT left contexts it follows, not how often it occurs
+    (the canonical example: 'Francisco' is frequent but follows almost
+    nothing but 'San', so its continuation mass is tiny). Per language:
+    the ``KN_TOP`` words with the most distinct left contexts, with
+    p_continuation(w) = N1+(·w) / |distinct bigram types|.
+
+    100 TB shape: bigrams come from one index-explode in a plain
+    codegen projection (no per-element lambda recompute); the distinct
+    bigram-type reduction is the only corpus-sized shuffle and
+    partial-aggregates map-side (dup bigrams collapse before the
+    exchange). Everything after runs on the (lang, word)-aggregated
+    relation: the per-lang type total is a 5-row broadcast, and the
+    top-k window compiles to WindowGroupLimit over aggregate rows."""
+    from pyspark.sql.window import Window
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    bg = (
+        docs.select("lang", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "lang",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        )
+        .select(
+            "lang",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    types = bg.distinct()
+    cont = types.groupBy("lang", "w2").agg(F.count("*").alias("cont_types"))
+    tot = types.groupBy("lang").agg(F.count("*").alias("total_types"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cont_types"), F.asc("w2"))
+    return (
+        cont.join(F.broadcast(tot), "lang")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KN_TOP)
+        .select(
+            "lang",
+            "rank",
+            F.col("w2").alias("word"),
+            "cont_types",
+            F.round(
+                F.col("cont_types").cast("double") / F.col("total_types"), 6
+            ).alias("p_continuation"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation extraction (Church & Hanks 1990): per language,
+    the ``PMI_TOP`` adjacent word pairs with the highest pointwise
+    mutual information log2(p(ab) / (p(a)·p(b))) among pairs seen at
+    least ``PMI_MIN_COUNT`` times — the classic corpus-linguistics pass
+    for multi-word expressions (and, in a training pipeline, for
+    tokenizer-merge and stop-phrase candidates). Unigram probabilities
+    use occurrence counts over all tokens; the pair probability uses
+    adjacent-pair occurrences.
+
+    100 TB shape: two corpus-sized reductions, both partial-aggregating
+    map-side (token occurrences; adjacent-pair occurrences from the
+    same index-explode idiom as ``bigram_lm_counts``). The unigram
+    joins key on (lang, word) against aggregated relations; the per-
+    lang totals are 5-row broadcasts; ranking windows over aggregate
+    rows only. Ties in rounded PMI break on the pair text."""
+    from pyspark.sql.window import Window
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    tokd = docs.select("lang", _tokens().alias("toks"))
+    uni = (
+        tokd.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    n_uni = uni.groupBy("lang").agg(F.sum("n_w").alias("n_uni"))
+    pairs = (
+        tokd.filter(F.size("toks") >= 2)
+        .select(
+            "lang",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        )
+        .select(
+            "lang",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    n_bi = pairs.groupBy("lang").agg(F.sum("n_pair").alias("n_bi"))
+    scored = (
+        pairs.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(uni.select("lang", F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
+              ["lang", "w1"])
+        .join(uni.select("lang", F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
+              ["lang", "w2"])
+        .join(F.broadcast(n_uni), "lang")
+        .join(F.broadcast(n_bi), "lang")
+        .select(
+            "lang",
+            F.concat_ws(" ", F.col("w1"), F.col("w2")).alias("pair"),
+            "n_pair",
+            F.round(
+                F.log2(
+                    (F.col("n_pair") / F.col("n_bi"))
+                    / ((F.col("n_w1") / F.col("n_uni"))
+                       * (F.col("n_w2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("pmi"), F.asc("pair"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PMI_TOP)
+        .select("lang", "rank", "pair", "n_pair", "pmi")
+        .orderBy("lang", "rank")
+    )
+
+
+ORACLE["kn_continuation_stats"] = f"""
+    WITH types AS (
+        SELECT DISTINCT lang,
+               string_split(text, ' ')[i] AS w1,
+               string_split(text, ' ')[i + 1] AS w2
+        FROM (SELECT lang, text,
+                     unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2)
+    ),
+    cont AS (
+        SELECT lang, w2, COUNT(*) AS cont_types FROM types GROUP BY lang, w2
+    ),
+    tot AS (
+        SELECT lang, COUNT(*) AS total_types FROM types GROUP BY lang
+    ),
+    ranked AS (
+        SELECT c.lang, c.w2, c.cont_types, t.total_types,
+               ROW_NUMBER() OVER (PARTITION BY c.lang
+                                  ORDER BY c.cont_types DESC, c.w2 ASC) AS rank
+        FROM cont c JOIN tot t ON c.lang = t.lang
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, w2 AS word,
+           CAST(cont_types AS BIGINT) AS cont_types,
+           ROUND(CAST(cont_types AS DOUBLE) / total_types, 6) AS p_continuation
+    FROM ranked WHERE rank <= {KN_TOP}
+    ORDER BY lang, rank
+"""
+
+ORACLE["pmi_collocations"] = f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uni AS (SELECT lang, w, COUNT(*) AS n_w FROM toks GROUP BY lang, w),
+    n_uni AS (SELECT lang, SUM(n_w) AS n_uni FROM uni GROUP BY lang),
+    pairs AS (
+        SELECT lang,
+               string_split(text, ' ')[i] AS w1,
+               string_split(text, ' ')[i + 1] AS w2,
+               COUNT(*) AS n_pair
+        FROM (SELECT lang, text,
+                     unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2)
+        GROUP BY lang, w1, w2
+    ),
+    n_bi AS (SELECT lang, SUM(n_pair) AS n_bi FROM pairs GROUP BY lang),
+    scored AS (
+        SELECT p.lang, p.w1 || ' ' || p.w2 AS pair, p.n_pair,
+               ROUND(log2((p.n_pair / CAST(b.n_bi AS DOUBLE))
+                          / ((u1.n_w / CAST(n.n_uni AS DOUBLE))
+                             * (u2.n_w / CAST(n.n_uni AS DOUBLE)))), 6) AS pmi
+        FROM pairs p
+        JOIN uni u1 ON p.lang = u1.lang AND p.w1 = u1.w
+        JOIN uni u2 ON p.lang = u2.lang AND p.w2 = u2.w
+        JOIN n_uni n ON p.lang = n.lang
+        JOIN n_bi b ON p.lang = b.lang
+        WHERE p.n_pair >= {PMI_MIN_COUNT}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY pmi DESC, pair ASC) AS rank
+        FROM scored
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, pair,
+           CAST(n_pair AS BIGINT) AS n_pair, pmi
+    FROM ranked WHERE rank <= {PMI_TOP}
+    ORDER BY lang, rank
+"""
+
+QUERIES["kn_continuation_stats"] = kn_continuation_stats
+QUERIES["pmi_collocations"] = pmi_collocations

@@ -889,3 +889,53 @@ def test_dsir_weights_match_python_reference(spark, docs, tmp_path_factory):
         assert r["n_docs"] == len(ws)
         assert r["n_selected"] == sum(1 for w in ws if w > 0)
         assert abs(r["mean_weight"] - sum(ws) / len(ws)) <= 2e-4
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.sampled_from(["en", "fr"]),
+            st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=10),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_kn_continuation_matches_python_reference(spark, docs, tmp_path_factory):
+    """The continuation table must equal a pure-Python Kneser-Ney count
+    pass for any corpus — tiny alphabets force heavy bigram-type
+    collisions (the regime where continuation counts and raw counts
+    actually diverge), and sub-2-token docs exercise the cutoff."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        KN_TOP,
+        kn_continuation_stats,
+    )
+
+    rows = [(i, lg, "sX", " ".join(toks)) for i, lg, toks in docs]
+    d = _write_docs(spark, tmp_path_factory, "kn_prop", rows)
+
+    got = {
+        (r["lang"], r["rank"], r["word"], r["cont_types"], r["p_continuation"])
+        for r in kn_continuation_stats(spark, d).collect()
+    }
+
+    types: set = set()
+    for i, lg, _src, text in rows:
+        toks = text.split(" ")
+        for j in range(len(toks) - 1):
+            types.add((lg, toks[j], toks[j + 1]))
+    want = set()
+    langs = {lg for lg, _, _ in types}
+    for lg in langs:
+        lang_types = [(w1, w2) for lgx, w1, w2 in types if lgx == lg]
+        total = len(lang_types)
+        cont: dict[str, int] = {}
+        for _w1, w2 in lang_types:
+            cont[w2] = cont.get(w2, 0) + 1
+        ordered = sorted(cont.items(), key=lambda kv: (-kv[1], kv[0]))[:KN_TOP]
+        for rank, (w2, c) in enumerate(ordered, start=1):
+            want.add((lg, rank, w2, c, round(c / total, 6)))
+    assert got == want
