@@ -1,4 +1,4 @@
-"""Scaling measurement for the round-5 wave-5 additions (data
+"""Scaling measurement for the round-5 wave-5/6 additions (data
 selection: DSIR importance weights, winnowing fingerprints, per-source
 caps, token-budget allocation, matryoshka truncation audit).
 
@@ -42,6 +42,11 @@ OPS = (
     ("curation", "token_budget_allocation"),
     ("textops", "winnowing_fingerprints"),
     ("similarity", "matryoshka_truncation_error"),
+    # wave 6 (LM prep) rides the same protocol: verbatim-text copies are
+    # the dup-heavy worst case for the distinct bigram-TYPE reduction
+    # (types stay K-invariant while occurrences grow K-fold)
+    ("textops", "kn_continuation_stats"),
+    ("textops", "pmi_collocations"),
 )
 
 
