@@ -81,6 +81,8 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     # wave 6 (LM prep: Kneser-Ney continuation counts, PMI collocations)
     "kn_continuation_stats",
     "pmi_collocations",
+    # wave 7 (governance: DP-noised release with epsilon utility curve)
+    "dp_lang_histogram",
 })
 
 

@@ -611,3 +611,105 @@ def _cross_split_oracle() -> str:
 
 
 ORACLE["cross_split_leakage"] = _cross_split_oracle()
+
+
+# --- DP-noised release (r6 window) -------------------------------------------
+
+DP_EPSILONS = ("0.1", "1.0", "10.0")  # utility curve: strict -> loose budgets
+DP_SALT = "dp|lang-hist|v1"  # seed domain for the deterministic noise draw
+
+
+def dp_lang_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Differentially-private histogram release with a utility curve:
+    the per-language document counts (a sensitivity-1 counting query)
+    noised with Laplace(1/epsilon) at each budget in ``DP_EPSILONS``,
+    reported next to the true count and the absolute error — the table
+    a data-governance reviewer reads to pick the epsilon a public
+    release can afford.
+
+    SIMULATION-GRADE NOISE, deliberately: the Laplace draw is the
+    inverse-CDF transform of a uniform derived from the portable
+    60-bit hash of (salt, lang, epsilon) — deterministic, so the
+    cross-engine oracle differential and replays agree bit-for-bit. A
+    production release would substitute fresh secure randomness for
+    the hash-uniform; every other line (sensitivity, scale, the
+    epsilon accounting, the error audit) is the production shape.
+
+    100 TB shape: one partial+final count per language, then the noise
+    arithmetic and the 3-epsilon explode run on the #langs-row
+    aggregate — bounded by label cardinality, never corpus size."""
+    docs = table(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("true_count"))
+    # epsilon travels as a STRING label (the double value rides along
+    # for arithmetic): double-to-string rendering differs across
+    # engines ('10' vs '10.0'), and the driver hashes rendered values
+    eps = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("epsilon"), F.lit(float(s)).alias("epsv")
+                )
+                for s in DP_EPSILONS
+            ]
+        )
+    ).alias("e")
+    seeded = counts.select("lang", "true_count", eps).select(
+        "lang", "true_count", F.col("e.epsilon").alias("epsilon"),
+        F.col("e.epsv").alias("epsv"),
+    )
+    # uniform in (0,1): (h64 % 1e6 + 0.5) / 1e6 — never exactly 0 or 1,
+    # so the log below is always finite
+    u = (
+        F.pmod(
+            _h64_spark(
+                F.concat_ws("|", F.lit(DP_SALT), F.col("lang"), F.col("epsilon"))
+            ),
+            F.lit(1_000_000),
+        )
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    v = u - F.lit(0.5)  # centered uniform in (-0.5, 0.5)
+    # inverse-CDF Laplace with scale b = sensitivity/epsilon = 1/epsilon
+    noise = (
+        -F.signum(v) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v)) / F.col("epsv")
+    )
+    return (
+        seeded.select(
+            "lang",
+            "epsilon",
+            "true_count",
+            F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
+            F.round(F.abs(noise), 4).alias("abs_error"),
+        )
+        .orderBy("lang", "epsilon")
+    )
+
+
+_DP_EPS_VALUES = ", ".join(f"('{e}', CAST({e} AS DOUBLE))" for e in DP_EPSILONS)
+_DP_U_SQL = (
+    "(("
+    + H64_SQL.format(expr=f"('{DP_SALT}' || '|' || lang || '|' || epsilon)")
+    + " % 1000000) + 0.5) / 1000000.0"
+)
+
+ORACLE["dp_lang_histogram"] = f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS true_count FROM documents GROUP BY lang
+    ),
+    seeded AS (
+        SELECT c.lang, c.true_count, e.epsilon, e.epsv
+        FROM counts c CROSS JOIN (VALUES {_DP_EPS_VALUES}) AS e(epsilon, epsv)
+    ),
+    noised AS (
+        SELECT lang, epsilon, true_count,
+               -sign(({_DP_U_SQL}) - 0.5)
+                   * ln(1.0 - 2.0 * abs(({_DP_U_SQL}) - 0.5)) / epsv AS noise
+        FROM seeded
+    )
+    SELECT lang, epsilon, CAST(true_count AS BIGINT) AS true_count,
+           ROUND(true_count + noise, 4) AS noisy_count,
+           ROUND(ABS(noise), 4) AS abs_error
+    FROM noised ORDER BY lang, epsilon
+"""
+
+QUERIES["dp_lang_histogram"] = dp_lang_histogram
