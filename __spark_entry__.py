@@ -83,6 +83,9 @@ _DEFERRED_NEW: frozenset[str] = frozenset({
     "pmi_collocations",
     # wave 7 (governance: DP-noised release with epsilon utility curve)
     "dp_lang_histogram",
+    # wave 8 (scale primitives: multi-probe LSH, exact weighted quantiles)
+    "knn_lsh_multiprobe",
+    "weighted_length_quantiles",
 })
 
 

@@ -1677,3 +1677,89 @@ ORACLE["matryoshka_truncation_error"] = f"""
     FROM agg ORDER BY query_id
 """
 QUERIES["matryoshka_truncation_error"] = matryoshka_truncation_error
+
+
+# --- multi-probe LSH (r6 window) ---------------------------------------------
+
+
+def knn_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH top-10 (Lv et al. 2007, VLDB): each query
+    searches its own signature bucket PLUS the ``LSH_BITS`` buckets at
+    Hamming distance 1 — the standard recall/cost lever that makes
+    hyperplane LSH production-viable: near neighbours that land one
+    flipped bit away (the dominant miss mode of single-probe) come
+    back without adding tables or widening buckets.
+
+    100 TB shape: identical join geometry to ``knn_lsh_bucketed`` —
+    the probe fan-out multiplies only the broadcast QUERY side
+    (N_QUERIES x (LSH_BITS+1) rows); the corpus side still hash-joins
+    on its one precomputed bucket and never shuffles globally. Probe
+    buckets are distinct by construction (XOR with distinct bits), so
+    no candidate dedup stage is needed."""
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
+    signed = emb.select(
+        "vec_id",
+        "embedding",
+        _signature(F.col("embedding")).alias("bucket"),
+        _norm64(F.col("embedding")).alias("nrm"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(LSH_BITS)],
+    )
+    q = (
+        signed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(probes).alias("probe"),
+        )
+    )
+    cos = F.round(
+        _dot64(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            signed,
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_PROBE_LIST_SQL = (
+    "list_concat([q.bucket], list_transform(generate_series(0, "
+    f"{LSH_BITS - 1}), b -> xor(q.bucket, (1 << b))))"
+)
+
+ORACLE["knn_lsh_multiprobe"] = f"""
+    WITH signed AS (
+        SELECT vec_id, embedding, {_SIG_SQL} AS bucket FROM embeddings
+    ),
+    probed AS (
+        SELECT q.vec_id AS query_id, q.embedding AS qv,
+               unnest({_PROBE_LIST_SQL}) AS probe
+        FROM signed q WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT p.query_id, c.vec_id,
+               ROUND({_cos_sql("p.qv", "c.embedding")}, 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY ROUND({_cos_sql("p.qv", "c.embedding")}, 6) DESC,
+                            c.vec_id ASC) AS rank
+        FROM probed p JOIN signed c
+          ON c.bucket = p.probe AND c.vec_id <> p.query_id
+    ) WHERE rank <= {TOP_K}
+"""
+QUERIES["knn_lsh_multiprobe"] = knn_lsh_multiprobe

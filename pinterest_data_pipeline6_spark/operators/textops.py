@@ -2512,3 +2512,119 @@ ORACLE["pmi_collocations"] = f"""
 
 QUERIES["kn_continuation_stats"] = kn_continuation_stats
 QUERIES["pmi_collocations"] = pmi_collocations
+
+
+# --- exact weighted quantiles (r6 window) ------------------------------------
+
+WQ_QUANTILES = (("0.25", 1, 4), ("0.5", 1, 2), ("0.75", 3, 4), ("0.9", 9, 10))
+
+
+def weighted_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT token-weighted document-length quantiles: the smallest
+    n_chars value v such that documents of length <= v carry at least
+    q of the corpus's TOKEN mass — the statistic a packing/serving
+    planner actually needs (the unweighted median answers "half the
+    DOCUMENTS are shorter"; the token-weighted median answers "half
+    the TRAINING DATA lives in docs this short").
+
+    100 TB shape: the weighted sibling of ``_distributed_rank`` —
+    one range shuffle on (n_chars, doc_id), per-partition cumulative
+    token sums, and a broadcast prefix-sum of per-partition weight
+    totals turn the global cumulative weight into a row-local column;
+    all four thresholds then resolve in ONE partial-aggregatable pass
+    (min(struct) per threshold — no per-quantile scan, no single-task
+    sort). Thresholds are exact integer cross-multiplications
+    (cum * den >= num * total), so both engines pick identical rows."""
+    from pyspark.sql.window import Window
+
+    spark_ = spark
+    docs = table(spark_, sf, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.size(_tokens()).cast("bigint").alias("wt"),
+    )
+    nparts = int(spark_.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = docs.repartitionByRange(nparts, "score", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").agg(F.sum("wt").alias("w"))
+    w_prev = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = counts.select(
+        "pid",
+        F.coalesce(F.sum("w").over(w_prev), F.lit(0)).alias("w_offset"),
+        F.sum("w").over(w_all).alias("w_total"),
+    )
+    local = Window.partitionBy("pid").orderBy("score", "doc_id")
+    cum = ranged.join(F.broadcast(off), "pid").withColumn(
+        "cum_w", F.col("w_offset") + F.sum("wt").over(local)
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum_w") * F.lit(den) >= F.lit(num) * F.col("w_total"),
+                F.struct(
+                    F.col("cum_w").alias("c"),
+                    F.col("score").alias("s"),
+                    F.col("w_total").alias("t"),
+                ),
+            )
+        ).alias(f"q_{label.replace('.', '_')}")
+        for label, num, den in WQ_QUANTILES
+    ]
+    agg = cum.agg(*picks)
+    per_q = [
+        agg.select(
+            F.lit(label).alias("quantile"),
+            F.col(f"q_{label.replace('.', '_')}.s").alias("n_chars"),
+            F.col(f"q_{label.replace('.', '_')}.c").alias("cum_tokens"),
+            F.col(f"q_{label.replace('.', '_')}.t").alias("total_tokens"),
+            F.round(
+                F.col(f"q_{label.replace('.', '_')}.c")
+                / F.col(f"q_{label.replace('.', '_')}.t"),
+                6,
+            ).alias("share"),
+        )
+        for label, _num, _den in WQ_QUANTILES
+    ]
+    out = per_q[0]
+    for df in per_q[1:]:
+        out = out.unionByName(df)
+    return out.filter(F.col("n_chars").isNotNull()).orderBy("quantile")
+
+
+_WQ_PICKS_SQL = ",\n               ".join(
+    f"MIN(CASE WHEN cum_w * {den} >= {num} * w_total "
+    f"THEN ROW(cum_w, score, w_total) END) AS q_{label.replace('.', '_')}"
+    for label, num, den in WQ_QUANTILES
+)
+_WQ_ROWS_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT '{label}' AS quantile,
+           q_{label.replace('.', '_')}[2] AS n_chars,
+           CAST(q_{label.replace('.', '_')}[1] AS BIGINT) AS cum_tokens,
+           CAST(q_{label.replace('.', '_')}[3] AS BIGINT) AS total_tokens,
+           ROUND(q_{label.replace('.', '_')}[1]
+                 / CAST(q_{label.replace('.', '_')}[3] AS DOUBLE), 6) AS share
+    FROM agg WHERE q_{label.replace('.', '_')} IS NOT NULL"""
+    for label, _num, _den in WQ_QUANTILES
+)
+
+ORACLE["weighted_length_quantiles"] = f"""
+    WITH cum AS (
+        SELECT n_chars AS score,
+               SUM(len(string_split(text, ' ')))
+                   OVER (ORDER BY n_chars, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_w,
+               SUM(len(string_split(text, ' '))) OVER () AS w_total
+        FROM documents
+    ),
+    agg AS (
+        SELECT {_WQ_PICKS_SQL}
+        FROM cum
+    )
+{_WQ_ROWS_SQL}
+    ORDER BY quantile
+"""
+QUERIES["weighted_length_quantiles"] = weighted_length_quantiles

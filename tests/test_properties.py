@@ -939,3 +939,50 @@ def test_kn_continuation_matches_python_reference(spark, docs, tmp_path_factory)
         for rank, (w2, c) in enumerate(ordered, start=1):
             want.add((lg, rank, w2, c, round(c / total, 6)))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.lists(st.sampled_from(list("ab")), min_size=1, max_size=12),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_quantiles_match_python_reference(spark, docs, tmp_path_factory):
+    """The distributed weighted-quantile pass must equal a sequential
+    cumulative-weight scan for any corpus — including heavy n_chars
+    ties (broken by doc_id), single-doc corpora, and thresholds landing
+    exactly on a cumulative boundary (the integer cross-multiplication
+    must not drift)."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        WQ_QUANTILES,
+        weighted_length_quantiles,
+    )
+
+    rows = [(i, "en", "sX", " ".join(toks)) for i, toks in docs]
+    d = _write_docs(spark, tmp_path_factory, "wq_prop", rows)
+
+    got = {
+        (r["quantile"], r["n_chars"], r["cum_tokens"], r["total_tokens"])
+        for r in weighted_length_quantiles(spark, d).collect()
+    }
+
+    ordered = sorted(
+        ((len(text), i, len(text.split(" "))) for i, _lg, _src, text in rows),
+        key=lambda t: (t[0], t[1]),
+    )
+    total = sum(wt for _s, _i, wt in ordered)
+    want = set()
+    for label, num, den in WQ_QUANTILES:
+        cum = 0
+        for s, _i, wt in ordered:
+            cum += wt
+            if cum * den >= num * total:
+                want.add((label, s, cum, total))
+                break
+    assert got == want
