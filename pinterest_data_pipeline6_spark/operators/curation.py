@@ -605,10 +605,12 @@ def source_quality_cap(spark: SparkSession, sf: str) -> DataFrame:
     """Per-domain cap trimming (the web-corpus rule that no single
     domain may dominate the mix): keep at most ``SOURCE_CAP`` documents
     per source, best-quality first, where quality is the integer
-    composite distinct_tokens * 1_000_000 + n_chars (monotone in
-    lexical diversity, chars as tiebreak — exactly representable, so
-    the keep set is engine-independent).  Per source: docs seen, kept,
-    dropped, and the quality floor of the kept set.
+    composite distinct_tokens * 1_000_000 + least(n_chars, 999_999)
+    (monotone in lexical diversity, chars as tiebreak — the clamp keeps
+    the tiebreak strictly inside its tier even for >1M-char documents,
+    and the composite stays exactly representable, so the keep set is
+    engine-independent).  Per source: docs seen, kept, dropped, and the
+    quality floor of the kept set.
 
     100 TB shape: ``source`` is a low-cardinality key, so a plain
     ``row_number() OVER (PARTITION BY source)`` would sort each
@@ -624,7 +626,7 @@ def source_quality_cap(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     quality = (
         F.size(F.array_distinct(toks)).cast("bigint") * F.lit(1_000_000)
-        + F.col("n_chars")
+        + F.least(F.col("n_chars"), F.lit(999_999))
     )
     scored = docs.select(
         "doc_id", "source", quality.alias("quality"), (-quality).alias("score")
@@ -658,14 +660,18 @@ def token_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
     table; everything after (shares, clipping, epochs) is arithmetic
     over that tiny aggregate via unpartitioned windows bounded by the
     source count.  sqrt (not pow) keeps the weights IEEE-correctly-
-    rounded and therefore bit-identical across engines."""
+    rounded and therefore bit-identical across engines.  The allocation
+    uses the UNROUNDED share: rounded shares can sum to slightly more
+    than 1, so Σ floor(budget·rounded_share) could exceed the budget at
+    production source counts (budget · ~5e-7 · n_sources) — the 6-dp
+    rounding exists only for the reported ``share`` column."""
     docs = table(spark, sf, "documents")
     avail = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("avail_tokens")
     )
     w = Window.partitionBy()
     weight = F.sqrt(F.col("avail_tokens").cast("double"))
-    share = F.round(weight / F.sum(weight).over(w), 6)
+    share_raw = weight / F.sum(weight).over(w)
     budget = F.floor(
         F.sum("avail_tokens").over(w) * F.lit(BUDGET_FRACTION_NUM)
         / F.lit(BUDGET_FRACTION_DEN)
@@ -673,8 +679,10 @@ def token_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
     shared = avail.select(
         "source",
         "avail_tokens",
-        share.alias("share"),
-        F.least(F.col("avail_tokens"), F.floor(budget * share)).alias("alloc_tokens"),
+        F.round(share_raw, 6).alias("share"),
+        F.least(F.col("avail_tokens"), F.floor(budget * share_raw)).alias(
+            "alloc_tokens"
+        ),
     )
     return shared.select(
         "source",
@@ -724,7 +732,7 @@ ORACLE["source_quality_cap"] = f"""
     WITH scored AS (
         SELECT doc_id, source,
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-                   * 1000000 + n_chars AS quality
+                   * 1000000 + LEAST(n_chars, 999999) AS quality
         FROM documents
     ),
     ranked AS (
@@ -750,16 +758,16 @@ ORACLE["token_budget_allocation"] = f"""
     ),
     shared AS (
         SELECT source, avail_tokens,
-               ROUND(sqrt(CAST(avail_tokens AS DOUBLE))
-                     / SUM(sqrt(CAST(avail_tokens AS DOUBLE))) OVER (), 6) AS share,
+               sqrt(CAST(avail_tokens AS DOUBLE))
+                   / SUM(sqrt(CAST(avail_tokens AS DOUBLE))) OVER () AS share_raw,
                FLOOR(SUM(avail_tokens) OVER () * {BUDGET_FRACTION_NUM}.0
                      / {BUDGET_FRACTION_DEN}) AS budget
         FROM avail
     )
-    SELECT source, avail_tokens, share,
-           CAST(LEAST(avail_tokens, FLOOR(budget * share)) AS BIGINT)
+    SELECT source, avail_tokens, ROUND(share_raw, 6) AS share,
+           CAST(LEAST(avail_tokens, FLOOR(budget * share_raw)) AS BIGINT)
                AS alloc_tokens,
-           ROUND(LEAST(avail_tokens, FLOOR(budget * share))
+           ROUND(LEAST(avail_tokens, FLOOR(budget * share_raw))
                  / CAST(avail_tokens AS DOUBLE), 4) AS epochs
     FROM shared ORDER BY source
 """

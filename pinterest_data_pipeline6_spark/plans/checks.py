@@ -17,17 +17,44 @@ import re
 from pyspark.sql import DataFrame
 
 
+class _wide_plan_strings:
+    """Temporarily raise ``spark.sql.debug.maxToStringFields`` (default
+    25) while rendering a plan.  Spark truncates long expression trees
+    in plan text with ``... N more fields`` — which can hide the very
+    producer tokens ``nested_hof_filters`` and the low-cardinality
+    exchange sweep grep for, silently false-negating the registry-wide
+    hygiene sweeps on exactly the deep pipelines they guard."""
+
+    KEY = "spark.sql.debug.maxToStringFields"
+
+    def __init__(self, df: DataFrame):
+        self.conf = df.sparkSession.conf
+
+    def __enter__(self):
+        self.old = self.conf.get(self.KEY, None)
+        self.conf.set(self.KEY, "100000")
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.conf.unset(self.KEY)
+        else:
+            self.conf.set(self.KEY, self.old)
+
+
 def executed_plan(df: DataFrame) -> str:
     """Physical plan string BEFORE adaptive re-optimization (the static
-    plan Catalyst picked)."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan Catalyst picked), rendered without field-count truncation."""
+    with _wide_plan_strings(df):
+        return df._jdf.queryExecution().executedPlan().toString()
 
 
 def final_plan(df: DataFrame) -> str:
     """Physical plan AFTER execution — includes AQE's final decisions
-    (runs the query via a count-like no-op materialization)."""
+    (runs the query via a count-like no-op materialization), rendered
+    without field-count truncation."""
     df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    with _wide_plan_strings(df):
+        return df._jdf.queryExecution().executedPlan().toString()
 
 
 def has_pushed_filter(df: DataFrame, column: str) -> bool:

@@ -152,6 +152,19 @@ def test_headline_queries_stay_within_latency_budget(spark):
             best_of[n] / HEADLINE_STEADY_SF001[n] for n in HEADLINE_STEADY_SF001
         ),
     )
+    # Absolute cap on the normalization: the median factor absorbs a
+    # slower HOST, but it would equally absorb a UNIFORM regression (a
+    # session/config change that slows every query 3x alike) — the
+    # per-query ratios stay flat and nothing fails. Observed host
+    # spread on this VM class is ~1.3x run-to-run, ~3x worst across
+    # Firecracker host generations; 6x is outside anything measured,
+    # so a factor above it is treated as a real uniform regression,
+    # not a slow box.
+    assert speed <= 6.0, (
+        f"host-speed factor {speed:.2f}x exceeds the 6x ceiling — every "
+        "headline query is uniformly slow; suspect a session/config "
+        "regression (shuffle partitions, AQE, codegen), not a slow host"
+    )
     def _over() -> dict:
         return {
             name: best_of[name]

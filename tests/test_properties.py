@@ -766,7 +766,7 @@ def test_source_quality_cap_matches_python_reference(
     per_source: dict[str, list] = {}
     for i, lg, src, text in rows:
         toks = text.split(" ")
-        q = len(set(toks)) * 1_000_000 + len(text)
+        q = len(set(toks)) * 1_000_000 + min(len(text), 999_999)
         per_source.setdefault(src, []).append((q, i))
     want = set()
     for src, qs in per_source.items():
