@@ -49,6 +49,78 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
+# Any query measuring above STALL_FACTOR x its last COMMITTED value is
+# re-measured before being recorded. Round 5's driver artifact recorded
+# arrow_batch_norms at 16.27 s — 25x its reproducible 0.65 s — because a
+# transient Python-worker-pool stall on the judged VM swallowed the
+# whole best-of-N window; the committed history is the only reference
+# that survives such a stall, so it gates what reaches the JSON.
+STALL_FACTOR = 3.0
+
+
+def committed_detail() -> dict:
+    """The last COMMITTED BENCH_DETAIL.json (via ``git show HEAD:``) —
+    NOT the working-tree file, which an earlier bench run in the same
+    session may already have overwritten with stall-polluted numbers.
+    Falls back to the on-disk file outside a git checkout; returns {}
+    when neither parses."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout)
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(root, "BENCH_DETAIL.json")) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def apply_stall_guard(
+    best: dict[str, float],
+    rep_counts: dict[str, int],
+    committed: dict[str, float],
+    run_query,
+    rewarm,
+    stall_factor: float = STALL_FACTOR,
+    reps: int = 3,
+) -> list[str]:
+    """Re-measure every query whose best-of-N exceeds ``stall_factor``
+    x its committed steady state: re-warm the Python-worker pool (the
+    r5 stall family was precisely the Pandas-UDF queries — a worker
+    respawn mid-run charges ~10 s to whichever query triggers it), then
+    take ``reps`` fresh reps in a new time region and keep the min.
+
+    A transient stall does not reproduce, so the fresh reps restore the
+    steady value; a GENUINE regression reproduces and the slow number
+    is recorded honestly — this guard removes measurement lies, never
+    real ones. Queries with no committed baseline (new this round) are
+    left alone. Returns the re-measured names (recorded in the detail
+    file so readers can see which numbers went through the guard)."""
+    flagged = sorted(
+        name
+        for name, v in best.items()
+        if committed.get(name, 0) > 0 and v > stall_factor * committed[name]
+    )
+    if not flagged:
+        return []
+    rewarm()
+    for name in flagged:
+        for _ in range(reps):
+            best[name] = min(best[name], run_query(name))
+            rep_counts[name] += 1
+    return flagged
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pinterest_data_pipeline6_spark.session import get_spark
@@ -136,6 +208,28 @@ def main() -> None:
             qs[name](spark, SF_DIR).count()
             best[name] = min(best[name], time.perf_counter() - t0)
             rep_counts[name] += 1
+
+    # stall guard: nothing above may record a number >3x its committed
+    # steady state without surviving a fresh re-measure (worker pool
+    # re-warmed, reps in a new time region) — see apply_stall_guard.
+    prior = committed_detail()
+    baseline = (
+        {k: float(v) for k, v in prior.get("queries", {}).items()}
+        if prior.get("sf") == _sf_label(SF_DIR)
+        else {}
+    )
+
+    def _run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        return time.perf_counter() - t0
+
+    def _rewarm() -> None:
+        spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInPandas(lambda it: it, "id long").count()
+
+    remeasured = apply_stall_guard(best, rep_counts, baseline, _run, _rewarm)
     timings = {name: round(v, 4) for name, v in best.items()}
 
     headline = round(sum(timings[q] for q in HEADLINE if q in timings), 4)
@@ -153,6 +247,7 @@ def main() -> None:
         "total_all_queries": total,
         "n_queries": len(timings),
         "n_headline": len(HEADLINE),
+        "stall_remeasured": remeasured,
         "best_of": rep_counts,
     }
     with open(

@@ -518,6 +518,61 @@ ORACLE["ks_source_drift"] = """
     LIMIT 1
 """
 
+def dq_gate_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``streaming/jobs.py::write_foreach_batch_dq_gate``
+    — the streaming accept/quarantine ledger had only pytest evidence
+    (foreachBatch sinks have no direct oracle form); this runs the SAME
+    shared expressions (``dq_violation_tags`` + ``dq_metric_aggs``) over
+    the batch events table with the event's day standing in for the
+    micro-batch id, so the gate's tagging and ledger arithmetic get a
+    hard external DuckDB row.  Three rules: value <= 100 (fires on the
+    heavy tail), value >= 0 (healthy — a suite whose rules all fire
+    tests only the failure path), event_type in the non-error set
+    (fires on every 'error' row).  NULL rule results count as passes in
+    both engines (SQL CASE semantics).
+
+    100 TB shape: one projection evaluates every rule, one partial+final
+    hash agg keyed on the date — adding rules adds columns, never scans
+    or shuffles."""
+    from pinterest_data_pipeline6_spark.streaming.jobs import (
+        dq_metric_aggs,
+        dq_violation_tags,
+    )
+
+    ev = table(spark, sf, "events")
+    rules = {
+        "value_le_100": F.col("value") <= 100,
+        "value_nonneg": F.col("value") >= 0,
+        "known_type": F.col("event_type").isin("click", "view", "purchase", "signup"),
+    }
+    tagged = ev.withColumn(
+        "batch_id", F.date_format("ts", "yyyy-MM-dd")
+    ).withColumn("violated", dq_violation_tags(rules))
+    return tagged.groupBy("batch_id").agg(*dq_metric_aggs(rules)).orderBy("batch_id")
+
+
+ORACLE["dq_gate_ledger"] = """
+    WITH tagged AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS batch_id,
+               CASE WHEN NOT (value <= 100) THEN 1 ELSE 0 END AS b_le,
+               CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END AS b_nn,
+               CASE WHEN NOT (event_type IN ('click', 'view', 'purchase', 'signup'))
+                    THEN 1 ELSE 0 END AS b_kt
+        FROM events
+    )
+    SELECT batch_id,
+           COUNT(*) AS n_in,
+           CAST(SUM(CASE WHEN b_le + b_nn + b_kt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accepted,
+           CAST(SUM(CASE WHEN b_le + b_nn + b_kt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+           CAST(SUM(b_le) AS BIGINT) AS v_value_le_100,
+           CAST(SUM(b_nn) AS BIGINT) AS v_value_nonneg,
+           CAST(SUM(b_kt) AS BIGINT) AS v_known_type
+    FROM tagged GROUP BY batch_id ORDER BY batch_id
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "ks_source_drift": ks_source_drift,
@@ -526,4 +581,5 @@ QUERIES = {
     "lang_source_chisq": lang_source_chisq,
     "hot_key_detection": hot_key_detection,
     "fk_fanout_histogram": fk_fanout_histogram,
+    "dq_gate_ledger": dq_gate_ledger,
 }

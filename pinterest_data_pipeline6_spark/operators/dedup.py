@@ -1768,16 +1768,21 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
     by construction.  Stages: one (lang, token) count agg, one
     doc-keyed rank window (high-cardinality key), one equijoin on the
     rare prefix tokens, then a verify join that moves each candidate
-    doc's sorted token array once."""
+    doc's sorted token array once.  ``n_t`` (the doc's distinct-token
+    count) is projected row-locally BEFORE the explode — the exploded
+    tokens are already distinct per doc, so ``size(toks)`` equals the
+    ``count(*) OVER (PARTITION BY doc_id)`` an earlier version
+    computed, dropping a whole window buffering pass over the
+    exploded+joined token relation."""
     docs = widen_small_scan(table(spark, sf, "documents"))
     toks = F.array_distinct(F.split(F.col("text"), " "))
-    t = docs.select("doc_id", "lang", F.explode(toks).alias("tok"))
+    t = docs.select(
+        "doc_id", "lang", F.size(toks).alias("n_t"), F.explode(toks).alias("tok")
+    )
     dfreq = t.groupBy("lang", "tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id")
-    ranked = (
-        t.join(dfreq, ["lang", "tok"])
-        .withColumn("pos", F.row_number().over(w.orderBy("df", "tok")))
-        .withColumn("n_t", F.count("*").over(w))
+    ranked = t.join(dfreq, ["lang", "tok"]).withColumn(
+        "pos", F.row_number().over(w.orderBy("df", "tok"))
     )
     # ceil(tau * n) in exact integer arithmetic: (num*n + den-1) DIV den
     ceil_tau_n = F.floor(
@@ -1785,17 +1790,38 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
         / F.lit(JACCARD_TAU_DEN)
     )
     prefix_len = F.col("n_t") - ceil_tau_n + 1
+    # NOTE an inline-verification variant (arrays attached to prefix
+    # rows, array_intersect computed in the candidate join's output —
+    # the PPJoin paper's single-pass layout) was tried and measured 8x
+    # WORSE here: the >= tau threshold references both join sides, so
+    # PushPredicateThroughJoin moves it into the join CONDITION, where
+    # the intersect evaluates per key-matched row pair ahead of the
+    # cheap integer filters (and again in the project). Keeping
+    # verification as separate joins AFTER the pair-dedup is what keeps
+    # the expensive expression out of the join condition.
     pref = ranked.filter(F.col("pos") <= prefix_len).select(
         "lang", "tok", "doc_id", "pos", "n_t"
     )
     a, b = pref.alias("a"), pref.alias("b")
     num, den = F.lit(JACCARD_TAU_NUM), F.lit(JACCARD_TAU_DEN)
-    # lossless candidate pruning inside the equijoin (both standard
-    # PPJoin filters, both integer-only):
+    # lossless candidate pruning inside the equijoin (all standard
+    # PPJoin filters, all integer-only):
     # - size filter: J >= tau forces min(na,nb) >= tau * max(na,nb)
     # - positional filter: the overlap still reachable after this
     #   prefix position, min(na-pa, nb-pb)+1, must cover the required
     #   overlap alpha = ceil(num*(na+nb)/(num+den))
+    # - asymmetric prefix: pairs are role-ordered by (n_t, doc_id), so
+    #   side a is never the larger set; with na <= nb the required
+    #   overlap is >= ceil(2*tau/(1+tau) * na), which shrinks a's
+    #   effective prefix to n - ceil(2*num*n/(num+den)) + 1 — about
+    #   half the indexed prefix (2*tau/(1+tau) ~ 0.974 vs tau = 0.95).
+    #   The relation still stores the long (probe) prefix; the short
+    #   bound applies as one extra integer predicate on a.pos with zero
+    #   new stages.  On Zipfian vocabularies this halves the join's
+    #   probe fan-out; on the harness's deliberately tiny-vocab docs
+    #   table every doc ranks tokens in the same global order, so the
+    #   local candidate count barely moves — the filter is for the
+    #   100 TB shape, not the toy number.
     alpha = F.floor(
         (
             F.lit(JACCARD_TAU_NUM) * (F.col("a.n_t") + F.col("b.n_t"))
@@ -1803,12 +1829,25 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         / F.lit(JACCARD_TAU_NUM + JACCARD_TAU_DEN)
     )
+    # ceil(2*num*n / (num+den)) in integer arithmetic
+    short_bound = F.floor(
+        (
+            F.lit(2 * JACCARD_TAU_NUM) * F.col("a.n_t")
+            + F.lit(JACCARD_TAU_NUM + JACCARD_TAU_DEN - 1)
+        )
+        / F.lit(JACCARD_TAU_NUM + JACCARD_TAU_DEN)
+    )
+    role_order = (F.col("a.n_t") < F.col("b.n_t")) | (
+        (F.col("a.n_t") == F.col("b.n_t"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & role_order
+            & (F.col("a.pos") <= F.col("a.n_t") - short_bound + 1)
             & (den * F.col("b.n_t") >= num * F.col("a.n_t"))
             & (den * F.col("a.n_t") >= num * F.col("b.n_t"))
             & (
@@ -1849,10 +1888,12 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
             >= F.lit(JACCARD_TAU_NUM) * (F.col("na") + F.col("nb"))
         )
     )
+    # roles were ordered by (n_t, doc_id); the output contract is
+    # doc_a < doc_b by id (Jaccard is symmetric, so only the labels swap)
     return verified.select(
         "lang",
-        "doc_a",
-        "doc_b",
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
         F.round(
             F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"), 6
         ).alias("jaccard"),

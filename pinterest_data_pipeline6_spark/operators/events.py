@@ -1803,3 +1803,52 @@ ORACLE["user_power_curve"] = """
     FROM hist
     ORDER BY days_active
 """
+
+
+def trending_topk_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``streaming/jobs.py::write_foreach_batch_trending``
+    — the streaming trending sink had only pytest evidence (foreachBatch
+    has no oracle form); this rebuilds the sink's two-stage shape over
+    the batch events table: per-"batch" (the event's day standing in for
+    the micro-batch id) hourly partial counts, then the SAME shared
+    ``trending_snapshot`` merge (totals → row_number rank → top-3 per
+    window, ties by event_type) the sink runs over its partials table.
+
+    100 TB shape: raw events reduce in the partial agg (partial+final,
+    map-side combine on (day, hour-window, type)); the rank window and
+    everything after operate on the bounded totals relation (≤ #types
+    rows per hour window), never raw events."""
+    from pinterest_data_pipeline6_spark.streaming.jobs import trending_snapshot
+
+    ev = table(spark, sf, "events")
+    partials = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("batch_id"),
+        F.window("ts", "1 hour").getField("start").alias("win_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = trending_snapshot(partials, k=3)
+    return top.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("win_start", "rank")
+
+
+QUERIES["trending_topk_snapshot"] = trending_topk_snapshot
+ORACLE["trending_topk_snapshot"] = """
+    WITH totals AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start
+                                     ORDER BY n DESC, event_type ASC) AS rank
+        FROM totals
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, n, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY win_start, rank
+"""

@@ -533,6 +533,42 @@ def run_streaming_pipeline(
     return queries
 
 
+def dq_violation_tags(rules: dict[str, "F.Column"]) -> "F.Column":
+    """The gate's tagging expression: array of the names of every rule
+    the row VIOLATES (rule True = pass; a NULL rule result is treated
+    as a pass, mirroring SQL's CASE semantics so the batch twin's
+    DuckDB oracle agrees on null inputs). All rules evaluate in ONE
+    projection — adding a rule never adds a scan."""
+    return F.array_compact(
+        F.array(
+            *[
+                F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules.items()
+            ]
+        )
+    )
+
+
+def dq_metric_aggs(rules: dict[str, "F.Column"]) -> list["F.Column"]:
+    """The gate's ledger aggregates over a ``violated``-tagged relation:
+    input/accepted/quarantined counts plus one violation count per
+    rule. Shared verbatim by the streaming sink (whole-batch agg) and
+    the ``dq_gate_ledger`` batch twin (grouped by batch key) so the
+    externally-oracled twin pins exactly the expressions the streaming
+    path runs."""
+    return [
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum((F.size("violated") == 0).cast("bigint")).alias("n_accepted"),
+        F.sum((F.size("violated") > 0).cast("bigint")).alias("n_quarantined"),
+        *[
+            F.sum(F.array_contains("violated", name).cast("bigint")).alias(
+                f"v_{name}"
+            )
+            for name in rules
+        ],
+    ]
+
+
 def write_foreach_batch_dq_gate(
     df: DataFrame,
     accepted_path: str,
@@ -560,15 +596,7 @@ def write_foreach_batch_dq_gate(
     partition instead of double-appending. The batch is persisted
     across the three writes (one source read, three narrow outputs)."""
     def gate_batch(batch: DataFrame, batch_id: int) -> None:
-        tags = F.array_compact(
-            F.array(
-                *[
-                    F.when(~cond, F.lit(name)).otherwise(F.lit(None))
-                    for name, cond in rules.items()
-                ]
-            )
-        )
-        tagged = batch.withColumn("violated", tags).withColumn(
+        tagged = batch.withColumn("violated", dq_violation_tags(rules)).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
         tagged.persist()
@@ -584,17 +612,9 @@ def write_foreach_batch_dq_gate(
                     .partitionBy("batch_id")
                     .parquet(path)
                 )
-            metrics = tagged.agg(
-                F.count(F.lit(1)).alias("n_in"),
-                F.sum((F.size("violated") == 0).cast("bigint")).alias("n_accepted"),
-                F.sum((F.size("violated") > 0).cast("bigint")).alias("n_quarantined"),
-                *[
-                    F.sum(
-                        F.array_contains("violated", name).cast("bigint")
-                    ).alias(f"v_{name}")
-                    for name in rules
-                ],
-            ).withColumn("batch_id", F.lit(int(batch_id)))
+            metrics = tagged.agg(*dq_metric_aggs(rules)).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            )
             (
                 metrics.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -612,6 +632,26 @@ def write_foreach_batch_dq_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def trending_snapshot(partials: DataFrame, k: int) -> DataFrame:
+    """The trending sink's merge step: per-batch (win_start, event_type)
+    partial counts → total counts → top-k types per window, ties broken
+    by event_type ascending (deterministic snapshot). Shared by the
+    streaming sink and the ``trending_topk_snapshot`` batch twin.
+
+    The rank window partitions on win_start over ALREADY-AGGREGATED
+    rows (≤ #types per window), so the shuffle carries the totals
+    table, never raw events."""
+    from pyspark.sql.window import Window as W
+
+    totals = partials.groupBy("win_start", "event_type").agg(
+        F.sum("n").alias("n")
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return totals.withColumn("rank", rnk).where(F.col("rank") <= k)
 
 
 def write_foreach_batch_trending(
@@ -637,8 +677,6 @@ def write_foreach_batch_trending(
     re-aggregation stays bounded — the classic
     streaming-partials + batch-merge lambda shape, with the stream side
     exactly-once."""
-    from pyspark.sql.window import Window as W
-
     def trending_batch(batch: DataFrame, batch_id: int) -> None:
         partial = (
             batch.groupBy(
@@ -655,15 +693,7 @@ def write_foreach_batch_trending(
             .parquet(counts_path)
         )
         spark = batch.sparkSession
-        totals = (
-            spark.read.parquet(counts_path)
-            .groupBy("win_start", "event_type")
-            .agg(F.sum("n").alias("n"))
-        )
-        rnk = F.row_number().over(
-            W.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
-        )
-        top = totals.withColumn("rank", rnk).where(F.col("rank") <= k)
+        top = trending_snapshot(spark.read.parquet(counts_path), k)
         top.write.mode("overwrite").parquet(snapshot_path)
 
     writer = (

@@ -202,3 +202,77 @@ def test_budget_table_covers_exactly_the_headline_set():
     query would otherwise silently lose its ceiling."""
     bench = _load_bench()
     assert set(HEADLINE_STEADY_SF001) == set(bench.HEADLINE)
+
+
+# --- round 6: bench stall guard ----------------------------------------------
+#
+# Round 5's driver artifact recorded arrow_batch_norms at 16.27 s — 25x
+# its reproducible 0.65 s — because a transient Python-worker stall
+# swallowed the whole best-of-N window. bench.apply_stall_guard
+# re-measures anything >3x its last COMMITTED value before it can reach
+# the recorded JSON. These pin the guard's contract without Spark.
+
+
+def test_stall_guard_removes_transient_spike():
+    """A stall-poisoned best-of-3 (every base rep 10x slow) must not
+    survive into the recorded value when fresh reps show steady state."""
+    bench = _load_bench()
+    best = {"arrow_batch_norms": 6.5, "fine_query": 0.4}
+    reps = {"arrow_batch_norms": 3, "fine_query": 3}
+    committed = {"arrow_batch_norms": 0.65, "fine_query": 0.4}
+    rewarms = []
+    flagged = bench.apply_stall_guard(
+        best, reps, committed,
+        run_query=lambda name: 0.65,
+        rewarm=lambda: rewarms.append(1),
+    )
+    assert flagged == ["arrow_batch_norms"]
+    assert best["arrow_batch_norms"] == 0.65  # spike gone
+    assert best["fine_query"] == 0.4  # untouched
+    assert reps["arrow_batch_norms"] == 6 and reps["fine_query"] == 3
+    assert rewarms == [1]  # worker pool re-warmed exactly once
+
+
+def test_stall_guard_keeps_genuine_regression():
+    """A real plan regression reproduces on re-measure and is recorded
+    honestly — the guard removes measurement lies, never real ones."""
+    bench = _load_bench()
+    best = {"q": 6.5}
+    flagged = bench.apply_stall_guard(
+        best, {"q": 3}, {"q": 0.65},
+        run_query=lambda name: 6.4,
+        rewarm=lambda: None,
+    )
+    assert flagged == ["q"]
+    assert best["q"] == 6.4  # still slow: the regression is real
+
+
+def test_stall_guard_skips_new_queries_and_steady_values():
+    """No committed baseline (new query) or <3x drift: no re-measure,
+    no worker-pool re-warm."""
+    bench = _load_bench()
+    best = {"new_query": 9.9, "steady": 1.2}
+    flagged = bench.apply_stall_guard(
+        best, {"new_query": 3, "steady": 3}, {"steady": 0.6},
+        run_query=lambda name: pytest.fail("must not re-measure"),
+        rewarm=lambda: pytest.fail("must not re-warm"),
+    )
+    assert flagged == []
+    assert best == {"new_query": 9.9, "steady": 1.2}
+
+
+def test_committed_detail_reads_head_not_working_tree(tmp_path):
+    """committed_detail must come from git HEAD: an earlier bench run
+    in the same session overwrites the on-disk file with possibly
+    stall-polluted numbers."""
+    import subprocess
+
+    bench = _load_bench()
+    got = bench.committed_detail()
+    head = json.loads(
+        subprocess.run(
+            ["git", "-C", ROOT, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True,
+        ).stdout
+    )
+    assert got["queries"] == head["queries"]
