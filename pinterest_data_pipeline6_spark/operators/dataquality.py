@@ -583,3 +583,104 @@ QUERIES = {
     "fk_fanout_histogram": fk_fanout_histogram,
     "dq_gate_ledger": dq_gate_ledger,
 }
+
+
+def quality_trend_theilsen(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust trend monitor: per event type, the Theil-Sen estimate of
+    the day-over-day drift in event value — the median of all pairwise
+    slopes between daily medians.  Outlier days that wreck a
+    least-squares trend barely move this (the estimator tolerates ~29%
+    contamination), which is why monitoring pipelines prefer it for
+    drift alerts.  Both medians are LOWER medians (the element at rank
+    ceil(n/2) under a fully deterministic (value, id) order) so every
+    number is an element pick, never an interpolated average — exact
+    cross-engine.
+
+    100 TB shape: daily medians ride ``_distributed_rank`` grouped on
+    (event_type, day) — one range shuffle, no single-task per-group
+    sort even when one day holds billions of events.  Everything after
+    operates on the #types x #days aggregate (150 rows here): the
+    pairwise slope join and the median-of-slopes window cost O(days^2)
+    per type regardless of corpus size."""
+    from pinterest_data_pipeline6_spark.operators.textops import _distributed_rank
+
+    ev = table(spark, sf, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.col("value").alias("score"),
+        F.col("event_id").alias("doc_id"),
+    )
+    ranked = _distributed_rank(scored, group_cols=["event_type", "d"])
+    med = ranked.filter(
+        F.col("_grank") == F.ceil(F.col("total") / F.lit(2))
+    ).select("event_type", "d", F.col("score").alias("med"))
+    a = med.select(
+        "event_type", F.col("d").alias("d_a"), F.col("med").alias("m_a")
+    )
+    b = med.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("d_b"),
+        F.col("med").alias("m_b"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("d_a") < F.col("d_b"))
+    ).select(
+        "event_type",
+        "d_a",
+        "d_b",
+        (
+            (F.col("m_b") - F.col("m_a"))
+            / F.datediff(F.col("d_b"), F.col("d_a")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d_a", "d_b")
+    wn = Window.partitionBy("event_type")
+    picked = (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.ceil(F.col("m") / F.lit(2)))
+    )
+    return picked.select(
+        "event_type",
+        F.col("m").alias("n_slopes"),
+        F.round("slope", 6).alias("trend_per_day"),
+    ).orderBy("event_type")
+
+
+ORACLE["quality_trend_theilsen"] = """
+    WITH ranked AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY value ASC NULLS FIRST,
+                                           event_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE))
+                   AS cnt
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, d, value AS med
+        FROM ranked WHERE rn = CAST(CEIL(cnt / 2.0) AS BIGINT)
+    ),
+    slopes AS (
+        SELECT a.event_type, a.d AS d_a, b.d AS d_b,
+               (b.med - a.med) / CAST(date_diff('day', a.d, b.d) AS DOUBLE)
+                   AS slope
+        FROM med a JOIN med b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    picked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope ASC NULLS FIRST,
+                                           d_a ASC, d_b ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM slopes
+    )
+    SELECT event_type, CAST(m AS BIGINT) AS n_slopes,
+           ROUND(slope, 6) AS trend_per_day
+    FROM picked WHERE rn = CAST(CEIL(m / 2.0) AS BIGINT)
+    ORDER BY event_type
+"""
+
+QUERIES["quality_trend_theilsen"] = quality_trend_theilsen

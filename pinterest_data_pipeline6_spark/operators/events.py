@@ -1852,3 +1852,151 @@ ORACLE["trending_topk_snapshot"] = """
     FROM ranked WHERE rank <= 3
     ORDER BY win_start, rank
 """
+
+
+# watermark tolerance for the lateness audit (mirrors the streaming
+# jobs' default watermark delay)
+LATE_TOLERANCE_MIN = 30
+
+
+def late_arrival_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-lateness audit — the batch-oracled pin for the
+    semantics ``streaming/jobs.py``'s watermarked operators rely on:
+    replaying events in arrival order (event_id is the ingest sequence),
+    an event is LATE when its event time sits more than
+    ``LATE_TOLERANCE_MIN`` minutes behind the running maximum event time
+    of everything that arrived BEFORE it — exactly the rows a
+    ``withWatermark(ts, '30 minutes')`` windowed aggregation would drop.
+    Per event-time day: arrivals, late arrivals, and the worst lateness
+    beyond the watermark in microseconds.
+
+    100 TB shape: the running prefix-max over arrival order is
+    distributed the same way ``_distributed_rank`` distributes ranks —
+    one range shuffle on event_id, per-partition running max (window
+    keyed by the partition id), and a broadcast prefix-max over the
+    #partitions-row max table; the only unpartitioned window runs over
+    that tiny aggregate, never raw events.  No single-task global sort
+    at any scale."""
+    ev = table(spark, sf, "events")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = ev.repartitionByRange(nparts, "event_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local_prev = (
+        Window.partitionBy("pid")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pmax = ranged.groupBy("pid").agg(F.max("ts").alias("part_max"))
+    w_prev_pid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = pmax.select("pid", F.max("part_max").over(w_prev_pid).alias("prefix_max"))
+    # greatest() skips NULLs (returns null only when BOTH are), which is
+    # exactly right for the first row of the first partition
+    prev_max = F.greatest(
+        F.max("ts").over(w_local_prev), F.col("prefix_max")
+    )
+    wm_us = F.unix_micros(prev_max) - F.lit(LATE_TOLERANCE_MIN * 60 * 1_000_000)
+    lateness = wm_us - F.unix_micros(F.col("ts"))
+    flagged = ranged.join(F.broadcast(off), "pid").select(
+        F.to_date("ts").alias("d"),
+        (lateness > 0).alias("is_late"),
+        lateness.alias("late_us"),
+    )
+    return (
+        flagged.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("is_late").cast("bigint")).alias("n_late"),
+            F.max(F.when(F.col("is_late"), F.col("late_us"))).alias("max_late_us"),
+        )
+        .orderBy("d")
+    )
+
+
+QUERIES["late_arrival_accounting"] = late_arrival_accounting
+ORACLE["late_arrival_accounting"] = f"""
+    WITH flagged AS (
+        SELECT CAST(ts AS DATE) AS d,
+               epoch_us(MAX(ts) OVER (ORDER BY event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING))
+                   - {LATE_TOLERANCE_MIN * 60 * 1000000}
+                   - epoch_us(ts) AS late_us
+        FROM events
+    )
+    SELECT d, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           MAX(CASE WHEN late_us > 0 THEN late_us END) AS max_late_us
+    FROM flagged GROUP BY d ORDER BY d
+"""
+
+
+SKIPGRAM_WINDOW = 2  # max forward distance for behavioural skip-grams
+
+
+def session_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram extraction over behavioural sequences — the
+    embedding-training prep step (word2vec-style) that turns each
+    user-day's ordered event stream into (center, context, distance)
+    pairs with forward distance <= ``SKIPGRAM_WINDOW``.  Per (center
+    type, context type, distance): pair count and distinct users.
+
+    100 TB shape: ONE window pass — ``lead(event_type, k)`` over the
+    (user, day) key materializes each distance as a column (no
+    self-join of the event stream on position arithmetic), then one
+    explode-free stack + partial-agg count.  The window key
+    (user_id, day) is high-cardinality; nothing sorts globally."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    led = ev.select(
+        "user_id",
+        F.col("event_type").alias("center"),
+        *[
+            F.lead("event_type", k).over(w).alias(f"ctx{k}")
+            for k in range(1, SKIPGRAM_WINDOW + 1)
+        ],
+    )
+    stacked = led.select(
+        "user_id",
+        "center",
+        F.expr(
+            "stack({n}, {args}) AS (dist, context)".format(
+                n=SKIPGRAM_WINDOW,
+                args=", ".join(
+                    f"{k}, ctx{k}" for k in range(1, SKIPGRAM_WINDOW + 1)
+                ),
+            )
+        ),
+    ).filter(F.col("context").isNotNull())
+    return (
+        stacked.groupBy("center", "context", "dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("center", "context", "dist")
+    )
+
+
+QUERIES["session_skipgram_pairs"] = session_skipgram_pairs
+ORACLE["session_skipgram_pairs"] = f"""
+    WITH led AS (
+        SELECT user_id, event_type AS center,
+               lead(event_type, 1) OVER w AS ctx1,
+               lead(event_type, 2) OVER w AS ctx2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts, event_id)
+    ),
+    stacked AS (
+        SELECT user_id, center, 1 AS dist, ctx1 AS context FROM led
+        UNION ALL
+        SELECT user_id, center, 2 AS dist, ctx2 AS context FROM led
+    )
+    SELECT center, context, dist, COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM stacked WHERE context IS NOT NULL
+    GROUP BY center, context, dist
+    ORDER BY center, context, dist
+"""

@@ -1092,3 +1092,51 @@ QUERIES["nation_profit_trend"] = nation_profit_trend
 QUERIES["important_part_share"] = important_part_share
 QUERIES["supplier_count_by_attrs"] = supplier_count_by_attrs
 QUERIES["qualified_part_shippers"] = qualified_part_shippers
+
+
+def late_ship_order_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-shaped (the last uncovered query of the 22): per order
+    priority, how many orders placed in the first quarter of 1995 have
+    AT LEAST ONE line item that shipped more than ``LATE_SHIP_DAYS``
+    days after the order date — Q4's correlated EXISTS, with the
+    ship-after-order latency standing in for commitdate < receiptdate
+    (the testdata carries neither commit nor receipt dates).
+
+    Spark-first shape: the EXISTS decorrelates to a LEFT SEMI hash join
+    orders -> lineitem on the order key with the latency predicate in
+    the join condition — one shuffle, no duplicate-orders blowup, no
+    distinct.  The quarter filter prunes the probe side at the scan
+    (pushed to parquet), and the late-line test needs o_orderdate, so
+    the predicate rides the join rather than pre-filtering lineitem.
+    """
+    li, orders = (table(spark, sf, t) for t in ("lineitem", "orders"))
+    q1 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    )
+    late = F.datediff(
+        F.to_date(li.l_shipdate), F.to_date(q1.o_orderdate)
+    ) > F.lit(LATE_SHIP_DAYS)
+    return (
+        q1.join(li, (q1.o_orderkey == li.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["late_ship_order_priorities"] = f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) > {LATE_SHIP_DAYS}
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["late_ship_order_priorities"] = late_ship_order_priorities

@@ -274,3 +274,101 @@ QUERIES = {
     "triangle_counts": triangle_counts,
     "common_neighbors_topk": common_neighbors_topk,
 }
+
+
+LPA_ROUNDS = 2  # fixed synchronous rounds — keeps the loop ONE lazy plan
+# and the oracle an unrolled CTE chain, same policy as PR_ITERS
+
+
+def label_propagation_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA) on
+    the contracted undirected graph: labels seed as node ids; each
+    round every node adopts its neighbors' PLURALITY label (ties break
+    to the smallest label — the determinism knob async LPA lacks);
+    after ``LPA_ROUNDS`` rounds, communities roll up to (label, size).
+    Complements the family: PageRank ranks nodes, triangles measure
+    closure, connected components (dedup_clusters) find reachability —
+    LPA finds density clusters finer than components.
+
+    100 TB shape: per round ONE equi-join of the both-directions edge
+    list with the current label table (shuffle keyed on the node id)
+    and two hash aggs (neighbor-label counts, then per-node plurality
+    argmax via max(struct(cnt, -label)) — partial-agg friendly, no
+    window over raw edges).  Fixed rounds keep the whole loop one lazy
+    Catalyst plan, the same Pregel cost model as ``pagerank_bipartite``.
+    """
+    e = _contracted_edges(spark, sf)
+    e2 = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels = (
+        e2.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            e2.join(labels, e2.v == labels.node)
+            .groupBy(e2.u, "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))
+                ).alias("m")
+            )
+            .select(F.col("u").alias("node"), (-F.col("m.neg")).alias("lbl"))
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("community")
+    )
+
+
+QUERIES["label_propagation_communities"] = label_propagation_communities
+
+
+def _lpa_round(prev: str, cnt: str, out: str) -> str:
+    return f"""
+    {cnt} AS (
+        SELECT e2.u AS node, {prev}.lbl, COUNT(*) AS cnt
+        FROM e2 JOIN {prev} ON e2.v = {prev}.node
+        GROUP BY 1, 2
+    ),
+    {out} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM {cnt}
+        ) WHERE rn = 1
+    )"""
+
+
+ORACLE["label_propagation_communities"] = f"""
+    WITH e AS (
+        SELECT DISTINCT
+               LEAST(l_partkey % {TRI_K}, (l_suppkey * 7) % {TRI_K}) AS a,
+               GREATEST(l_partkey % {TRI_K}, (l_suppkey * 7) % {TRI_K}) AS b
+        FROM lineitem
+        WHERE l_partkey % {TRI_K} <> (l_suppkey * 7) % {TRI_K}
+    ),
+    e2 AS (
+        SELECT a AS u, b AS v FROM e
+        UNION ALL
+        SELECT b AS u, a AS v FROM e
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e2),
+    {_lpa_round("l0", "c1", "l1")},
+    {_lpa_round("l1", "c2", "l2")}
+    SELECT lbl AS community, COUNT(*) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM l2 GROUP BY lbl ORDER BY community
+"""

