@@ -1899,7 +1899,10 @@ def late_arrival_accounting(spark: SparkSession, sf: str) -> DataFrame:
     lateness = wm_us - F.unix_micros(F.col("ts"))
     flagged = ranged.join(F.broadcast(off), "pid").select(
         F.to_date("ts").alias("d"),
-        (lateness > 0).alias("is_late"),
+        # coalesce: the first-ever arrival has no watermark (lateness
+        # NULL); it must count as on-time, not poison the day's SUM
+        # into NULL (the oracle's CASE WHEN does this implicitly)
+        F.coalesce(lateness > 0, F.lit(False)).alias("is_late"),
         lateness.alias("late_us"),
     )
     return (

@@ -986,3 +986,255 @@ def test_weighted_quantiles_match_python_reference(spark, docs, tmp_path_factory
                 want.add((label, s, cum, total))
                 break
     assert got == want
+
+
+# --- round-6 wave ------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path_factory, tag, rows):
+    """rows: (event_id, ts, user_id, event_type, value). Writes a
+    minimal events table and returns the sf dir."""
+    out = tmp_path_factory.mktemp(tag)
+    spark.createDataFrame(
+        [(i, ts, u, et, float(v), None) for i, ts, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+    return str(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 200)),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_label_propagation_matches_python_reference(
+    spark, pairs, tmp_path_factory
+):
+    """Two synchronous plurality-label rounds (min-label ties) must
+    equal a pure-Python simulation for any random multigraph — the
+    contraction, dedup, tie-break and round count all exercised."""
+    from pinterest_data_pipeline6_spark.operators.graph import (
+        LPA_ROUNDS,
+        TRI_K,
+        label_propagation_communities,
+    )
+
+    out = tmp_path_factory.mktemp("lpa_prop")
+    spark.createDataFrame(
+        [(pk, sk) for pk, sk in pairs], "l_partkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+
+    got = {
+        (r["community"], r["n_nodes"], r["min_node"], r["max_node"])
+        for r in label_propagation_communities(spark, str(out)).collect()
+    }
+
+    edges = set()
+    for pk, sk in pairs:
+        u, v = pk % TRI_K, (sk * 7) % TRI_K
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    adj: dict[int, list] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[lbl[m]] = counts.get(lbl[m], 0) + 1
+            new[n] = min(
+                (l for l in counts), key=lambda l: (-counts[l], l)
+            )
+        lbl = new
+    comm: dict[int, list] = {}
+    for n, l in lbl.items():
+        comm.setdefault(l, []).append(n)
+    want = {
+        (l, len(ns), min(ns), max(ns)) for l, ns in comm.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),  # event_id = arrival order
+            st.integers(0, 3 * 24 * 60),  # event-time minute offset
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_late_arrival_matches_python_reference(spark, rows, tmp_path_factory):
+    """The distributed prefix-max lateness audit must equal a
+    sequential arrival-order scan for any out-of-order stream."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        LATE_TOLERANCE_MIN,
+        late_arrival_accounting,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    ev = [
+        (i, base + datetime.timedelta(minutes=m), 1, "view", 0.0)
+        for i, m in rows
+    ]
+    d = _write_events(spark, tmp_path_factory, "late_prop", ev)
+    got = {
+        (str(r["d"]), r["n_events"], r["n_late"], r["max_late_us"])
+        for r in late_arrival_accounting(spark, d).collect()
+    }
+
+    per_day: dict[str, list] = {}
+    prev_max = None
+    for i, m in sorted(rows):
+        ts = base + datetime.timedelta(minutes=m)
+        late_us = None
+        if prev_max is not None:
+            wm = prev_max - datetime.timedelta(minutes=LATE_TOLERANCE_MIN)
+            us = int((wm - ts).total_seconds() * 1_000_000)
+            late_us = us if us > 0 else None
+        per_day.setdefault(str(ts.date()), []).append(late_us)
+        prev_max = ts if prev_max is None else max(prev_max, ts)
+    want = {
+        (
+            day,
+            len(ls),
+            sum(1 for x in ls if x is not None),
+            max((x for x in ls if x is not None), default=None),
+        )
+        for day, ls in per_day.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.integers(0, 5),  # day index
+            st.sampled_from(["click", "view"]),
+            st.floats(0, 100, width=32),
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_theilsen_matches_python_reference(spark, rows, tmp_path_factory):
+    """The distributed Theil-Sen drift must equal a pure-Python
+    element-pick-median implementation — per-day lower medians,
+    all-pairs slopes, lower median of slopes."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        quality_trend_theilsen,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0)
+    ev = [
+        (i, base + datetime.timedelta(days=day), 1, et, float(v))
+        for i, day, et, v in rows
+    ]
+    d = _write_events(spark, tmp_path_factory, "ts_prop", ev)
+    got = {
+        r["event_type"]: (r["n_slopes"], r["trend_per_day"])
+        for r in quality_trend_theilsen(spark, d).collect()
+    }
+
+    per: dict[tuple, list] = {}
+    for i, day, et, v in rows:
+        per.setdefault((et, day), []).append((float(v), i))
+    med: dict[str, list] = {}
+    for (et, day), vs in per.items():
+        vs.sort()
+        m = vs[(len(vs) + 1) // 2 - 1][0]  # lower median element
+        med.setdefault(et, []).append((day, m))
+    want = {}
+    for et, dm in med.items():
+        dm.sort()
+        slopes = [
+            ((mb - ma) / float(db - da), da, db)
+            for ix, (da, ma) in enumerate(dm)
+            for db, mb in dm[ix + 1 :]
+        ]
+        if not slopes:
+            continue
+        slopes.sort()
+        s = slopes[(len(slopes) + 1) // 2 - 1][0]
+        want[et] = (len(slopes), s)
+    assert set(got) == set(want)
+    for et, (n, s) in want.items():
+        assert got[et][0] == n
+        assert abs(got[et][1] - s) <= 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.integers(0, 2),  # user
+            st.integers(0, 1),  # day
+            st.integers(0, 100),  # minute (ties possible)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_skipgram_pairs_match_python_reference(spark, rows, tmp_path_factory):
+    """lead()-column skip-gram extraction must equal a sequential
+    sliding window over each (user, day) sequence ordered by
+    (ts, event_id) — including timestamp ties broken by event_id."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        SKIPGRAM_WINDOW,
+        session_skipgram_pairs,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    ev = [
+        (
+            i,
+            base + datetime.timedelta(days=day, minutes=minute),
+            u,
+            et,
+            0.0,
+        )
+        for i, u, day, minute, et in rows
+    ]
+    d = _write_events(spark, tmp_path_factory, "sg_prop", ev)
+    got = {
+        (r["center"], r["context"], r["dist"]): (r["n_pairs"], r["n_users"])
+        for r in session_skipgram_pairs(spark, d).collect()
+    }
+
+    seqs: dict[tuple, list] = {}
+    for i, u, day, minute, et in rows:
+        ts = base + datetime.timedelta(days=day, minutes=minute)
+        seqs.setdefault((u, day), []).append((ts, i, et))
+    agg: dict[tuple, list] = {}
+    for (u, _), evs in seqs.items():
+        evs.sort()
+        for ix, (_, _, c) in enumerate(evs):
+            for k in range(1, SKIPGRAM_WINDOW + 1):
+                if ix + k < len(evs):
+                    agg.setdefault((c, evs[ix + k][2], k), []).append(u)
+    want = {
+        key: (len(us), len(set(us))) for key, us in agg.items()
+    }
+    assert got == want
