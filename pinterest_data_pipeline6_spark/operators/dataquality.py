@@ -634,17 +634,30 @@ def quality_trend_theilsen(spark: SparkSession, sf: str) -> DataFrame:
             / F.datediff(F.col("d_b"), F.col("d_a")).cast("double")
         ).alias("slope"),
     )
-    w = Window.partitionBy("event_type").orderBy("slope", "d_a", "d_b")
-    wn = Window.partitionBy("event_type")
-    picked = (
-        slopes.withColumn("rn", F.row_number().over(w))
-        .withColumn("m", F.count(F.lit(1)).over(wn))
-        .filter(F.col("rn") == F.ceil(F.col("m") / F.lit(2)))
+    # the slope-median rank rides _distributed_rank grouped on
+    # event_type rather than a row_number window partitioned by the
+    # label column: the slopes relation is bounded (O(days^2) per type)
+    # but it reaches this point through a join, which hides the
+    # upstream aggregates from the registry-wide raw-shuffle sweep —
+    # and the range-partitioned core is the shape that stays safe if a
+    # caller ever feeds an unbounded slope set.  doc_id encodes
+    # (d_a, d_b) lexicographically so the tie-break matches the
+    # oracle's ORDER BY slope, d_a, d_b.
+    slope_ids = slopes.select(
+        "event_type",
+        F.col("slope").alias("score"),
+        (
+            F.unix_date("d_a").cast("bigint") * F.lit(1_000_000)
+            + F.unix_date("d_b").cast("bigint")
+        ).alias("doc_id"),
+    )
+    picked = _distributed_rank(slope_ids, group_cols=["event_type"]).filter(
+        F.col("_grank") == F.ceil(F.col("total") / F.lit(2))
     )
     return picked.select(
         "event_type",
-        F.col("m").alias("n_slopes"),
-        F.round("slope", 6).alias("trend_per_day"),
+        F.col("total").alias("n_slopes"),
+        F.round("score", 6).alias("trend_per_day"),
     ).orderBy("event_type")
 
 
