@@ -211,9 +211,11 @@ def main() -> None:
 
     # The dedup/LSH family shows the widest same-code run-to-run spread
     # (r5: dedup_clusters 1.58-2.43 s across committed runs — wide
-    # enough to mask a real 1.5x regression). Two more consecutive reps
-    # in yet another time region tighten each run's min-estimate so the
-    # cross-run spread reflects the plan, not scheduling luck.
+    # enough to mask a real 1.5x regression). Four more consecutive
+    # reps in yet another time region tighten each run's min-estimate
+    # so the cross-run spread reflects the plan, not scheduling luck
+    # (measured: clusters 1.10x, minhash 1.34x across 3 passes at +2
+    # reps — the band family needed the deeper top-up).
     DEDUP_FAMILY = (
         "dedup_exact_text", "minhash_band_pairs", "simhash_fingerprints",
         "ngram_jaccard_pairs", "dedup_clusters", "embedding_neardup_lsh",
@@ -222,7 +224,7 @@ def main() -> None:
     for name in DEDUP_FAMILY:
         if name not in qs:
             continue
-        for _rep in range(2):
+        for _rep in range(4):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).count()
             best[name] = min(best[name], time.perf_counter() - t0)
