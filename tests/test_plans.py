@@ -1374,3 +1374,67 @@ def test_cell_purity_is_two_aggregates_no_window(spark):
     plan = executed_plan(similarity.cell_label_purity(spark, SF))
     assert "windowspecdefinition(cell" not in plan, plan
     assert plan.count("HashAggregate") >= 2
+
+
+# --- round-6 wave plan pins ---------------------------------------------------
+
+
+def test_q4_compiles_to_left_semi_with_pushed_quarter_filter(spark):
+    """late_ship_order_priorities: the EXISTS must decorrelate to a
+    left-SEMI hash join (no duplicate-orders blowup, no distinct), and
+    the quarter filter must reach the orders parquet scan."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.late_ship_order_priorities(spark, SF)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_trending_snapshot_compiles_to_window_group_limit(spark):
+    """trending_topk_snapshot: the row_number <= k filter must compile
+    to WindowGroupLimit — the map-side top-k cut that bounds what the
+    rank exchange carries to k rows per window per map partition."""
+    plan = executed_plan(events.trending_topk_snapshot(spark, SF))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_skipgram_is_one_window_zero_joins(spark):
+    """session_skipgram_pairs: the lead()-column design exists to avoid
+    a positional self-join of the event stream — the plan must carry
+    exactly one Window operator and no join of any kind."""
+    import re
+
+    plan = executed_plan(events.session_skipgram_pairs(spark, SF))
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_late_arrival_range_exchange_is_reused(spark):
+    """late_arrival_accounting: the per-partition max branch and the
+    data branch must consume the SAME range exchange (ReusedExchange in
+    the final plan) — the pid-keyed prefix-max join relies on both
+    observing identical range boundaries, same contract as
+    _distributed_rank."""
+    from pinterest_data_pipeline6_spark.plans import final_plan
+
+    plan = final_plan(events.late_arrival_accounting(spark, SF))
+    reused = [
+        line
+        for line in plan.splitlines()
+        if "ReusedExchange" in line and "rangepartitioning" in line
+    ]
+    assert reused, plan[:2000]
+
+
+def test_lpa_rounds_are_equijoins_on_aggregated_labels(spark):
+    """label_propagation_communities: every round's edge⋈label join
+    must be an equijoin (no cartesian/BNLJ — also swept registry-wide)
+    and the plurality pick must be max(struct) aggregates, never a
+    window over the label column."""
+    from pinterest_data_pipeline6_spark.operators import graph
+
+    plan = executed_plan(graph.label_propagation_communities(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan, plan[:2000]
