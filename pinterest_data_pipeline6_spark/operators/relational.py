@@ -2045,3 +2045,53 @@ ORACLE["exact_price_quantiles"] = """
       ON r.rn = CAST(CEIL(CAST(q.quantile AS DOUBLE) * r.n) AS BIGINT)
     ORDER BY quantile
 """
+
+
+def sql_pipe_syntax_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (SQL:2023-style ``|>`` operator
+    chaining): the same segment/status revenue rollup a nested
+    SELECT...HAVING would write, expressed as a linear pipeline —
+    FROM |> JOIN |> WHERE |> AGGREGATE..GROUP BY |> WHERE(post-agg
+    HAVING) |> ORDER BY.  Each pipe stage compiles to exactly the
+    relational operator its keyword names, so the physical plan is
+    byte-identical to the classic form: the syntax is free abstraction
+    (one scan per table, partial+final agg, the post-agg WHERE a
+    residual filter on aggregate rows).  The oracle is the equivalent
+    classic SQL — DuckDB has no pipe dialect, which is the point:
+    pipe syntax is surface, the relational semantics are the contract.
+
+    Money discipline as everywhere: doubles sum as DECIMAL(18,6) then
+    round, so totals are independent of partial-agg merge order.
+
+    View names carry the sf path (same isolation note as
+    ``sql_udf_pricing_bands``)."""
+    import hashlib
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    table(spark, sf, "orders").createOrReplaceTempView(f"pipe_orders_{tag}")
+    table(spark, sf, "customer").createOrReplaceTempView(f"pipe_customer_{tag}")
+    return spark.sql(f"""
+        FROM pipe_orders_{tag}
+        |> JOIN pipe_customer_{tag} ON o_custkey = c_custkey
+        |> WHERE o_totalprice > 500
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                                AS DOUBLE), 4) AS revenue
+           GROUP BY c_mktsegment, o_orderstatus
+        |> WHERE n_orders > 10
+        |> ORDER BY c_mktsegment, o_orderstatus
+    """)
+
+
+ORACLE["sql_pipe_syntax_family"] = """
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 500
+    GROUP BY c_mktsegment, o_orderstatus
+    HAVING COUNT(*) > 10
+    ORDER BY c_mktsegment, o_orderstatus
+"""
+
+QUERIES["sql_pipe_syntax_family"] = sql_pipe_syntax_family
