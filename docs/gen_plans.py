@@ -48,6 +48,10 @@ SHOWCASE = [
     ("jaccard_prefix_filter_pairs", "EXACT Jaccard self-join: only each doc's rarest prefix tokens enter the inverted-index equijoin; PPJoin size+positional filters prune inside the join; verify joins stay hash-keyed — no nested loop anywhere"),
     ("trailing_distinct_users", "sliding DISTINCT reduced to (user, day) first; x7 coverage explode applies to the reduced relation; the observed-day calendar broadcasts"),
     ("embedding_centroid_shift", "one posexplode scan to decimal-exact (label, dim) cells; the per-dim global centroid (a second tiny agg) broadcasts back — vectors never join"),
+    ("late_ship_order_priorities", "TPC-H Q4: the correlated EXISTS decorrelates to a LeftSemi hash join; the quarter filter is pushed to the orders parquet scan"),
+    ("late_arrival_accounting", "watermark lateness: running prefix-max over arrival order distributes as range shuffle + per-partition window + broadcast prefix-max of the #partitions-row max table (ReusedExchange) — no global sort"),
+    ("trending_topk_snapshot", "per-window top-k compiles to WindowGroupLimit: the rank exchange carries at most k rows per window per map partition"),
+    ("label_propagation_communities", "two synchronous LPA rounds in ONE lazy DAG: edge⋈label equijoins + plurality via max(struct) aggregates — no label-column window"),
 ]
 
 
