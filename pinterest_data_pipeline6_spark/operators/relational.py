@@ -2095,3 +2095,49 @@ ORACLE["sql_pipe_syntax_family"] = """
 """
 
 QUERIES["sql_pipe_syntax_family"] = sql_pipe_syntax_family
+
+
+def collated_group_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 string collations: grouping under ``COLLATE UTF8_LCASE``
+    treats case variants as one key at the COMPARISON level — no
+    normalizing projection, and at scale no second pass: the collation
+    rides the hash/sort keys of the exchange itself.  The query
+    manufactures case diversity (even order keys lowercase the
+    priority), groups on the collated expression, and emits the
+    deterministic lower() representative (a collated GROUP BY may
+    surface any case variant as the key).  The oracle is the classic
+    lower()-normalized GROUP BY — same relation, which is the contract:
+    collation is comparison semantics, not data mutation."""
+    import hashlib
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    table(spark, sf, "orders").createOrReplaceTempView(f"coll_orders_{tag}")
+    return spark.sql(f"""
+        SELECT lower(k) AS priority_ci,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE), 4) AS revenue
+        FROM (
+            SELECT CASE WHEN o_orderkey % 2 = 0
+                        THEN lower(o_orderpriority)
+                        ELSE o_orderpriority END
+                       COLLATE UTF8_LCASE AS k,
+                   o_totalprice
+            FROM coll_orders_{tag}
+        )
+        GROUP BY k
+        ORDER BY priority_ci
+    """)
+
+
+ORACLE["collated_group_family"] = """
+    SELECT lower(o_orderpriority) AS priority_ci,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS revenue
+    FROM orders
+    GROUP BY lower(o_orderpriority)
+    ORDER BY priority_ci
+"""
+
+QUERIES["collated_group_family"] = collated_group_family

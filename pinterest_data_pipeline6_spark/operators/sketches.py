@@ -305,3 +305,51 @@ QUERIES = {
     "bloom_prune_stats": bloom_prune_stats,
     "cms_frequency_estimates": cms_frequency_estimates,
 }
+
+
+def bitmap_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via Spark's bitmap aggregates — the
+    mergeable-bitmap pattern that replaces the Expand-based distinct
+    plan at scale: ids map to (bucket, bit) positions, per-(group,
+    bucket) partial aggregation ORs fixed 4KB bitmap segments MAP-SIDE,
+    and the final count sums popcounts.  The shuffle carries at most
+    #groups x #touched-buckets bitmap rows — never distinct id rows —
+    and unlike HLL sketches the answer is EXACT (the oracle is a plain
+    COUNT(DISTINCT)).  Distinct users per event type over non-negative
+    surrogate ids (bitmap_bit_position's domain; both engines filter
+    identically)."""
+    import hashlib
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    ev = table(spark, sf, "events")
+    ev.where(
+        F.col("user_id").isNotNull() & (F.col("user_id") >= 0)
+    ).createOrReplaceTempView(f"bitmap_ev_{tag}")
+    return spark.sql(f"""
+        SELECT event_type,
+               bitmap_count(bitmap_or_agg(bm)) AS n_users
+        FROM (
+            -- +1: bitmap_bit_position/bitmap_bucket_number address a
+            -- 1-BASED domain (id 0 would alias into the wrong slot —
+            -- measured as an off-by-one against COUNT(DISTINCT));
+            -- shifting the whole domain preserves distinctness
+            SELECT event_type,
+                   bitmap_bucket_number(user_id + 1) AS bucket,
+                   bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS bm
+            FROM bitmap_ev_{tag}
+            GROUP BY event_type, bucket
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """)
+
+
+ORACLE["bitmap_distinct_counts"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id IS NOT NULL AND user_id >= 0
+    GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["bitmap_distinct_counts"] = bitmap_distinct_counts
