@@ -697,3 +697,147 @@ ORACLE["quality_trend_theilsen"] = """
 """
 
 QUERIES["quality_trend_theilsen"] = quality_trend_theilsen
+
+
+def benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fabricated-
+    numbers screen: the first significant digit of naturally-occurring
+    amounts should follow P(d) = log10(1 + 1/d); a synthetic or
+    tampered feed flattens the curve.  Per digit 1-9: observed count,
+    observed share, Benford share, and the chi-square contribution
+    n * (obs - exp)^2 / exp.
+
+    Digit extraction is integer-exact in both engines: first character
+    of the DECIMAL STRING of floor(price) for prices >= 1 — no
+    log10/pow10 boundary hazard (log10(1000) rounds below 3 in some
+    libms, which would misbucket every power of ten).
+
+    100 TB shape: one scan, one partial+final agg to <= 9 rows; the
+    expected-share arithmetic and the total-count window run over that
+    9-row aggregate."""
+    orders = table(spark, sf, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_obs").over(w)
+    obs_share = F.col("n_obs") / total
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chisq = (
+        total.cast("double")
+        * (obs_share - benford) * (obs_share - benford)
+        / benford
+    )
+    return obs.select(
+        "digit",
+        "n_obs",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(chisq, 4).alias("chisq_term"),
+    ).orderBy("digit")
+
+
+ORACLE["benford_first_digit"] = """
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n_obs
+        FROM orders WHERE o_totalprice >= 1
+        GROUP BY 1
+    )
+    SELECT digit, n_obs,
+           ROUND(n_obs / CAST(SUM(n_obs) OVER () AS DOUBLE), 6) AS obs_share,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           ROUND(CAST(SUM(n_obs) OVER () AS DOUBLE)
+                 * (n_obs / CAST(SUM(n_obs) OVER () AS DOUBLE)
+                    - log10(1.0 + 1.0 / digit))
+                 * (n_obs / CAST(SUM(n_obs) OVER () AS DOUBLE)
+                    - log10(1.0 + 1.0 / digit))
+                 / log10(1.0 + 1.0 / digit), 4) AS chisq_term
+    FROM obs ORDER BY digit
+"""
+
+QUERIES["benford_first_digit"] = benford_first_digit
+
+
+def cusum_change_point(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volume — the
+    monitoring primitive that finds WHEN a level shift happened (the
+    Theil-Sen entry answers how steep the drift is): per event type,
+    the cumulative sum of (daily count - overall daily mean) peaks in
+    absolute value at the most likely change day.  Per type: the
+    change day, the peak |CUSUM|, and the day count.
+
+    Determinism: the cumulative sum folds left-to-right in day order in
+    both engines (bit-identical IEEE accumulation), and the argmax
+    breaks ties on the earliest day.
+
+    100 TB shape: raw events reduce to #types x #days rows in ONE
+    partial+final agg; every window (mean, running sum, argmax rank)
+    runs over that bounded aggregate — the sweep-approved pattern for
+    label-keyed windows (aggregate below the exchange)."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    w_cum = wt.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    mean = F.sum("n").over(wt) / F.count(F.lit(1)).over(wt)
+    cusum = F.sum(F.col("n") - mean).over(w_cum)
+    scored = daily.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+        F.abs(cusum).alias("abs_cusum"),
+    )
+    w_pick = wt.orderBy(F.desc("abs_cusum"), F.asc("d"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_day"),
+            F.round("abs_cusum", 4).alias("peak_cusum"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["cusum_change_point"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, d,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+               ABS(SUM(n - avg_n) OVER (PARTITION BY event_type ORDER BY d
+                                        ROWS UNBOUNDED PRECEDING))
+                   AS abs_cusum
+        FROM (
+            SELECT *, SUM(n) OVER (PARTITION BY event_type)
+                          / CAST(COUNT(*) OVER (PARTITION BY event_type)
+                                 AS DOUBLE) AS avg_n
+            FROM daily
+        )
+    ),
+    picked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY abs_cusum DESC, d ASC) AS rn
+        FROM scored
+    )
+    SELECT event_type, d AS change_day,
+           ROUND(abs_cusum, 4) AS peak_cusum,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM picked WHERE rn = 1
+    ORDER BY event_type
+"""
+
+QUERIES["cusum_change_point"] = cusum_change_point

@@ -1140,3 +1140,107 @@ ORACLE["late_ship_order_priorities"] = f"""
 """
 
 QUERIES["late_ship_order_priorities"] = late_ship_order_priorities
+
+
+def abc_revenue_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue — the
+    warehouse staple behind "which 20% of accounts carry 80% of
+    revenue": customers sort by revenue descending, the top tier
+    covering 80% of cumulative revenue is class A, up to 95% class B,
+    the tail class C.  Per class: customer count, revenue, and revenue
+    share.
+
+    100 TB shape: the per-customer rollup is one partial+final agg on
+    the high-cardinality key; the global ordered CUMULATIVE revenue —
+    the part a naive ``SUM() OVER (ORDER BY ...)`` would funnel through
+    ONE task — distributes exactly like the engine's rank core: one
+    range shuffle on (-revenue, custkey), per-partition running
+    DECIMAL sums, and a broadcast prefix-sum of the #partitions-row
+    per-partition totals.  Sums stay DECIMAL end-to-end so every
+    cumulative value (and therefore every A/B/C boundary) is exact and
+    engine-independent; only the final share division goes double."""
+    orders = table(spark, sf, "orders")
+    rev = (
+        orders.filter(
+            F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("revenue")
+        )
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = rev.select(
+        "o_custkey", "revenue", (-F.col("revenue")).alias("score")
+    ).repartitionByRange(nparts, "score", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("score", "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ptot = ranged.groupBy("pid").agg(F.sum("revenue").alias("ptot"))
+    w_prev = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = ptot.select(
+        "pid",
+        F.coalesce(F.sum("ptot").over(w_prev), F.lit(0).cast("decimal(28,6)"))
+        .alias("offset"),
+        F.sum("ptot").over(w_all).alias("grand"),
+    )
+    cum = F.sum("revenue").over(w_local) + F.col("offset")
+    share = cum.cast("double") / F.col("grand").cast("double")
+    classed = ranged.join(F.broadcast(off), "pid").select(
+        "revenue",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc_class"),
+        F.col("grand"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue").cast("double"), 4).alias("revenue"),
+            F.round(
+                (F.sum("revenue") / F.max("grand")).cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE["abc_revenue_classes"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    cum AS (
+        SELECT revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+                                  ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(revenue) OVER () AS grand
+        FROM rev
+    ),
+    classed AS (
+        SELECT revenue, grand,
+               CASE WHEN CAST(c AS DOUBLE) / CAST(grand AS DOUBLE) <= 0.80
+                    THEN 'A'
+                    WHEN CAST(c AS DOUBLE) / CAST(grand AS DOUBLE) <= 0.95
+                    THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+    )
+    SELECT abc_class, COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(revenue) AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(SUM(revenue) / MAX(grand) AS DOUBLE), 6)
+               AS revenue_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
+
+QUERIES["abc_revenue_classes"] = abc_revenue_classes

@@ -1438,3 +1438,21 @@ def test_lpa_rounds_are_equijoins_on_aggregated_labels(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition" not in plan, plan[:2000]
+
+
+def test_abc_cumulative_revenue_range_exchange_is_reused(spark):
+    """abc_revenue_classes: the per-partition totals branch and the
+    data branch must consume the SAME range exchange (ReusedExchange in
+    the final plan) — the pid-keyed prefix-sum join relies on both
+    observing identical range boundaries, and the global cumulative
+    revenue must never compile to a single-partition window."""
+    from pinterest_data_pipeline6_spark.operators import facts
+    from pinterest_data_pipeline6_spark.plans import final_plan
+
+    plan = final_plan(facts.abc_revenue_classes(spark, SF))
+    reused = [
+        line
+        for line in plan.splitlines()
+        if "ReusedExchange" in line and "rangepartitioning" in line
+    ]
+    assert reused, plan[:2000]
