@@ -36,59 +36,6 @@ SF0001 = "/root/testdata/sf0.001"
 # TIE-BREAK among never-checked entries (round 3's priority: dedup /
 # similarity / textops / privacy / curation / pit_scd2 / multimodal /
 # subqueries / the distinctive collections entries first).
-# Entries added in round 5 AFTER the registry freeze.  Exactly 50
-# never-checked entries existed when round 5 opened — precisely the
-# driver's window size — so a brand-new (also never-checked) entry would
-# displace one of them and break the 199/199 coverage plan.  Names
-# listed here get staleness 0.5 instead of 0 while unchecked: AFTER
-# every pre-freeze never-checked entry (they cannot claim an r5 window
-# slot) but BEFORE everything already checked (they claim the r6 window
-# first).  Once an entry gains a green CORRECTNESS row the marker is
-# inert; the list can then be emptied.
-_DEFERRED_NEW: frozenset[str] = frozenset({
-    "tokenizer_fertility_stats",
-    "padding_waste_bins",
-    "normalization_dedup_lift",
-    "cross_split_leakage",
-    "embedding_centroid_shift",
-    "code_switch_stats",
-    "jaccard_prefix_filter_pairs",
-    "trailing_distinct_users",
-    "asof_tolerance_join",
-    # TPC-H completion wave 2 (Q2/Q9/Q11/Q16/Q20 shapes)
-    "min_cost_supplier_parts",
-    "nation_profit_trend",
-    "important_part_share",
-    "supplier_count_by_attrs",
-    "qualified_part_shippers",
-    # training-pipeline wave (Gopher rules, dim health, engagement)
-    "gopher_quality_flags",
-    "embedding_dim_profile",
-    "event_cooccurrence_lift",
-    "user_power_curve",
-    # wave 3 (semantic dedup + exact distributed quantiles)
-    "semdedup_prune",
-    "exact_price_quantiles",
-    # wave 4 (retrieval-training prep + clustering quality)
-    "hard_negative_mining",
-    "cell_label_purity",
-    # wave 5 (data selection: DSIR, winnowing, domain caps, budgets, MRL)
-    "dsir_importance_weights",
-    "source_quality_cap",
-    "token_budget_allocation",
-    "winnowing_fingerprints",
-    "matryoshka_truncation_error",
-    # wave 6 (LM prep: Kneser-Ney continuation counts, PMI collocations)
-    "kn_continuation_stats",
-    "pmi_collocations",
-    # wave 7 (governance: DP-noised release with epsilon utility curve)
-    "dp_lang_histogram",
-    # wave 8 (scale primitives: multi-probe LSH, exact weighted quantiles)
-    "knn_lsh_multiprobe",
-    "weighted_length_quantiles",
-})
-
-
 _DRIVER_WINDOW: list[str] = [
     # dedup (6) — flagship LLM-pipeline family, never driver-checked
     "dedup_exact_text",
@@ -196,26 +143,19 @@ def _rotate(full: dict) -> dict:
        among never-checked entries so round 3's curated priority holds);
     3. original registry order (stable fallback).
 
-    Entries in ``_DEFERRED_NEW`` that are still unchecked take
-    staleness 0.5 — behind every pre-freeze never-checked entry, ahead
-    of everything already green — so post-freeze additions wait for the
-    r6 window instead of displacing the planned r5 coverage.
-
     Self-maintaining: each round's CORRECTNESS_r*.json pushes the
     just-checked entries to the back, so the next round's prefix
-    automatically covers whatever is left, then cycles oldest-first."""
+    automatically covers whatever is left, then cycles oldest-first.
+    (Round 5's post-freeze ``_DEFERRED_NEW`` staleness-0.5 tier was
+    removed in round 7: every member earned its green row in r06, so
+    the plain never-checked-first policy again covers all cases.)"""
     last = _last_checked()
     rank = {name: i for i, name in enumerate(_DRIVER_WINDOW)}
     orig = {name: i for i, name in enumerate(full)}
 
-    def stale(k: str) -> float:
-        s = last.get(k, 0)
-        if s == 0 and k in _DEFERRED_NEW:
-            return 0.5
-        return s
-
     ordered = sorted(
-        full, key=lambda k: (stale(k), rank.get(k, len(rank)), orig[k])
+        full,
+        key=lambda k: (last.get(k, 0), rank.get(k, len(rank)), orig[k]),
     )
     return {k: full[k] for k in ordered}
 

@@ -62,8 +62,10 @@ def committed_detail() -> dict:
     """The last COMMITTED BENCH_DETAIL.json (via ``git show HEAD:``) —
     NOT the working-tree file, which an earlier bench run in the same
     session may already have overwritten with stall-polluted numbers.
-    Falls back to the on-disk file outside a git checkout; returns {}
-    when neither parses."""
+    Returns {} (guard disabled — every query treated as new) when
+    ``HEAD:BENCH_DETAIL.json`` is unreadable: falling back to the
+    on-disk file would gate against exactly the possibly-poisoned
+    baseline this function exists to avoid."""
     import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -78,11 +80,7 @@ def committed_detail() -> dict:
             return json.loads(out.stdout)
     except Exception:
         pass
-    try:
-        with open(os.path.join(root, "BENCH_DETAIL.json")) as f:
-            return json.load(f)
-    except Exception:
-        return {}
+    return {}
 
 
 def apply_stall_guard(

@@ -642,14 +642,17 @@ def quality_trend_theilsen(spark: SparkSession, sf: str) -> DataFrame:
     # and the range-partitioned core is the shape that stays safe if a
     # caller ever feeds an unbounded slope set.  doc_id encodes
     # (d_a, d_b) lexicographically so the tie-break matches the
-    # oracle's ORDER BY slope, d_a, d_b.
+    # oracle's ORDER BY slope, d_a, d_b.  The +800_000 offset keeps the
+    # shifted day number non-negative for every date both engines
+    # support (year 1 -> unix_date ~ -719_162; year 9999 -> ~2_932_896
+    # < 3_200_000), so the base-4_000_000 positional encoding is
+    # monotone over the FULL date domain, not just 1970..+2739.
+    day_a = F.unix_date("d_a").cast("bigint") + F.lit(800_000)
+    day_b = F.unix_date("d_b").cast("bigint") + F.lit(800_000)
     slope_ids = slopes.select(
         "event_type",
         F.col("slope").alias("score"),
-        (
-            F.unix_date("d_a").cast("bigint") * F.lit(1_000_000)
-            + F.unix_date("d_b").cast("bigint")
-        ).alias("doc_id"),
+        (day_a * F.lit(4_000_000) + day_b).alias("doc_id"),
     )
     picked = _distributed_rank(slope_ids, group_cols=["event_type"]).filter(
         F.col("_grank") == F.ceil(F.col("total") / F.lit(2))
@@ -774,12 +777,17 @@ def cusum_change_point(spark: SparkSession, sf: str) -> DataFrame:
     absolute value at the most likely change day.  Per type: the
     change day, the peak |CUSUM|, and the day count.
 
-    Determinism: the cumulative sum folds left-to-right in day order in
-    both engines (bit-identical IEEE accumulation), and the argmax
-    breaks ties on the earliest day.
+    Determinism: the argmax is INTEGER-exact.  CUSUM_i = prefix_i -
+    i * (total / n_days), so n_days * CUSUM_i = n_days * prefix_i -
+    i * total — all bigint arithmetic with no engine-specific IEEE
+    accumulation order (a double running SUM is NOT guaranteed to fold
+    left-to-right in DuckDB's windowed aggregation, so a real-valued
+    |CUSUM| tie could resolve to different change days per engine).
+    The reported peak is that bigint divided by n_days in ONE IEEE op,
+    identical cross-engine; ties break on the earliest day.
 
     100 TB shape: raw events reduce to #types x #days rows in ONE
-    partial+final agg; every window (mean, running sum, argmax rank)
+    partial+final agg; every window (prefix sum, totals, argmax rank)
     runs over that bounded aggregate — the sweep-approved pattern for
     label-keyed windows (aggregate below the exchange)."""
     ev = table(spark, sf, "events")
@@ -787,24 +795,30 @@ def cusum_change_point(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("n"))
     wt = Window.partitionBy("event_type")
-    w_cum = wt.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    mean = F.sum("n").over(wt) / F.count(F.lit(1)).over(wt)
-    cusum = F.sum(F.col("n") - mean).over(w_cum)
+    w_ord = wt.orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
     scored = daily.select(
         "event_type",
         "d",
-        F.count(F.lit(1)).over(wt).alias("n_days"),
-        F.abs(cusum).alias("abs_cusum"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n_days"),
+        F.abs(
+            F.count(F.lit(1)).over(wt).cast("bigint")
+            * F.sum("n").over(w_cum).cast("bigint")
+            - F.row_number().over(w_ord).cast("bigint")
+            * F.sum("n").over(wt).cast("bigint")
+        ).alias("abs_int"),
     )
-    w_pick = wt.orderBy(F.desc("abs_cusum"), F.asc("d"))
+    w_pick = wt.orderBy(F.desc("abs_int"), F.asc("d"))
     return (
         scored.withColumn("rn", F.row_number().over(w_pick))
         .filter(F.col("rn") == 1)
         .select(
             "event_type",
             F.col("d").alias("change_day"),
-            F.round("abs_cusum", 4).alias("peak_cusum"),
-            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round(
+                F.col("abs_int").cast("double") / F.col("n_days"), 4
+            ).alias("peak_cusum"),
+            F.col("n_days").alias("n_days"),
         )
         .orderBy("event_type")
     )
@@ -817,25 +831,25 @@ ORACLE["cusum_change_point"] = """
     ),
     scored AS (
         SELECT event_type, d,
-               COUNT(*) OVER (PARTITION BY event_type) AS n_days,
-               ABS(SUM(n - avg_n) OVER (PARTITION BY event_type ORDER BY d
-                                        ROWS UNBOUNDED PRECEDING))
-                   AS abs_cusum
-        FROM (
-            SELECT *, SUM(n) OVER (PARTITION BY event_type)
-                          / CAST(COUNT(*) OVER (PARTITION BY event_type)
-                                 AS DOUBLE) AS avg_n
-            FROM daily
-        )
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days,
+               ABS(CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   * CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   - CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY d) AS BIGINT)
+                   * CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT))
+                   AS abs_int
+        FROM daily
     ),
     picked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                                     ORDER BY abs_cusum DESC, d ASC) AS rn
+                                     ORDER BY abs_int DESC, d ASC) AS rn
         FROM scored
     )
     SELECT event_type, d AS change_day,
-           ROUND(abs_cusum, 4) AS peak_cusum,
-           CAST(n_days AS BIGINT) AS n_days
+           ROUND(CAST(abs_int AS DOUBLE) / n_days, 4) AS peak_cusum,
+           n_days
     FROM picked WHERE rn = 1
     ORDER BY event_type
 """

@@ -724,33 +724,57 @@ def pseudonymize_consistency(spark: SparkSession, sf: str) -> DataFrame:
     (``h64(salt | user_id)``), and the audit verifies per event type
     that (a) the tokenization is injective on this corpus (distinct
     pseudonyms == distinct users — a collision would silently merge two
-    users' histories) and (b) re-keying preserved activity structure
-    (events per pseudonym and events per user agree at the max, i.e.
-    the heaviest pseudonym is exactly the heaviest user).
+    users' histories) and (b) re-keying preserved activity structure:
+    the max events-per-PSEUDONYM (grouped by pseudo_id alone) equals
+    the max events-per-USER (grouped by user_id alone).  The two maxes
+    are computed from SEPARATE groupings — a collision that merged two
+    users would inflate the pseudonym-grouped count above every
+    user-grouped count and flip ``structure_preserved`` even if the
+    distinct counts were somehow masked.
 
     100 TB shape: the pseudonym is a row-local projection (no lookup
-    table to join or protect); both distinct counts ride ONE aggregate
-    per (type, user) — user_id is high-cardinality so the shuffle is
-    well-spread — and the per-type rollup aggregates the already-slim
-    relation."""
+    table to join or protect); each grouping is one partial+final agg
+    on a high-cardinality key (well-spread shuffle) whose per-type
+    rollups are slim, and the final comparison joins two #type-row
+    aggregates."""
     ev = table(spark, sf, "events")
     pseudo = _h64_spark(
         F.concat(F.lit(PSEUDO_SALT + "|"), F.col("user_id").cast("string"))
     )
-    per_user = ev.select(
+    base = ev.select(
         "event_type", F.col("user_id"), pseudo.alias("pseudo_id")
-    ).groupBy("event_type", "user_id", "pseudo_id").agg(
-        F.count(F.lit(1)).alias("n")
+    )
+    by_user = (
+        base.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.max("n").alias("max_events_per_user"),
+        )
+    )
+    by_pseudo = (
+        base.groupBy("event_type", "pseudo_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pseudo"),
+            F.max("n").alias("max_events_per_pseudo"),
+        )
     )
     return (
-        per_user.groupBy("event_type")
-        .agg(
-            F.count_distinct("user_id").alias("n_users"),
-            F.count_distinct("pseudo_id").alias("n_pseudo"),
-            (F.count_distinct("user_id") == F.count_distinct("pseudo_id")).alias(
-                "injective"
-            ),
-            F.max("n").alias("max_events_per_user"),
+        by_user.join(by_pseudo, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            "n_pseudo",
+            (F.col("n_users") == F.col("n_pseudo")).alias("injective"),
+            "max_events_per_user",
+            "max_events_per_pseudo",
+            (
+                F.col("max_events_per_user")
+                == F.col("max_events_per_pseudo")
+            ).alias("structure_preserved"),
         )
         .orderBy("event_type")
     )
@@ -758,17 +782,33 @@ def pseudonymize_consistency(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["pseudonymize_consistency"] = pseudonymize_consistency
 ORACLE["pseudonymize_consistency"] = f"""
-    WITH per_user AS (
+    WITH base AS (
         SELECT event_type, user_id,
                {H64_SQL.format(expr="'{salt}|' || CAST(user_id AS VARCHAR)")}
-                   AS pseudo_id,
-               COUNT(*) AS n
-        FROM events GROUP BY 1, 2, 3
+                   AS pseudo_id
+        FROM events
+    ),
+    by_user AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MAX(n) AS BIGINT) AS max_events_per_user
+        FROM (SELECT event_type, user_id, COUNT(*) AS n
+              FROM base GROUP BY 1, 2)
+        GROUP BY event_type
+    ),
+    by_pseudo AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pseudo,
+               CAST(MAX(n) AS BIGINT) AS max_events_per_pseudo
+        FROM (SELECT event_type, pseudo_id, COUNT(*) AS n
+              FROM base GROUP BY 1, 2)
+        GROUP BY event_type
     )
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(COUNT(DISTINCT pseudo_id) AS BIGINT) AS n_pseudo,
-           COUNT(DISTINCT user_id) = COUNT(DISTINCT pseudo_id) AS injective,
-           CAST(MAX(n) AS BIGINT) AS max_events_per_user
-    FROM per_user GROUP BY event_type ORDER BY event_type
+    SELECT u.event_type, u.n_users, p.n_pseudo,
+           u.n_users = p.n_pseudo AS injective,
+           u.max_events_per_user, p.max_events_per_pseudo,
+           u.max_events_per_user = p.max_events_per_pseudo
+               AS structure_preserved
+    FROM by_user u JOIN by_pseudo p ON u.event_type = p.event_type
+    ORDER BY u.event_type
 """.replace("{salt}", PSEUDO_SALT)

@@ -400,3 +400,19 @@ def test_committed_detail_reads_head_not_working_tree(tmp_path):
         ).stdout
     )
     assert got["queries"] == head["queries"]
+
+
+def test_committed_detail_disables_guard_outside_git(monkeypatch):
+    """When HEAD:BENCH_DETAIL.json is unreadable the guard must DISABLE
+    ({} -> every query treated as new), never fall back to the
+    working-tree file — that is exactly the possibly stall-polluted
+    baseline the function exists to avoid."""
+    import subprocess
+
+    bench = _load_bench()
+
+    def _fail(*a, **k):
+        raise FileNotFoundError("no git binary")
+
+    monkeypatch.setattr(subprocess, "run", _fail)
+    assert bench.committed_detail() == {}

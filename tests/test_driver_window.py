@@ -72,14 +72,9 @@ def test_registry_order_is_stalest_first():
         merged.update(mod.QUERIES)
     orig = {n: i for i, n in enumerate(merged)}
 
-    def stale(k: str) -> float:
-        s = last.get(k, 0)
-        if s == 0 and k in entrymod._DEFERRED_NEW:
-            return 0.5
-        return s
-
     want = sorted(
-        merged, key=lambda k: (stale(k), rank.get(k, len(rank)), orig[k])
+        merged,
+        key=lambda k: (last.get(k, 0), rank.get(k, len(rank)), orig[k]),
     )
     assert list(q) == want
 
@@ -134,26 +129,16 @@ def test_failed_entries_requeue_at_front():
         } <= set(q[:50])
 
 
-def test_deferred_new_entries_wait_for_the_next_window():
-    """Round-5 freeze rule: an entry added after the freeze (listed in
-    ``_DEFERRED_NEW``) must not occupy a window slot while pre-freeze
-    never-checked entries remain, but must outrank every already-green
-    entry so it claims the following round's window first."""
+def test_new_entries_claim_the_window_first():
+    """With the round-5 deferral tier retired (all members green in
+    r06), the plain policy holds: any never-checked entry must outrank
+    every already-green entry, so new additions land an external green
+    row in the same round they are added."""
     q = list(entrymod.queries())
     last = _last_checked()
-    deferred_unchecked = [
-        k for k in entrymod._DEFERRED_NEW if last.get(k, 0) == 0 and k in q
-    ]
-    prefreeze_backlog = [
-        k
-        for k in q
-        if last.get(k, 0) <= 0 and k not in entrymod._DEFERRED_NEW
-    ]
-    if len(prefreeze_backlog) >= 50:
-        assert not set(q[:50]) & set(deferred_unchecked)
-    # deferred-but-unchecked entries still beat every checked entry
+    unchecked = [k for k in q if last.get(k, 0) == 0]
     checked_positions = [q.index(k) for k, v in last.items() if v > 0 and k in q]
-    for k in deferred_unchecked:
+    for k in unchecked:
         assert q.index(k) < min(checked_positions, default=len(q))
 
 
