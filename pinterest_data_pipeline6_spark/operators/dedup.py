@@ -1958,3 +1958,431 @@ QUERIES = {
     "normalization_dedup_lift": normalization_dedup_lift,
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
 }
+
+
+# ---------------------------------------------------------------------------
+# round 7: exact substring-level duplication (Lee et al. 2022 class)
+# ---------------------------------------------------------------------------
+
+LDS_K = 8        # seed gram length (tokens): spans >= K are accounted exactly
+LDS_HOT_CAP = 64  # grams occurring more often are excluded (hot-gram guard)
+
+
+def longest_dup_substring_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT cross-document duplicated-substring accounting — the
+    ExactSubstr signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), which fixed-span hashing
+    (``span_dedup_stats``) under-counts: a 93-token verbatim duplicate
+    contributes at most 5 aligned 16-token spans but is a single
+    maximal match here.  Per language: docs carrying any cross-doc
+    duplicated token run >= K, the LONGEST such run, and the exact
+    duplicated-token mass (union of all duplicated spans per doc).
+
+    Algorithm (suffix arrays re-expressed as relational primitives):
+    every K-token seed gram that occurs at >= 2 sites becomes a match
+    seed; matching sites self-join on the gram hash; within a
+    (doc_a, doc_b, offset-difference) DIAGONAL, consecutive seed
+    positions chain into maximal runs (a run of g consecutive shared
+    K-grams on one diagonal == one contiguous shared substring of
+    g + K - 1 tokens — exact, not heuristic); per-doc interval union
+    then yields the duplicated-token mass without double counting
+    overlapping matches from different counterpart docs.
+
+    Grams with corpus frequency > ``LDS_HOT_CAP`` are excluded, the
+    standard practical guard every suffix-array dedup ships (a
+    degenerate hot gram would otherwise quadratically explode the
+    site self-join); a hotter-than-cap gram splits a run, so reported
+    lengths are a LOWER bound in that (documented) corner — on this
+    corpus the hottest gram occurs 3x, so the cap is inert.
+
+    100 TB shape: gram sites shuffle as (doc, pos, 60-bit hash) — text
+    never leaves the map side; the only pairwise step is confined to
+    sites sharing a gram hash (output-bound, like PPJoin); run
+    chaining is one window over the high-cardinality
+    (doc_a, doc_b, diag) key; the interval union is one window keyed
+    on doc_id.  No all-pairs step anywhere."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    grams = (
+        base.filter(F.size("toks") >= LDS_K)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (LDS_K - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            _h64_spark(
+                F.concat_ws(" ", F.slice("toks", F.col("pos"), LDS_K))
+            ).alias("h"),
+        )
+    )
+    eligible = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("n_occ"))
+        .filter((F.col("n_occ") >= 2) & (F.col("n_occ") <= LDS_HOT_CAP))
+        .select("h")
+    )
+    sites = grams.join(eligible, "h")
+    a = sites.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "h")
+    b = sites.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w_run = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = pairs.select(
+        "da", "db", "diag", "pa",
+        (F.col("pa") - F.row_number().over(w_run)).alias("isl"),
+    )
+    spans = (
+        runs.groupBy("da", "db", "diag", "isl")
+        .agg(
+            F.min("pa").alias("s"),
+            (F.max("pa") + F.lit(LDS_K - 1)).alias("e"),
+        )
+        .select("da", "s", "e")
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy("da")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("da")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = spans.select(
+        "da", "s", "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    merged = (
+        flagged.withColumn("gid", F.sum("is_new").over(w_cum))
+        .groupBy("da", "gid")
+        .agg(
+            (F.max("e") - F.min("s") + 1).alias("covered"),
+            F.max(F.col("e") - F.col("s") + 1).alias("max_span"),
+        )
+    )
+    per_doc = merged.groupBy("da").agg(
+        F.sum("covered").alias("dup_tokens"),
+        F.max("max_span").alias("longest"),
+    )
+    info = base.select("doc_id", "lang", F.size("toks").cast("bigint").alias("n_toks"))
+    return (
+        info.join(per_doc, info.doc_id == per_doc.da, "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("dup_tokens").isNotNull().cast("bigint")).cast(
+                "bigint"
+            ).alias("n_docs_with_dup"),
+            F.coalesce(F.max("longest"), F.lit(0)).cast("bigint").alias(
+                "max_dup_len"
+            ),
+            F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0))).cast(
+                "bigint"
+            ).alias("dup_tokens"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0)))
+                / F.sum("n_toks").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["longest_dup_substring_stats"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    info AS (
+        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks FROM d
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               {H64_SQL.format(expr=(
+                   "array_to_string(toks[CAST(i AS INT)"
+                   ":CAST(i + " + str(LDS_K - 1) + " AS INT)], ' ')"
+               ))} AS h
+        FROM d, LATERAL unnest(generate_series(1, len(toks) - {LDS_K - 1}))
+                 AS t(i)
+        WHERE len(toks) >= {LDS_K}
+    ),
+    eligible AS (
+        SELECT h FROM grams GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {LDS_HOT_CAP}
+    ),
+    sites AS (SELECT g.* FROM grams g JOIN eligible USING (h)),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM sites a JOIN sites b ON a.h = b.h AND a.doc_id != b.doc_id
+    ),
+    runs AS (
+        SELECT da, db, diag, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag
+                                       ORDER BY pa) AS isl
+        FROM pairs
+    ),
+    spans AS (
+        SELECT DISTINCT da, s, e FROM (
+            SELECT da, MIN(pa) AS s, MAX(pa) + {LDS_K - 1} AS e
+            FROM runs GROUP BY da, db, diag, isl
+        )
+    ),
+    flagged AS (
+        SELECT da, s, e,
+               CASE WHEN s > COALESCE(
+                   MAX(e) OVER (PARTITION BY da ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM spans
+    ),
+    merged AS (
+        SELECT da, gid, MAX(e) - MIN(s) + 1 AS covered,
+               MAX(e - s + 1) AS max_span
+        FROM (SELECT da, s, e,
+                     SUM(is_new) OVER (PARTITION BY da ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS gid
+              FROM flagged)
+        GROUP BY da, gid
+    ),
+    per_doc AS (
+        SELECT da, SUM(covered) AS dup_tokens, MAX(max_span) AS longest
+        FROM merged GROUP BY da
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dup_tokens IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_dup,
+           CAST(COALESCE(MAX(longest), 0) AS BIGINT) AS max_dup_len,
+           CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           ROUND(SUM(COALESCE(dup_tokens, 0))
+                 / CAST(SUM(n_toks) AS DOUBLE), 6) AS dup_token_frac
+    FROM info LEFT JOIN per_doc ON info.doc_id = per_doc.da
+    GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["longest_dup_substring_stats"] = longest_dup_substring_stats
+
+
+STITCH_K = 3  # boundary gram length for continuation detection
+
+
+def doc_stitch_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-reassembly audit: pairs of documents where one document's
+    LAST ``STITCH_K`` tokens equal another's FIRST ``STITCH_K`` tokens
+    — the signature of a crawler or chunker that split one logical
+    document into consecutive records.  Training pipelines stitch (or
+    at least co-shard) such fragments so context windows don't cut
+    mid-document.  Per (tail-doc lang, head-doc lang): link count and
+    distinct fragment counts on each side.
+
+    100 TB shape: each doc contributes exactly ONE boundary row per
+    side (two 60-bit hashes — head gram, tail gram), so the equijoin
+    input is one slim row per document and the join key is the gram
+    hash; output is bounded by the lang-pair matrix."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", "lang", toks.alias("toks")).filter(
+        F.size("toks") >= STITCH_K
+    )
+    bounds = base.select(
+        "doc_id",
+        "lang",
+        _h64_spark(
+            F.concat_ws(" ", F.slice("toks", F.lit(1), STITCH_K))
+        ).alias("head_h"),
+        _h64_spark(
+            F.concat_ws(
+                " ", F.slice("toks", F.size("toks") - (STITCH_K - 1), STITCH_K)
+            )
+        ).alias("tail_h"),
+    )
+    tails = bounds.select(
+        F.col("doc_id").alias("tail_doc"),
+        F.col("lang").alias("tail_lang"),
+        F.col("tail_h").alias("h"),
+    )
+    heads = bounds.select(
+        F.col("doc_id").alias("head_doc"),
+        F.col("lang").alias("head_lang"),
+        F.col("head_h").alias("h"),
+    )
+    return (
+        tails.join(heads, "h")
+        .filter(F.col("tail_doc") != F.col("head_doc"))
+        .groupBy("tail_lang", "head_lang")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.count_distinct("tail_doc").alias("n_tail_docs"),
+            F.count_distinct("head_doc").alias("n_head_docs"),
+        )
+        .orderBy("tail_lang", "head_lang")
+    )
+
+
+ORACLE["doc_stitch_links"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    bounds AS (
+        SELECT doc_id, lang,
+               {H64_SQL.format(expr=(
+                   "array_to_string(toks[1:" + str(STITCH_K) + "], ' ')"
+               ))} AS head_h,
+               {H64_SQL.format(expr=(
+                   "array_to_string(toks[len(toks) - " + str(STITCH_K - 1)
+                   + ":len(toks)], ' ')"
+               ))} AS tail_h
+        FROM base WHERE len(toks) >= {STITCH_K}
+    )
+    SELECT t.lang AS tail_lang, hd.lang AS head_lang,
+           COUNT(*) AS n_links,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_tail_docs,
+           CAST(COUNT(DISTINCT hd.doc_id) AS BIGINT) AS n_head_docs
+    FROM bounds t JOIN bounds hd
+      ON t.tail_h = hd.head_h AND t.doc_id != hd.doc_id
+    GROUP BY 1, 2 ORDER BY tail_lang, head_lang
+"""
+
+QUERIES["doc_stitch_links"] = doc_stitch_links
+
+
+# ---------------------------------------------------------------------------
+# round 7: Unicode canonical/compatibility fold for dedup preprocessing
+# ---------------------------------------------------------------------------
+#
+# Real multilingual corpora carry the same text in NFC and NFD forms
+# ("café" precomposed vs "cafe" + COMBINING ACUTE) and in fullwidth/
+# ligature compatibility variants — byte-level hashing treats them as
+# distinct documents and dedup silently misses them.  Spark 4 exposes
+# ICU collations but no normal-form FUNCTION, so the canonical step is
+# an explicit replace chain over a DECLARED subset (Latin vowels +
+# n/c with the five common combining marks — built from Python's
+# unicodedata at import so each pair is definitionally correct NFC);
+# the compatibility fold is a single translate() over the fullwidth
+# ASCII block + width-space variants plus the fi/fl ligatures.  The
+# DuckDB oracle uses its native nfc_normalize() for the canonical step
+# — the engines agree everywhere the declared subset covers (proven in
+# tests/test_properties.py on decomposed inputs; outside the subset
+# the Spark chain is a documented no-op, like the multimodal codec
+# stub).
+
+import unicodedata as _ud
+
+_NFC_PAIRS: list[tuple[str, str]] = [
+    (b + m, _ud.normalize("NFC", b + m))
+    # combining grave / acute / circumflex / diaeresis / tilde / cedilla
+    for b in "aeiouAEIOU"
+    for m in ("\u0300", "\u0301", "\u0302", "\u0308")
+] + [
+    (b + m, _ud.normalize("NFC", b + m))
+    for b, m in (("n", "\u0303"), ("N", "\u0303"),
+                 ("c", "\u0327"), ("C", "\u0327"))
+]
+# fullwidth ! .. ~ (U+FF01..U+FF5E) -> ASCII 0x21..0x7E, plus
+# ideographic space / NBSP -> plain space
+_FOLD_SRC = "".join(chr(0xFF01 + i) for i in range(94)) + "\u3000\u00a0"
+_FOLD_DST = "".join(chr(0x21 + i) for i in range(94)) + "  "
+_LIGATURES = [("ﬁ", "fi"), ("ﬂ", "fl")]
+
+
+def _nfc_spark(col: Column) -> Column:
+    for seq, comp in _NFC_PAIRS:
+        col = F.replace(col, F.lit(seq), F.lit(comp))
+    return col
+
+
+def _fold_spark(col: Column) -> Column:
+    col = F.translate(col, _FOLD_SRC, _FOLD_DST)
+    for lig, asc in _LIGATURES:
+        col = F.replace(col, F.lit(lig), F.lit(asc))
+    return col
+
+
+def unicode_fold_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-normalization dedup audit per language: how many docs
+    change under NFC recomposition, how many more under the
+    compatibility fold (fullwidth -> ASCII, width spaces, fi/fl
+    ligatures), and the dedup lift — distinct digests before vs after
+    the full fold.  ``normalization_dedup_lift`` measures case/
+    punctuation normalization; this measures CODE-POINT normalization,
+    the step that must run before either on multilingual crawls.
+
+    100 TB shape: both normal forms are row-local projections (replace
+    chains + one translate — all inside whole-stage codegen, no UDF);
+    the only shuffle carries (lang, two 16-byte digests) into one
+    partial+final aggregate."""
+    docs = table(spark, sf, "documents")
+    nfc = _nfc_spark(F.col("text"))
+    fold = _fold_spark(nfc)
+    d = docs.select(
+        "lang",
+        (nfc != F.col("text")).cast("bigint").alias("chg_nfc"),
+        (fold != nfc).cast("bigint").alias("chg_fold"),
+        F.md5("text").alias("raw_d"),
+        F.md5(fold).alias("fold_d"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chg_nfc").cast("bigint").alias("n_changed_nfc"),
+            F.sum("chg_fold").cast("bigint").alias("n_changed_fold"),
+            F.count_distinct("raw_d").alias("raw_distinct"),
+            F.count_distinct("fold_d").alias("fold_distinct"),
+            (F.count_distinct("raw_d") - F.count_distinct("fold_d")).alias(
+                "merged_by_fold"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fold_sql(expr: str) -> str:
+    src = _FOLD_SRC.replace("'", "''")
+    dst = _FOLD_DST.replace("'", "''")
+    out = f"translate({expr}, '{src}', '{dst}')"
+    for lig, asc in _LIGATURES:
+        out = f"replace({out}, '{lig}', '{asc}')"
+    return out
+
+
+ORACLE["unicode_fold_dedup_stats"] = f"""
+    WITH d AS (
+        SELECT lang,
+               CASE WHEN nfc_normalize(text) != text THEN 1 ELSE 0 END
+                   AS chg_nfc,
+               CASE WHEN {_fold_sql('nfc_normalize(text)')}
+                        != nfc_normalize(text) THEN 1 ELSE 0 END
+                   AS chg_fold,
+               md5(text) AS raw_d,
+               md5({_fold_sql('nfc_normalize(text)')}) AS fold_d
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(chg_nfc) AS BIGINT) AS n_changed_nfc,
+           CAST(SUM(chg_fold) AS BIGINT) AS n_changed_fold,
+           COUNT(DISTINCT raw_d) AS raw_distinct,
+           COUNT(DISTINCT fold_d) AS fold_distinct,
+           COUNT(DISTINCT raw_d) - COUNT(DISTINCT fold_d) AS merged_by_fold
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["unicode_fold_dedup_stats"] = unicode_fold_dedup_stats

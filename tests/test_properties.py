@@ -1238,3 +1238,182 @@ def test_skipgram_pairs_match_python_reference(spark, rows, tmp_path_factory):
         key: (len(us), len(set(us))) for key, us in agg.items()
     }
     assert got == want
+
+
+# --- round 7: exact substring-level dedup (Lee et al. 2022 class) ------------
+
+
+def _brute_dup_spans(toks_by_doc, K, cap):
+    """Pure-Python mirror of longest_dup_substring_stats' per-doc
+    numbers: seed K-grams with corpus frequency in [2, cap], chain
+    consecutive seeds per (doc_a, doc_b, diagonal), interval-union the
+    spans per doc. Returns {doc: (longest, dup_tokens)}."""
+    from collections import Counter
+
+    gram_count = Counter()
+    grams = {}  # doc -> list of (pos, gram string) 0-based
+    for d, toks in toks_by_doc.items():
+        g = [
+            (i, " ".join(toks[i : i + K]))
+            for i in range(len(toks) - K + 1)
+        ]
+        grams[d] = g
+        gram_count.update(s for _, s in g)
+    eligible = {s for s, n in gram_count.items() if 2 <= n <= cap}
+    out = {}
+    for da, ga in grams.items():
+        spans = set()
+        for db, gb in grams.items():
+            if da == db:
+                continue
+            pos_b = {}
+            for j, s in gb:
+                if s in eligible:
+                    pos_b.setdefault(s, []).append(j)
+            by_diag = {}
+            for i, s in ga:
+                if s not in eligible:
+                    continue
+                for j in pos_b.get(s, ()):
+                    by_diag.setdefault(i - j, []).append(i)
+            for seeds in by_diag.values():
+                seeds.sort()
+                start = prev = seeds[0]
+                for i in seeds[1:]:
+                    if i == prev + 1:
+                        prev = i
+                    else:
+                        spans.add((start, prev + K - 1))
+                        start = prev = i
+                spans.add((start, prev + K - 1))
+        if not spans:
+            continue
+        longest = max(e - s + 1 for s, e in spans)
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e + 1))
+        out[da] = (longest, len(covered))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 500),
+            st.sampled_from(["en", "es"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+                min_size=0,
+                max_size=30,
+            ),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    planted=st.integers(0, 3),
+)
+def test_longest_dup_substring_matches_brute_force(
+    spark, docs, planted, tmp_path_factory
+):
+    """The diagonal-chaining formulation must agree with a brute-force
+    all-pairs maximal-match reference on every corpus: per language the
+    doc-with-dup count, the longest duplicated run, and the exact
+    duplicated-token union mass."""
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        LDS_HOT_CAP,
+        LDS_K,
+        longest_dup_substring_stats,
+    )
+
+    # plant long shared substrings so runs >= K actually occur
+    shared = ["s%d" % i for i in range(LDS_K + 5)]
+    rows = list(docs)
+    for p in range(planted):
+        base_id = 1000 + 2 * p
+        rows.append((base_id, "en", ["x%d" % p] + shared + ["y%d" % p]))
+        rows.append((base_id + 1, "en", shared + ["z%d" % p]))
+
+    out = tmp_path_factory.mktemp("lds_prop")
+    spark.createDataFrame(
+        [(i, lg, " ".join(t)) for i, lg, t in rows],
+        "doc_id long, lang string, text string",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        r["lang"]: (
+            r["n_docs_with_dup"],
+            r["max_dup_len"],
+            r["dup_tokens"],
+            r["total_tokens"],
+        )
+        for r in longest_dup_substring_stats(spark, str(out)).collect()
+    }
+
+    # NOTE: split(" ") of "" yields one empty token in both engines,
+    # so token counts below mirror len("".split(" ")) == 1
+    toks_by_doc = {i: (" ".join(t)).split(" ") for i, lg, t in rows}
+    lang_by_doc = {i: lg for i, lg, _ in rows}
+    per_doc = _brute_dup_spans(toks_by_doc, LDS_K, LDS_HOT_CAP)
+    want = {}
+    for i, lg in lang_by_doc.items():
+        n, mx, dup, tot = want.get(lg, (0, 0, 0, 0))
+        tot += len(toks_by_doc[i])
+        if i in per_doc:
+            n += 1
+            mx = max(mx, per_doc[i][0])
+            dup += per_doc[i][1]
+        want[lg] = (n, mx, dup, tot)
+    assert got == want
+
+
+def test_unicode_fold_matches_duckdb_nfc_on_declared_subset(
+    spark, tmp_path_factory
+):
+    """The Spark replace-chain NFC must agree with DuckDB's native
+    nfc_normalize on every declared combining sequence, and the full
+    fold must merge compatibility variants in both engines."""
+    import duckdb
+
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        _NFC_PAIRS,
+        ORACLE,
+        unicode_fold_dedup_stats,
+    )
+
+    rows = []
+    # every declared pair, decomposed form, one doc each + its
+    # precomposed twin (they must merge under the fold)
+    for k, (seq, comp) in enumerate(_NFC_PAIRS):
+        rows.append((2 * k, f"word {seq} tail", "en"))
+        rows.append((2 * k + 1, f"word {comp} tail", "en"))
+    # compatibility variants: fullwidth + ligature + width spaces
+    n = len(rows)
+    rows.append((n, "ＦＵＬＬ　ﬁle ﬂow", "fw"))
+    rows.append((n + 1, "FULL file flow", "fw"))
+
+    out = tmp_path_factory.mktemp("nfc_prop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    sdf = unicode_fold_dedup_stats(spark, str(out)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{out}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(ORACLE["unicode_fold_dedup_stats"]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    got = sorted(map(tuple, sdf[cols].astype(str).values.tolist()))
+    want = sorted(map(tuple, odf[cols].astype(str).values.tolist()))
+    assert got == want
+    by_lang = {r["lang"]: r for _, r in sdf.iterrows()}
+    # every decomposed doc changed under NFC; every pair merged
+    en = by_lang["en"]
+    assert en["n_changed_nfc"] == len(_NFC_PAIRS)
+    assert en["merged_by_fold"] == len(_NFC_PAIRS)
+    fw = by_lang["fw"]
+    assert fw["n_changed_fold"] == 1 and fw["merged_by_fold"] == 1
