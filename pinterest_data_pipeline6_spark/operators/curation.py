@@ -775,3 +775,338 @@ ORACLE["token_budget_allocation"] = f"""
 QUERIES["dsir_importance_weights"] = dsir_importance_weights
 QUERIES["source_quality_cap"] = source_quality_cap
 QUERIES["token_budget_allocation"] = token_budget_allocation
+
+
+# ---------------------------------------------------------------------------
+# round 7: batch twin of the streaming curation funnel
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel_batch_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``streaming/jobs.py::run_streaming_curation`` —
+    the streaming funnel (row-local quality gate -> cross-batch LSH
+    near-dup suppression sink) had only pytest evidence; this replays
+    the SAME composition over the documents table with ``doc_id % 3``
+    standing in for micro-batch arrival order: per batch, raw rows,
+    quality rejections (map-only, before any signature work — the
+    funnel ordering docs/SCALE.md mandates), history-bucket
+    suppressions against the accumulated band state of earlier
+    batches' ACCEPTED docs, within-batch smaller-id dominations, and
+    final acceptances.  NULL text counts as a quality failure in both
+    engines (COALESCE, not SQL three-valued silence).
+
+    100 TB shape: the gate is a row-local projection ahead of the
+    band-keyed semi-join recurrence — identical to the sink's own
+    per-micro-batch plan."""
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        NEARDUP_LEDGER_BATCHES,
+        _neardup_batch_states,
+    )
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    q = _quality_flags(docs).select(
+        "doc_id",
+        "norm",
+        F.coalesce("passed_quality", F.lit(False)).alias("ok"),
+        F.pmod("doc_id", F.lit(NEARDUP_LEDGER_BATCHES)).alias("batch_id"),
+    )
+    gated = q.filter("ok").select(
+        "doc_id", F.col("norm").alias("text"), "batch_id"
+    )
+    states = _neardup_batch_states(gated).unionByName(
+        q.filter(~F.col("ok")).select(
+            "batch_id", "doc_id", F.lit("failq").alias("status")
+        )
+    )
+    return (
+        states.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum((F.col("status") == "failq").cast("bigint")).cast(
+                "bigint"
+            ).alias("n_failed_quality"),
+            F.sum((F.col("status") != "failq").cast("bigint")).cast(
+                "bigint"
+            ).alias("n_gated"),
+            F.sum((F.col("status") == "hist").cast("bigint")).cast(
+                "bigint"
+            ).alias("n_hist_suppressed"),
+            F.sum((F.col("status") == "within").cast("bigint")).cast(
+                "bigint"
+            ).alias("n_within_suppressed"),
+            F.sum(
+                F.col("status").isin("kept", "bandless").cast("bigint")
+            ).cast("bigint").alias("n_accepted"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+def _funnel_ledger_sql() -> str:
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        NEARDUP_LEDGER_BATCHES,
+        _neardup_states_sql,
+    )
+
+    cond = (
+        f"(len(string_split(lower(trim(text)), ' ')) >= {MIN_TOKENS} "
+        "AND CAST(len(list_distinct(string_split(lower(trim(text)), ' ')))"
+        " AS DOUBLE) / len(string_split(lower(trim(text)), ' '))"
+        f" >= {MIN_DISTINCT_RATIO})"
+    )
+    return f"""
+    WITH batched AS (
+        SELECT doc_id, lower(trim(text)) AS text,
+               doc_id % {NEARDUP_LEDGER_BATCHES} AS batch_id
+        FROM documents WHERE COALESCE({cond}, FALSE)
+    ),
+    {_neardup_states_sql("batched")},
+    all_states AS (
+        SELECT batch_id, doc_id, status FROM states
+        UNION ALL
+        SELECT doc_id % {NEARDUP_LEDGER_BATCHES} AS batch_id, doc_id,
+               'failq' AS status
+        FROM documents WHERE NOT COALESCE({cond}, FALSE)
+    )
+    SELECT batch_id, COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN status = 'failq' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_failed_quality,
+           CAST(SUM(CASE WHEN status != 'failq' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gated,
+           CAST(SUM(CASE WHEN status = 'hist' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_suppressed,
+           CAST(SUM(CASE WHEN status = 'within' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_suppressed,
+           CAST(SUM(CASE WHEN status IN ('kept', 'bandless') THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_accepted
+    FROM all_states GROUP BY batch_id ORDER BY batch_id
+    """
+
+
+ORACLE["curation_funnel_batch_ledger"] = _funnel_ledger_sql()
+QUERIES["curation_funnel_batch_ledger"] = curation_funnel_batch_ledger
+
+
+# ---------------------------------------------------------------------------
+# round 7: mixture-concentration and split-divergence audits
+# ---------------------------------------------------------------------------
+
+
+def source_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-concentration audit per language: Herfindahl-Hirschman
+    index (sum of squared source shares) and Gini coefficient of doc
+    counts across sources — the two numbers a data-mixture review asks
+    for before a lang's corpus is declared "diverse".  Both are
+    integer-cross-multiplied (HHI = sum(x^2)/S^2, Gini = mean absolute
+    difference / 2*mean) with ONE final division each.
+
+    100 TB shape: raw docs reduce to #langs x #sources rows in one
+    agg; the Gini pairwise join runs on that bounded aggregate."""
+    docs = table(spark, sf, "documents")
+    cnt = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("x"))
+    ag = cnt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    b = cnt.select(
+        F.col("lang").alias("lang_b"), F.col("x").alias("xb")
+    )
+    mad = (
+        cnt.join(b, cnt.lang == b.lang_b)
+        .groupBy("lang")
+        .agg(F.sum(F.abs(F.col("x") - F.col("xb"))).alias("sad"))
+    )
+    return (
+        ag.join(mad, "lang")
+        .select(
+            "lang",
+            F.col("k").cast("bigint").alias("n_sources"),
+            F.col("s").cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("q") / (F.col("s") * F.col("s")).cast("double"), 6
+            ).alias("hhi"),
+            F.round(
+                F.col("sad")
+                / (F.lit(2) * F.col("k") * F.col("s")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["source_concentration_hhi"] = """
+    WITH cnt AS (
+        SELECT lang, source, COUNT(*) AS x
+        FROM documents GROUP BY 1, 2
+    ),
+    ag AS (
+        SELECT lang, COUNT(*) AS k, SUM(x) AS s, SUM(x * x) AS q
+        FROM cnt GROUP BY lang
+    ),
+    mad AS (
+        SELECT a.lang, SUM(ABS(a.x - b.x)) AS sad
+        FROM cnt a JOIN cnt b ON a.lang = b.lang
+        GROUP BY a.lang
+    )
+    SELECT ag.lang,
+           CAST(k AS BIGINT) AS n_sources,
+           CAST(s AS BIGINT) AS n_docs,
+           ROUND(q / CAST(s * s AS DOUBLE), 6) AS hhi,
+           ROUND(sad / CAST(2 * k * s AS DOUBLE), 6) AS gini
+    FROM ag JOIN mad ON ag.lang = mad.lang
+    ORDER BY ag.lang
+"""
+
+QUERIES["source_concentration_hhi"] = source_concentration_hhi
+
+
+def js_divergence_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence between the TRAIN and VAL language
+    mixes (hash splits shared with ``dataset_split_counts``) — the
+    symmetric, bounded [0,1] drift score a split-health check prefers
+    over raw KL (which explodes on langs absent from one side; the
+    add-one smoothing here keeps every term finite anyway).  Per lang:
+    the smoothed shares and the JSD contribution
+    0.5*p*log2(p/m) + 0.5*q*log2(q/m).
+
+    100 TB shape: one scan, one hash agg to #langs rows; totals via an
+    unpartitioned window over that bounded aggregate."""
+    from pinterest_data_pipeline6_spark.operators.textops import _h64_spark
+
+    docs = table(spark, sf, "documents")
+    pct = F.pmod(_h64_spark(F.col("doc_id").cast("string")), F.lit(100))
+    counts = docs.groupBy("lang").agg(
+        F.sum((pct < SPLIT_BOUNDS[0]).cast("bigint")).alias("n_train"),
+        F.sum(
+            ((pct >= SPLIT_BOUNDS[0]) & (pct < SPLIT_BOUNDS[1])).cast(
+                "bigint"
+            )
+        ).alias("n_val"),
+    )
+    w = Window.partitionBy()
+    p = (F.col("n_train") + 1) / (
+        F.sum("n_train").over(w) + F.count("*").over(w)
+    )
+    q = (F.col("n_val") + 1) / (F.sum("n_val").over(w) + F.count("*").over(w))
+    m = (p + q) / 2
+    return (
+        counts.select(
+            "lang",
+            "n_train",
+            "n_val",
+            F.round(p, 6).alias("p_train"),
+            F.round(q, 6).alias("q_val"),
+            F.round(
+                F.lit(0.5) * p * F.log2(p / m)
+                + F.lit(0.5) * q * F.log2(q / m),
+                6,
+            ).alias("jsd_term"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _js_oracle_sql() -> str:
+    from pinterest_data_pipeline6_spark.operators.textops import H64_SQL
+
+    pct = H64_SQL.format(expr="CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""
+    WITH counts AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN {pct} < {SPLIT_BOUNDS[0]} THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN {pct} >= {SPLIT_BOUNDS[0]}
+                             AND {pct} < {SPLIT_BOUNDS[1]} THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_val
+        FROM documents GROUP BY lang
+    ),
+    sm AS (
+        SELECT lang, n_train, n_val,
+               (n_train + 1) / (SUM(n_train) OVER () + COUNT(*) OVER ())
+                   AS p,
+               (n_val + 1) / (SUM(n_val) OVER () + COUNT(*) OVER ()) AS q
+        FROM counts
+    )
+    SELECT lang, n_train, n_val,
+           ROUND(p, 6) AS p_train,
+           ROUND(q, 6) AS q_val,
+           ROUND(0.5 * p * log2(p / ((p + q) / 2))
+                 + 0.5 * q * log2(q / ((p + q) / 2)), 6) AS jsd_term
+    FROM sm ORDER BY lang
+    """
+
+
+ORACLE["js_divergence_splits"] = _js_oracle_sql()
+QUERIES["js_divergence_splits"] = js_divergence_splits
+
+
+def shard_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-shard language-balance audit for the export layout of
+    ``export_shard_histogram``: each shard's doc count plus the
+    chi-square statistic of its language mix against the corpus-wide
+    mix — a reader that round-robins shards sees a biased lang stream
+    exactly when this fires.  Expected cells are cross-multiplied
+    rationals (shard_total * lang_total / grand_total), one division
+    per cell.
+
+    100 TB shape: one agg to #shards x #langs cells; every window runs
+    over that bounded grid."""
+    docs = table(spark, sf, "documents")
+    cells = docs.groupBy(
+        _shard_col().alias("shard"), "lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    w_shard = Window.partitionBy("shard")
+    w_lang = Window.partitionBy("lang")
+    grand = F.sum("n").over(w_all)
+    exp = (
+        F.sum("n").over(w_shard) * F.sum("n").over(w_lang)
+    ) / grand.cast("double")
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    return (
+        cells.select(
+            "shard",
+            F.sum("n").over(w_shard).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).over(w_shard).cast("bigint").alias("n_langs"),
+            term.alias("term"),
+        )
+        .groupBy("shard", "n_docs", "n_langs")
+        .agg(F.round(F.sum("term"), 4).alias("chi2"))
+        .orderBy("shard")
+    )
+
+
+def _shard_balance_sql() -> str:
+    from pinterest_data_pipeline6_spark.operators.textops import H64_SQL
+
+    shard = (
+        H64_SQL.format(expr="CAST(doc_id AS VARCHAR)")
+        + f" % {N_EXPORT_SHARDS}"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT CAST({shard} AS INT) AS shard, lang, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT shard, lang, n,
+               SUM(n) OVER (PARTITION BY shard) AS st,
+               COUNT(*) OVER (PARTITION BY shard) AS sl,
+               SUM(n) OVER (PARTITION BY lang) AS lt,
+               SUM(n) OVER () AS g
+        FROM cells
+    )
+    SELECT shard,
+           CAST(MIN(st) AS BIGINT) AS n_docs,
+           CAST(MIN(sl) AS BIGINT) AS n_langs,
+           ROUND(SUM((n - st * lt / CAST(g AS DOUBLE))
+                     * (n - st * lt / CAST(g AS DOUBLE))
+                     / (st * lt / CAST(g AS DOUBLE))), 4) AS chi2
+    FROM t GROUP BY shard ORDER BY shard
+    """
+
+
+ORACLE["shard_balance_audit"] = _shard_balance_sql()
+QUERIES["shard_balance_audit"] = shard_balance_audit

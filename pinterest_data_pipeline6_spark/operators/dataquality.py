@@ -855,3 +855,600 @@ ORACLE["cusum_change_point"] = """
 """
 
 QUERIES["cusum_change_point"] = cusum_change_point
+
+
+# ---------------------------------------------------------------------------
+# round 7: distribution-shift statistics and referential-integrity audits
+# ---------------------------------------------------------------------------
+
+
+def mannwhitney_value_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing event values on
+    WEEKENDS vs WEEKDAYS per event type — the nonparametric two-sample
+    shift test monitoring pipelines run when the metric is skewed and a
+    t-test would lie.  Reports 2U (integer-exact, including average
+    ranks for ties: sum over distinct values of cnt_weekend *
+    (2*min_rank + cnt - 1) is exactly twice the tie-averaged rank sum)
+    and the rank-biserial effect size r = 1 - 2U/(n1*n2).
+
+    100 TB shape: raw events reduce to one row per (type, value) in a
+    partial+final agg; the rank prefix-sum window runs over that
+    aggregate (HashAggregate below the exchange — the sweep-approved
+    label-keyed window shape)."""
+    ev = table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    g = ev.select(
+        "event_type",
+        F.col("ts").cast("date").isNotNull().alias("_"),  # keep slim
+        F.weekday("ts").isin(5, 6).cast("bigint").alias("w"),
+        "value",
+    ).drop("_")
+    pv = g.groupBy("event_type", "value").agg(
+        F.count("*").alias("cnt"), F.sum("w").alias("cnt_w")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = pv.select(
+        "event_type", "cnt", "cnt_w",
+        (F.lit(1) + F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))).alias(
+            "min_rank"
+        ),
+    )
+    ag = rk.groupBy("event_type").agg(
+        F.sum(
+            F.col("cnt_w") * (2 * F.col("min_rank") + F.col("cnt") - 1)
+        ).alias("r2w"),
+        F.sum("cnt_w").alias("nw"),
+        (F.sum("cnt") - F.sum("cnt_w")).alias("nd"),
+    )
+    u2 = F.col("r2w") - F.col("nw") * (F.col("nw") + 1)
+    return ag.select(
+        "event_type",
+        F.col("nw").cast("bigint").alias("n_weekend"),
+        F.col("nd").cast("bigint").alias("n_weekday"),
+        u2.cast("bigint").alias("u2_weekend"),
+        F.round(
+            F.lit(1.0)
+            - u2 / F.nullif(F.col("nw") * F.col("nd"), F.lit(0)).cast("double"),
+            6,
+        ).alias("r_rank_biserial"),
+    ).orderBy("event_type")
+
+
+ORACLE["mannwhitney_value_shift"] = """
+    WITH g AS (
+        SELECT event_type,
+               CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS w,
+               value
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    pv AS (
+        SELECT event_type, value, COUNT(*) AS cnt, SUM(w) AS cnt_w
+        FROM g GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT event_type, cnt, cnt_w,
+               1 + COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+                                           ORDER BY value
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS min_rank
+        FROM pv
+    ),
+    ag AS (
+        SELECT event_type,
+               SUM(cnt_w * (2 * min_rank + cnt - 1)) AS r2w,
+               SUM(cnt_w) AS nw, SUM(cnt) - SUM(cnt_w) AS nd
+        FROM rk GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(nw AS BIGINT) AS n_weekend,
+           CAST(nd AS BIGINT) AS n_weekday,
+           CAST(r2w - nw * (nw + 1) AS BIGINT) AS u2_weekend,
+           ROUND(1.0 - (r2w - nw * (nw + 1))
+                 / CAST(NULLIF(nw * nd, 0) AS DOUBLE), 6) AS r_rank_biserial
+    FROM ag ORDER BY event_type
+"""
+
+QUERIES["mannwhitney_value_shift"] = mannwhitney_value_shift
+
+
+def spearman_length_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation per language between document length
+    (tokens) and lexical diversity (distinct-token count) — the
+    screening statistic for "are long docs in this source just repeated
+    boilerplate?".  Ranks are permutation ranks with a deterministic
+    doc_id tie-break in BOTH engines (documented: tie-broken Spearman,
+    not tie-averaged), so rho = 1 - 6*sum(d^2)/(n(n^2-1)) is
+    integer-exact until the final division.
+
+    100 TB shape: each rank rides ``_distributed_rank`` (range shuffle
+    + broadcast prefix offsets — no per-lang single-task sort); the two
+    rank relations join on doc_id (high-cardinality equijoin)."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        _distributed_rank,
+    )
+
+    docs = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", "lang",
+        F.size(toks).cast("bigint").alias("x"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("y"),
+    )
+    rx = _distributed_rank(
+        base.select("lang", F.col("x").alias("score"), "doc_id"),
+        group_cols=["lang"],
+    ).select("lang", "doc_id", F.col("_grank").alias("rank_x"), "total")
+    ry = _distributed_rank(
+        base.select("lang", F.col("y").alias("score"), "doc_id"),
+        group_cols=["lang"],
+    ).select(F.col("doc_id").alias("doc_y"), F.col("_grank").alias("rank_y"))
+    j = rx.join(ry, rx.doc_id == ry.doc_y)
+    d2 = (F.col("rank_x") - F.col("rank_y")) * (
+        F.col("rank_x") - F.col("rank_y")
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(d2).cast("bigint").alias("sum_d2"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_d2",
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0) * F.col("sum_d2")
+                / F.nullif(
+                    F.col("n_docs")
+                    * (F.col("n_docs") * F.col("n_docs") - 1),
+                    F.lit(0),
+                ).cast("double"),
+                6,
+            ).alias("rho_spearman"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["spearman_length_diversity"] = """
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS y
+        FROM documents
+    ),
+    rx AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY x ASC NULLS FIRST, doc_id ASC)
+                   AS rank_x
+        FROM base
+    ),
+    ry AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY y ASC NULLS FIRST, doc_id ASC)
+                   AS rank_y
+        FROM base
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM((rank_x - rank_y) * (rank_x - rank_y)) AS BIGINT)
+               AS sum_d2,
+           ROUND(1.0 - 6.0 * SUM((rank_x - rank_y) * (rank_x - rank_y))
+                 / CAST(NULLIF(COUNT(*) * (COUNT(*) * COUNT(*) - 1), 0)
+                        AS DOUBLE), 6) AS rho_spearman
+    FROM rx JOIN ry USING (doc_id)
+    GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["spearman_length_diversity"] = spearman_length_diversity
+
+
+def fano_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean of DAILY counts)
+    per event type — the burstiness monitor: ~1 for a Poisson arrival
+    process, >> 1 for bursty/batchy feeds, << 1 for rate-limited ones.
+    Population variance cross-multiplied to integers: fano =
+    (D*sum(n^2) - S^2) / (D*S) with D days, S total events — one
+    bigint expression, one final division.
+
+    100 TB shape: one partial+final agg to #types x #days rows, one
+    more to #types rows."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ag = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("dd"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    return ag.select(
+        "event_type",
+        F.col("dd").cast("bigint").alias("n_days"),
+        F.round(F.col("s") / F.col("dd").cast("double"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(
+            (F.col("dd") * F.col("q") - F.col("s") * F.col("s"))
+            / (F.col("dd") * F.col("s")).cast("double"),
+            6,
+        ).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+ORACLE["fano_burstiness"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ag AS (
+        SELECT event_type, COUNT(*) AS dd, SUM(n) AS s, SUM(n * n) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(dd AS BIGINT) AS n_days,
+           ROUND(s / CAST(dd AS DOUBLE), 6) AS mean_daily,
+           ROUND((dd * q - s * s) / CAST(dd * s AS DOUBLE), 6)
+               AS fano_factor
+    FROM ag ORDER BY event_type
+"""
+
+QUERIES["fano_burstiness"] = fano_burstiness
+
+
+def weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: event count,
+    share of the type's volume, and lift vs the uniform 1/7 — the
+    shape a scheduler consults before alerting on "low Monday volume".
+    Weekday numbering is ISO-Monday=0 in both engines.
+
+    100 TB shape: one partial+final agg to <= #types x 7 rows; the
+    share window runs over that aggregate."""
+    ev = table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    g = ev.groupBy(
+        "event_type", F.weekday("ts").cast("int").alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    total = F.sum("n_events").over(w)
+    return g.select(
+        "event_type",
+        "weekday",
+        "n_events",
+        F.round(F.col("n_events") / total.cast("double"), 6).alias("share"),
+        F.round(
+            F.lit(7) * F.col("n_events") / total.cast("double"), 6
+        ).alias("lift"),
+    ).orderBy("event_type", "weekday")
+
+
+ORACLE["weekday_seasonality"] = """
+    WITH g AS (
+        SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS weekday,
+               COUNT(*) AS n_events
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, weekday, n_events,
+           ROUND(n_events / CAST(SUM(n_events) OVER
+                 (PARTITION BY event_type) AS DOUBLE), 6) AS share,
+           ROUND(7 * n_events / CAST(SUM(n_events) OVER
+                 (PARTITION BY event_type) AS DOUBLE), 6) AS lift
+    FROM g ORDER BY event_type, weekday
+"""
+
+QUERIES["weekday_seasonality"] = weekday_seasonality
+
+
+def lag1_autocorr_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event counts per type (Pearson
+    over consecutive observed-day pairs) — near 0 for independent
+    days, high for momentum/trends, negative for see-saw load
+    patterns.  All five sums are bigint-exact; the two variance terms
+    multiply as doubles only inside the final sqrt.
+
+    100 TB shape: raw events reduce to #types x #days in one agg; the
+    lag join is a self-equijoin on (type, rank+1) over that bounded
+    aggregate."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    rn = daily.select(
+        "event_type", "n", F.row_number().over(w).alias("rn")
+    )
+    nxt = rn.select(
+        F.col("event_type").alias("et2"),
+        F.col("n").alias("n2"),
+        (F.col("rn") - 1).alias("rn2"),
+    )
+    pairs = rn.join(
+        nxt,
+        (F.col("event_type") == F.col("et2")) & (F.col("rn") == F.col("rn2")),
+    ).select("event_type", F.col("n").alias("x"), F.col("n2").alias("y"))
+    ag = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(vx.cast("double") * vy.cast("double"))
+    return ag.select(
+        "event_type",
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r1_autocorr"),
+    ).orderBy("event_type")
+
+
+ORACLE["lag1_autocorr_daily"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rn AS (
+        SELECT event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.event_type, a.n AS x, b.n AS y
+        FROM rn a JOIN rn b
+          ON a.event_type = b.event_type AND b.rn = a.rn + 1
+    ),
+    ag AS (
+        SELECT event_type, COUNT(*) AS m,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+           ROUND((m * sxy - sx * sy)
+                 / NULLIF(sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                               * CAST(m * syy - sy * sy AS DOUBLE)), 0.0),
+                 6) AS r1_autocorr
+    FROM ag ORDER BY event_type
+"""
+
+QUERIES["lag1_autocorr_daily"] = lag1_autocorr_daily
+
+
+def order_reconciliation_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Financial reconciliation audit: per order status, how far
+    ``o_totalprice`` diverges from the lineitem-derived expectation
+    SUM(extprice * (1-disc) * (1+tax)) — bucketed by relative error,
+    with orders that have NO line items ledgered separately (this
+    synthetic corpus diverges wildly, which is exactly the point: the
+    audit quantifies it instead of assuming TPC-H's invariant).
+    Per-row terms go through DECIMAL(18,6) so the per-order sums are
+    identical across engines.
+
+    100 TB shape: lineitem reduces per order in one partial+final agg;
+    the orders join is key-to-key; the bucket rollup is a second slim
+    agg."""
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    expected = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+            ).cast("decimal(18,6)")
+        ).alias("expected")
+    )
+    j = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").join(
+        expected, orders.o_orderkey == expected.l_orderkey, "left"
+    )
+    rel = F.abs(
+        F.col("o_totalprice") - F.col("expected").cast("double")
+    ) / F.col("o_totalprice")
+    bucket = (
+        F.when(F.col("expected").isNull(), "no_lines")
+        .when(rel.isNull(), "undefined")
+        .when(rel < 0.001, "exact")
+        .when(rel < 0.05, "close")
+        .when(rel < 0.25, "off")
+        .otherwise("severe")
+    )
+    return (
+        j.select(
+            "o_orderstatus",
+            bucket.alias("bucket"),
+            F.coalesce(rel.cast("decimal(18,6)"), F.lit(0).cast(
+                "decimal(18,6)"
+            )).alias("rel_d"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("rel_d"), 4).cast("double").alias("total_rel_err"),
+        )
+        .orderBy("o_orderstatus", "bucket")
+    )
+
+
+ORACLE["order_reconciliation_buckets"] = """
+    WITH expected AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        * (1.0 + l_tax) AS DECIMAL(18,6))) AS expected
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderstatus,
+               e.expected,
+               ABS(o.o_totalprice - CAST(e.expected AS DOUBLE))
+                   / o.o_totalprice AS rel
+        FROM orders o LEFT JOIN expected e ON o.o_orderkey = e.l_orderkey
+    ),
+    b AS (
+        SELECT o_orderstatus,
+               CASE WHEN expected IS NULL THEN 'no_lines'
+                    WHEN rel IS NULL THEN 'undefined'
+                    WHEN rel < 0.001 THEN 'exact'
+                    WHEN rel < 0.05 THEN 'close'
+                    WHEN rel < 0.25 THEN 'off'
+                    ELSE 'severe' END AS bucket,
+               COALESCE(CAST(rel AS DECIMAL(18,6)),
+                        CAST(0 AS DECIMAL(18,6))) AS rel_d
+        FROM j
+    )
+    SELECT o_orderstatus, bucket, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(rel_d), 4) AS DOUBLE) AS total_rel_err
+    FROM b GROUP BY 1, 2 ORDER BY o_orderstatus, bucket
+"""
+
+QUERIES["order_reconciliation_buckets"] = order_reconciliation_buckets
+
+
+_FK_EDGES = [
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_orphan_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity orphan census over every FK edge of the
+    star schema: child rows whose key matches no parent (orphans) and
+    child rows with a NULL key, per edge — the one-screen integrity
+    report run before any join-based analytics is trusted.  The keyed
+    subset perturbation (which breaks FKs on purpose) gives this real
+    non-zero signal.
+
+    100 TB shape: per edge one left join of the child against the
+    DISTINCT parent keys (dimension sides broadcast; the lineitem ->
+    orders edge is the only fact-fact one and it joins key-to-key),
+    all rolled up map-side into one row per edge."""
+    rows = []
+    for name, child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf, child).select(F.col(fk).alias("fk"))
+        p = table(spark, sf, parent).select(F.col(pk).alias("pk")).distinct()
+        j = c.join(p, c.fk == p.pk, "left")
+        rows.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col("fk").isNull().cast("bigint")).cast(
+                    "bigint"
+                ).alias("n_null_keys"),
+                F.sum(
+                    (F.col("fk").isNotNull() & F.col("pk").isNull()).cast(
+                        "bigint"
+                    )
+                ).cast("bigint").alias("n_orphans"),
+            ).select(F.lit(name).alias("edge"), "*")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("edge")
+
+
+ORACLE["fk_orphan_audit"] = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS edge, COUNT(*) AS n_child,
+           CAST(SUM(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_keys,
+           CAST(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.pk IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {child} c LEFT JOIN
+         (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.{fk} = p.pk
+    """
+    for name, child, fk, parent, pk in _FK_EDGES
+) + "\nORDER BY edge"
+
+QUERIES["fk_orphan_audit"] = fk_orphan_audit
+
+
+def winsorized_mean_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized mean of order totals per priority: values are clipped
+    at the exact P5/P95 element picks (smallest rank r with 100r >=
+    5n / 95n — integer rationals, never interpolated) before
+    averaging, the robust location estimate reporting pipelines use
+    when a handful of whale orders would swing the plain mean.
+
+    100 TB shape: the per-group rank rides ``_distributed_rank`` (range
+    shuffle, no single-task per-group sort); thresholds reduce to one
+    row per priority and broadcast back onto the ranked rows; sums go
+    through DECIMAL(18,6)."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        _distributed_rank,
+    )
+
+    orders = table(spark, sf, "orders")
+    scored = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("score"),
+        F.col("o_orderkey").alias("doc_id"),
+    )
+    ranked = _distributed_rank(scored, group_cols=["o_orderpriority"])
+    lo_rank = F.expr("(5 * total + 99) div 100")
+    hi_rank = F.expr("(95 * total + 99) div 100")
+    th = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("_grank") == lo_rank, F.col("score"))).alias(
+            "p05"
+        ),
+        F.min(F.when(F.col("_grank") == hi_rank, F.col("score"))).alias(
+            "p95"
+        ),
+    )
+    j = ranked.join(F.broadcast(th), "o_orderpriority")
+    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("score")))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("p05"), 2).alias("p05"),
+            F.round(F.min("p95"), 2).alias("p95"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).cast("double").alias("winsorized_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["winsorized_mean_prices"] = """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice AS score,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC NULLS FIRST,
+                                           o_orderkey ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS total
+        FROM orders
+    ),
+    th AS (
+        SELECT o_orderpriority,
+               MIN(CASE WHEN rk = (5 * total + 99) // 100 THEN score END)
+                   AS p05,
+               MIN(CASE WHEN rk = (95 * total + 99) // 100 THEN score END)
+                   AS p95
+        FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(MIN(t.p05), 2) AS p05,
+           ROUND(MIN(t.p95), 2) AS p95,
+           CAST(ROUND(SUM(CAST(GREATEST(t.p05, LEAST(t.p95, r.score))
+                               AS DECIMAL(18,6)))
+                      / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE)
+               AS winsorized_mean
+    FROM ranked r JOIN th t USING (o_orderpriority)
+    GROUP BY r.o_orderpriority ORDER BY r.o_orderpriority
+"""
+
+QUERIES["winsorized_mean_prices"] = winsorized_mean_prices

@@ -1182,19 +1182,26 @@ _min_exprs = [
     for _i in range(N_MINHASH)
 ]
 
-_SIG_SQL = (
-    "SELECT doc_id, "
-    + ", ".join(_min_exprs)
-    + f"""
+def _sig_sql_from(src: str) -> str:
+    """The minhash-signature CTE body over any relation exposing
+    (doc_id, text) — parametrized so the streaming-sink batch twins can
+    band quality-gated/normalized text, not just raw documents."""
+    return (
+        "SELECT doc_id, "
+        + ", ".join(_min_exprs)
+        + f"""
     FROM (
         SELECT doc_id, {H64_SQL.format(expr="shingle")} % {MINHASH_P} AS hb
         FROM (
             SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
-            FROM documents
+            FROM {src}
         )
     )
     GROUP BY doc_id"""
-)
+    )
+
+
+_SIG_SQL = _sig_sql_from("documents")
 
 _band_selects = []
 for _b in range(N_BANDS):
@@ -2386,3 +2393,265 @@ ORACLE["unicode_fold_dedup_stats"] = f"""
 """
 
 QUERIES["unicode_fold_dedup_stats"] = unicode_fold_dedup_stats
+
+
+# ---------------------------------------------------------------------------
+# round 7: batch twin of the streaming near-dup suppression sink
+# ---------------------------------------------------------------------------
+
+NEARDUP_LEDGER_BATCHES = 3
+
+
+def _neardup_batch_states(batched: DataFrame) -> DataFrame:
+    """(batch_id, doc_id, status) replaying
+    ``streaming/jobs.py::write_foreach_batch_neardup``'s cross-batch
+    recurrence as ONE lazy plan over a batch relation exposing
+    (doc_id, text, batch_id): per batch, in order, a doc is
+
+      * ``hist``     — suppressed because one of its LSH band buckets
+        is already occupied by a doc ACCEPTED in an earlier batch
+        (the sink's accumulated ``bands_path`` state);
+      * ``within``   — suppressed by a smaller-id same-batch doc
+        sharing a (post-history) bucket;
+      * ``bandless`` — accepted with no bands (< 3 tokens);
+      * ``kept``     — accepted with bands (these bands extend the
+        state the NEXT batch is checked against).
+
+    The four statuses partition each batch, so the ledger's n_in is
+    COUNT(*).  Unrolled over ``NEARDUP_LEDGER_BATCHES`` fixed rounds
+    like the k-means/LPA entries — each round adds one band-keyed
+    semi/anti join pass, never a pairwise step.
+
+    The band table and each round's post-history bands materialize via
+    ``localCheckpoint`` — the same lineage cut the streaming sink
+    itself performs per micro-batch (streaming/jobs.py:407).  Without
+    it the round-k branches each re-derive the full minhash/banding
+    subtree and the recurrence lineage compounds quadratically
+    (measured 20-25 s at sf0.01 lazy vs ~2 s checkpointed)."""
+    bands_all = band_keys_for(batched).join(
+        batched.select("doc_id", "batch_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+    seen: DataFrame | None = None
+    for k in range(NEARDUP_LEDGER_BATCHES):
+        bk = batched.filter(F.col("batch_id") == k).select("doc_id")
+        bands_k = bands_all.filter(F.col("batch_id") == k).select(
+            "doc_id", "band_idx", "band_key"
+        )
+        if seen is not None:
+            collided = (
+                bands_k.join(seen, ["band_idx", "band_key"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            bands_kp = bands_k.join(
+                collided, "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            parts.append(
+                collided.select(
+                    F.lit(k).alias("batch_id"), "doc_id",
+                    F.lit("hist").alias("status"),
+                )
+            )
+        else:
+            bands_kp = bands_k
+        dominated = (
+            bands_kp.alias("a")
+            .join(
+                bands_kp.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = (
+            bands_kp.select("doc_id").distinct()
+            .join(dominated, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        bandless = bk.join(
+            bands_k.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        parts.append(
+            dominated.select(
+                F.lit(k).alias("batch_id"), "doc_id",
+                F.lit("within").alias("status"),
+            )
+        )
+        parts.append(
+            bandless.select(
+                F.lit(k).alias("batch_id"), "doc_id",
+                F.lit("bandless").alias("status"),
+            )
+        )
+        parts.append(
+            survivors.select(
+                F.lit(k).alias("batch_id"), "doc_id",
+                F.lit("kept").alias("status"),
+            )
+        )
+        new_seen = bands_kp.join(survivors, "doc_id", "left_semi").select(
+            "band_idx", "band_key"
+        )
+        seen = new_seen if seen is None else seen.unionByName(new_seen)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ledger_rollup(states: DataFrame) -> DataFrame:
+    return (
+        states.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_in"),
+            F.sum((F.col("status") == "hist").cast("bigint")).cast(
+                "bigint"
+            ).alias("n_hist_suppressed"),
+            F.sum((F.col("status") == "within").cast("bigint")).cast(
+                "bigint"
+            ).alias("n_within_suppressed"),
+            F.sum((F.col("status") == "bandless").cast("bigint")).cast(
+                "bigint"
+            ).alias("n_bandless_accepted"),
+            F.sum(
+                F.col("status").isin("kept", "bandless").cast("bigint")
+            ).cast("bigint").alias("n_accepted"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+def neardup_suppression_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``write_foreach_batch_neardup``'s suppression
+    ledger (streaming/jobs.py:341): the foreachBatch sink had only
+    pytest evidence — this replays the SAME accept/suppress recurrence
+    (history-bucket collision, within-batch smaller-id domination,
+    bandless acceptance, band-state accumulation) over the documents
+    table with ``doc_id % 3`` standing in for micro-batch arrival
+    order, so the sink's cross-batch semantics get a hard external
+    DuckDB row.
+
+    100 TB shape: per batch one band-keyed semi-join against the
+    accumulated state + one band-bucket self-semi-join — the streaming
+    sink's own join plan, replayed lazily."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    batched = docs.select(
+        "doc_id", "text",
+        F.pmod("doc_id", F.lit(NEARDUP_LEDGER_BATCHES)).alias("batch_id"),
+    )
+    return _ledger_rollup(_neardup_batch_states(batched))
+
+
+def _neardup_states_sql(src: str) -> str:
+    """Unrolled DuckDB CTE chain mirroring ``_neardup_batch_states``
+    over a CTE named ``src`` exposing (doc_id, text, batch_id).
+    Returns the body of a ``states(batch_id, doc_id, status)``
+    relation, assuming ``sig``/``banded`` CTEs are NOT yet defined."""
+    ctes = [
+        f"sig AS ({_sig_sql_from(src)})",
+        f"banded AS ({_BAND_SQL})",
+        f"""bands AS (
+            SELECT b.doc_id, b.band_idx, b.band_key, s.batch_id
+            FROM banded b JOIN {src} s ON b.doc_id = s.doc_id
+        )""",
+    ]
+    state_selects = []
+    for k in range(NEARDUP_LEDGER_BATCHES):
+        if k == 0:
+            ctes.append(
+                "bp0 AS (SELECT doc_id, band_idx, band_key "
+                "FROM bands WHERE batch_id = 0)"
+            )
+        else:
+            ctes.append(
+                f"""coll{k} AS (
+                SELECT DISTINCT doc_id FROM bands
+                WHERE batch_id = {k}
+                  AND EXISTS (SELECT 1 FROM seen{k - 1} s
+                              WHERE s.band_idx = bands.band_idx
+                                AND s.band_key = bands.band_key)
+            )"""
+            )
+            ctes.append(
+                f"""bp{k} AS (
+                SELECT doc_id, band_idx, band_key FROM bands
+                WHERE batch_id = {k}
+                  AND doc_id NOT IN (SELECT doc_id FROM coll{k})
+            )"""
+            )
+            state_selects.append(
+                f"SELECT {k} AS batch_id, doc_id, 'hist' AS status FROM coll{k}"
+            )
+        ctes.append(
+            f"""dom{k} AS (
+            SELECT DISTINCT a.doc_id FROM bp{k} a JOIN bp{k} b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND b.doc_id < a.doc_id
+        )"""
+        )
+        ctes.append(
+            f"""surv{k} AS (
+            SELECT DISTINCT doc_id FROM bp{k}
+            WHERE doc_id NOT IN (SELECT doc_id FROM dom{k})
+        )"""
+        )
+        ctes.append(
+            f"""bl{k} AS (
+            SELECT doc_id FROM {src} WHERE batch_id = {k}
+              AND doc_id NOT IN
+                  (SELECT DISTINCT doc_id FROM bands WHERE batch_id = {k})
+        )"""
+        )
+        if k == 0:
+            ctes.append(
+                "seen0 AS (SELECT band_idx, band_key FROM bp0 "
+                "WHERE doc_id IN (SELECT doc_id FROM surv0))"
+            )
+        else:
+            ctes.append(
+                f"""seen{k} AS (
+                SELECT band_idx, band_key FROM seen{k - 1}
+                UNION ALL
+                SELECT band_idx, band_key FROM bp{k}
+                WHERE doc_id IN (SELECT doc_id FROM surv{k})
+            )"""
+            )
+        state_selects.append(
+            f"SELECT {k} AS batch_id, doc_id, 'within' AS status FROM dom{k}"
+        )
+        state_selects.append(
+            f"SELECT {k} AS batch_id, doc_id, 'bandless' AS status FROM bl{k}"
+        )
+        state_selects.append(
+            f"SELECT {k} AS batch_id, doc_id, 'kept' AS status FROM surv{k}"
+        )
+    states = "\nUNION ALL\n".join(state_selects)
+    return ",\n".join(ctes) + f",\nstates AS (\n{states}\n)"
+
+
+_LEDGER_ROLLUP_SQL = """
+    SELECT batch_id, COUNT(*) AS n_in,
+           CAST(SUM(CASE WHEN status = 'hist' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_suppressed,
+           CAST(SUM(CASE WHEN status = 'within' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_suppressed,
+           CAST(SUM(CASE WHEN status = 'bandless' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bandless_accepted,
+           CAST(SUM(CASE WHEN status IN ('kept', 'bandless') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted
+    FROM states GROUP BY batch_id ORDER BY batch_id
+"""
+
+ORACLE["neardup_suppression_ledger"] = (
+    "WITH batched AS (SELECT doc_id, text, doc_id % "
+    + str(NEARDUP_LEDGER_BATCHES)
+    + " AS batch_id FROM documents),\n"
+    + _neardup_states_sql("batched")
+    + _LEDGER_ROLLUP_SQL
+)
+
+QUERIES["neardup_suppression_ledger"] = neardup_suppression_ledger

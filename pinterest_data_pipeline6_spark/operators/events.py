@@ -2003,3 +2003,182 @@ ORACLE["session_skipgram_pairs"] = f"""
     GROUP BY center, context, dist
     ORDER BY center, context, dist
 """
+
+
+# ---------------------------------------------------------------------------
+# round 7: throttling / dedup-by-interval / inter-arrival profiling
+# ---------------------------------------------------------------------------
+
+RATE_CAP_PER_DAY = 5  # per-user daily event cap audited below
+
+
+def rate_cap_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Rate-cap audit: per day, how many (user, day) activity windows
+    exceeded ``RATE_CAP_PER_DAY`` events, the worst burst, and the
+    excess event mass a throttle would have dropped — the abuse/bot
+    screen run before engagement metrics are trusted.
+
+    100 TB shape: one partial+final agg keyed on (user_id, day) —
+    high-cardinality, well-spread — then a slim per-day rollup."""
+    ev = table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = ev.groupBy(
+        F.col("user_id"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        w.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.sum(
+                (F.col("n") > RATE_CAP_PER_DAY).cast("bigint")
+            ).cast("bigint").alias("n_violations"),
+            F.max("n").cast("bigint").alias("max_burst"),
+            F.sum(
+                F.when(
+                    F.col("n") > RATE_CAP_PER_DAY,
+                    F.col("n") - RATE_CAP_PER_DAY,
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_excess_events"),
+        )
+        .orderBy("d")
+    )
+
+
+ORACLE["rate_cap_violations"] = f"""
+    WITH w AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT d, COUNT(*) AS n_user_days,
+           CAST(SUM(CASE WHEN n > {RATE_CAP_PER_DAY} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(MAX(n) AS BIGINT) AS max_burst,
+           CAST(SUM(CASE WHEN n > {RATE_CAP_PER_DAY}
+                    THEN n - {RATE_CAP_PER_DAY} ELSE 0 END) AS BIGINT)
+               AS n_excess_events
+    FROM w GROUP BY d ORDER BY d
+"""
+
+QUERIES["rate_cap_violations"] = rate_cap_violations
+
+
+def daily_first_touch_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-first-per-(user, day) dedup — the digest/notification
+    throttle shape ("at most one attribution touch per user per day"):
+    per event type, how many raw events vs how many survive as a
+    user's FIRST event of the day (earliest ts, event_id tie-break).
+
+    100 TB shape: the keep-first is one row_number window partitioned
+    on the high-cardinality (user_id, day) key — no low-card shuffle —
+    followed by a slim per-type rollup."""
+    ev = table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy(
+        "user_id", F.to_date("ts")
+    ).orderBy("ts", "event_id")
+    flagged = ev.select(
+        "event_type",
+        (F.row_number().over(w) == 1).cast("bigint").alias("kept"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)).cast("double"), 6)
+                .alias("keep_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["daily_first_touch_dedup"] = """
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, CAST(ts AS DATE)
+                        ORDER BY ts ASC, event_id ASC) = 1
+                    THEN 1 ELSE 0 END AS kept
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_ratio
+    FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["daily_first_touch_dedup"] = daily_first_touch_dedup
+
+
+def inter_event_time_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival-time profile: per event type, the exact P50 / P90
+    / P99 element picks of the gap (in seconds) between a user's
+    consecutive events of that type — the distribution capacity
+    planning and session-timeout tuning read.  Gaps are integer
+    MICROSECONDS end-to-end (unix_micros / epoch_us), divided once for
+    display; quantiles are rank picks (smallest rank r with 100r >=
+    q*n), never interpolated.
+
+    100 TB shape: the lag runs in a window keyed on the
+    high-cardinality (user_id, event_type); the per-type quantile rank
+    rides ``_distributed_rank`` — no single-task per-type sort."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        _distributed_rank,
+    )
+
+    ev = table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    deltas = ev.select(
+        "event_type",
+        F.col("event_id").alias("doc_id"),
+        (us - F.lag(us).over(w)).alias("score"),
+    ).filter(F.col("score").isNotNull())
+    ranked = _distributed_rank(deltas, group_cols=["event_type"])
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("_grank")
+            == F.expr(f"({q} * total + 99) div 100"),
+            F.col("score"),
+        )
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("total").cast("bigint").alias("n_gaps"),
+            F.round(pick(50) / F.lit(1e6), 3).alias("p50_sec"),
+            F.round(pick(90) / F.lit(1e6), 3).alias("p90_sec"),
+            F.round(pick(99) / F.lit(1e6), 3).alias("p99_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["inter_event_time_quantiles"] = """
+    WITH deltas AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC) AS score
+        FROM events WHERE ts IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, score,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY score ASC NULLS FIRST,
+                                           event_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS total
+        FROM deltas WHERE score IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(MAX(total) AS BIGINT) AS n_gaps,
+           ROUND(MIN(CASE WHEN rk = (50 * total + 99) // 100
+                     THEN score END) / 1e6, 3) AS p50_sec,
+           ROUND(MIN(CASE WHEN rk = (90 * total + 99) // 100
+                     THEN score END) / 1e6, 3) AS p90_sec,
+           ROUND(MIN(CASE WHEN rk = (99 * total + 99) // 100
+                     THEN score END) / 1e6, 3) AS p99_sec
+    FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["inter_event_time_quantiles"] = inter_event_time_quantiles

@@ -379,3 +379,69 @@ QUERIES = {
     "binary_file_inventory": binary_file_inventory,
     "frame_sample_accounting": frame_sample_accounting,
 }
+
+
+def media_content_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-hash dedup accounting over BINARY payloads: per media
+    kind, distinct md5 digests vs total assets and the byte mass a
+    dedup pass would reclaim ((copies - 1) x payload size per digest
+    group) — the storage-side twin of the text dedup family, run on
+    the opaque bytes themselves so it works for any codec.
+
+    100 TB shape: the digest is a map-side projection (16 bytes
+    shuffle per asset, payloads never leave the scan); two shrinking
+    hash aggregates (kind+digest, then kind)."""
+    media = synthesize_media(spark, sf)
+    groups = (
+        media.select(
+            "kind",
+            F.md5("payload").alias("digest"),
+            F.length("payload").alias("nbytes"),
+        )
+        .groupBy("kind", "digest")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("nbytes").alias("nbytes"),
+        )
+    )
+    return (
+        groups.groupBy("kind")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_media"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("cnt") * F.col("nbytes")).cast("bigint").alias(
+                "total_bytes"
+            ),
+            F.sum((F.col("cnt") - 1) * F.col("nbytes")).cast(
+                "bigint"
+            ).alias("reclaimable_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE["media_content_dedup"] = """
+    WITH groups AS (
+        -- DuckDB's md5 takes VARCHAR only; hashing the text is
+        -- byte-identical to Spark's md5 over encode(text, 'utf-8')
+        -- because both digest the utf-8 byte stream
+        SELECT kind, md5(text) AS digest, COUNT(*) AS cnt,
+               MAX(octet_length(encode(text))) AS nbytes
+        FROM (
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   text
+            FROM documents
+        )
+        GROUP BY 1, 2
+    )
+    SELECT kind,
+           CAST(SUM(cnt) AS BIGINT) AS n_media,
+           COUNT(*) AS n_unique,
+           CAST(SUM(cnt * nbytes) AS BIGINT) AS total_bytes,
+           CAST(SUM((cnt - 1) * nbytes) AS BIGINT) AS reclaimable_bytes
+    FROM groups GROUP BY kind ORDER BY kind
+"""
+
+QUERIES["media_content_dedup"] = media_content_dedup

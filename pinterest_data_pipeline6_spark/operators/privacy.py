@@ -812,3 +812,164 @@ ORACLE["pseudonymize_consistency"] = f"""
     FROM by_user u JOIN by_pseudo p ON u.event_type = p.event_type
     ORDER BY u.event_type
 """.replace("{salt}", PSEUDO_SALT)
+
+
+# ---------------------------------------------------------------------------
+# round 7: retention-policy and right-to-erasure governance audits
+# ---------------------------------------------------------------------------
+
+# per-type retention horizon in DAYS, relative to the corpus watermark
+# (the audit is day-granular by design: retention policies are stated
+# in days, and day-level cutoffs keep every count an exact integer
+# comparison in both engines)
+RETENTION_DAYS = {
+    "click": 14,
+    "view": 7,
+    "purchase": 90,
+    "signup": 90,
+    "error": 30,
+}
+_RETENTION_DEFAULT = 30
+
+
+def retention_purge_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention-policy purge preview: per event type, how many rows
+    are OLDER than the type's retention horizon counting back from the
+    corpus watermark (global max event date) — the number a scheduled
+    purge job would delete, surfaced as an audit before it runs.
+
+    100 TB shape: raw events reduce to #types x #days rows in one
+    partial+final agg; the watermark is an unpartitioned window over
+    that bounded aggregate (never a second scan), and the expiry
+    predicate is a day-level integer compare."""
+    ev = table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wm = F.max(F.col("d")).over(Window.partitionBy())
+    ret = F.coalesce(
+        *[
+            F.when(F.col("event_type") == t, F.lit(d))
+            for t, d in RETENTION_DAYS.items()
+        ],
+        F.lit(_RETENTION_DEFAULT),
+    )
+    scored = daily.select(
+        "event_type",
+        ret.alias("retention_days"),
+        "n",
+        (F.col("d") < F.date_sub(wm, ret)).cast("bigint").alias("expired"),
+    )
+    return (
+        scored.groupBy("event_type", "retention_days")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_total"),
+            F.sum(F.col("n") * F.col("expired")).cast("bigint").alias(
+                "n_expired"
+            ),
+            F.round(
+                F.sum(F.col("n") * F.col("expired"))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("expired_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RET_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN event_type = '{t}' THEN {d}" for t, d in RETENTION_DAYS.items()
+    )
+    + f" ELSE {_RETENTION_DEFAULT} END"
+)
+
+ORACLE["retention_purge_audit"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, {_RET_CASE} AS retention_days, n,
+               CASE WHEN d < MAX(d) OVER ()
+                             - CAST(({_RET_CASE}) AS INT)
+                    THEN 1 ELSE 0 END AS expired
+        FROM daily
+    )
+    SELECT event_type, retention_days,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(n * expired) AS BIGINT) AS n_expired,
+           ROUND(SUM(n * expired) / CAST(SUM(n) AS DOUBLE), 6)
+               AS expired_share
+    FROM scored GROUP BY 1, 2 ORDER BY event_type
+"""
+
+QUERIES["retention_purge_audit"] = retention_purge_audit
+
+
+ERASURE_MOD = 37  # deterministic stand-in for a deletion-request list
+
+
+def right_to_erasure_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) sweep: given a deletion-request
+    list (stood in deterministically by customers whose salted hash ≡ 0
+    mod {ERASURE_MOD}), count the rows and distinct subjects each table
+    still holds for those users — the audit that proves an erasure job
+    actually erased, run per table touchpoint (customer profile,
+    orders, event stream).
+
+    100 TB shape: the request list is a broadcast semi-join probe on
+    each table (dimension-sized — deletion requests are thousands, not
+    billions); each table contributes one partial+final agg row."""
+    cust = table(spark, sf, "customer")
+    req = cust.select(F.col("c_custkey").alias("subject")).filter(
+        F.pmod(_h64_spark(F.col("c_custkey").cast("string")), F.lit(ERASURE_MOD))
+        == 0
+    ).distinct()
+    touchpoints = [
+        ("customer", table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("k"))),
+        ("orders", table(spark, sf, "orders").select(
+            F.col("o_custkey").alias("k"))),
+        ("events", table(spark, sf, "events").select(
+            F.col("user_id").alias("k"))),
+    ]
+    rows = []
+    for name, t in touchpoints:
+        held = t.join(
+            F.broadcast(req), t.k == req.subject, "left_semi"
+        )
+        rows.append(
+            held.agg(
+                F.count(F.lit(1)).alias("n_rows_held"),
+                F.count_distinct("k").alias("n_subjects_held"),
+            ).select(F.lit(name).alias("table_name"), "*")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name")
+
+
+def _erasure_sql() -> str:
+    h = H64_SQL.format(expr="CAST(c_custkey AS VARCHAR)")
+    req = f"SELECT DISTINCT c_custkey AS subject FROM customer WHERE {h} % {ERASURE_MOD} = 0"
+    parts = []
+    for name, tbl, key in (
+        ("customer", "customer", "c_custkey"),
+        ("orders", "orders", "o_custkey"),
+        ("events", "events", "user_id"),
+    ):
+        parts.append(
+            f"""
+    SELECT '{name}' AS table_name, COUNT(*) AS n_rows_held,
+           CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_subjects_held
+    FROM {tbl} WHERE {key} IN ({req})
+    """
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name"
+
+
+ORACLE["right_to_erasure_audit"] = _erasure_sql()
+QUERIES["right_to_erasure_audit"] = right_to_erasure_audit

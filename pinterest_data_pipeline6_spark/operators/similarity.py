@@ -1763,3 +1763,327 @@ ORACLE["knn_lsh_multiprobe"] = f"""
     ) WHERE rank <= {TOP_K}
 """
 QUERIES["knn_lsh_multiprobe"] = knn_lsh_multiprobe
+
+
+# ---------------------------------------------------------------------------
+# round 7: rank fusion, metric-choice audit, and covariance profile
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def rrf_fusion_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankers per query
+    vector: cosine similarity and (squared) Euclidean distance — the
+    fusion rule retrieval stacks use to merge rankers without score
+    calibration, score = sum_r 1/(RRF_K + rank_r).  For unnormalized
+    embeddings the two rankers genuinely disagree, which is what makes
+    the fusion non-trivial.  Both base ranks order on values rounded
+    to 6 (the knn convention that pins cross-engine ordering), ties on
+    vec_id; equal fused scores (symmetric rank pairs) break on vec_id.
+
+    100 TB shape: the 5 queries broadcast; one corpus pass computes
+    both scores row-locally; the three windows partition on query_id
+    (bounded per-query corpus slices, the knn_brute_force shape)."""
+    emb = widen_small_scan(table(spark, sf, "embeddings")).withColumn(
+        "nrm", _norm64(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = _dot64(F.col("qv"), F.col("embedding"))
+    cos = F.round(dot / (F.col("qnrm") * F.col("nrm")), 6)
+    l2sq = F.round(
+        F.col("qnrm") * F.col("qnrm") + F.col("nrm") * F.col("nrm")
+        - 2 * dot,
+        6,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos"), l2sq.alias("l2sq"))
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_cos).alias("rank_cos"),
+        F.row_number().over(w_l2).alias("rank_l2"),
+    )
+    rrf = 1.0 / (F.lit(RRF_K) + F.col("rank_cos")) + 1.0 / (
+        F.lit(RRF_K) + F.col("rank_l2")
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc(rrf), F.asc("vec_id")
+    )
+    return (
+        ranked.withColumn("rank_rrf", F.row_number().over(w_f))
+        .filter(F.col("rank_rrf") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank_rrf").cast("int").alias("rank_rrf"),
+            F.col("rank_cos").cast("int").alias("rank_cos"),
+            F.col("rank_l2").cast("int").alias("rank_l2"),
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        "(p, q) -> p + q)"
+    )
+
+
+ORACLE["rrf_fusion_topk"] = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) AS cos,
+               ROUND({_dot_sql("q.embedding", "q.embedding")}
+                     + {_dot_sql("c.embedding", "c.embedding")}
+                     - 2 * {_dot_sql("q.embedding", "c.embedding")}, 6)
+                   AS l2sq
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank_cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY l2sq ASC, vec_id ASC) AS rank_l2
+        FROM scored
+    )
+    SELECT query_id, vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY 1.0 / ({RRF_K} + rank_cos)
+                       + 1.0 / ({RRF_K} + rank_l2) DESC, vec_id ASC)
+                AS INT) AS rank_rrf,
+           CAST(rank_cos AS INT) AS rank_cos,
+           CAST(rank_l2 AS INT) AS rank_l2,
+           ROUND(1.0 / ({RRF_K} + rank_cos)
+                 + 1.0 / ({RRF_K} + rank_l2), 6) AS rrf_score
+    FROM ranked
+    QUALIFY rank_rrf <= {TOP_K}
+"""
+
+QUERIES["rrf_fusion_topk"] = rrf_fusion_topk
+
+
+def dot_vs_cosine_rank_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Metric-choice audit: per query, how much the top-10 by RAW dot
+    product overlaps the top-10 by cosine — the number that tells you
+    whether skipping normalization (common in ANN indexes that only
+    support inner product) actually changes retrieval.  Overlap of 10
+    means norms don't matter for this corpus; low overlap means the
+    index metric is load-bearing.
+
+    100 TB shape: identical to knn_brute_force — broadcast queries,
+    one corpus pass, two bounded windows, then an equijoin of two
+    10-row-per-query sets."""
+    emb = widen_small_scan(table(spark, sf, "embeddings")).withColumn(
+        "nrm", _norm64(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.round(_dot64(F.col("qv"), F.col("embedding")), 6)
+    cos = F.round(
+        _dot64(F.col("qv"), F.col("embedding"))
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot.alias("dot"), cos.alias("cos"))
+    )
+    w_dot = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_dot).alias("rd"),
+        F.row_number().over(w_cos).alias("rc"),
+    )
+    top = ranked.filter(
+        (F.col("rd") <= TOP_K) | (F.col("rc") <= TOP_K)
+    )
+    return (
+        top.groupBy("query_id")
+        .agg(
+            F.sum(
+                ((F.col("rd") <= TOP_K) & (F.col("rc") <= TOP_K)).cast(
+                    "bigint"
+                )
+            ).cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap")
+                / (F.lit(2 * TOP_K) - F.col("n_overlap")).cast("double"),
+                4,
+            ).alias("jaccard_topk"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE["dot_vs_cosine_rank_overlap"] = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROUND({_dot_sql("q.embedding", "c.embedding")}, 6) AS dot,
+               ROUND({_cos_sql("q.embedding", "c.embedding")}, 6) AS cos
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, vec_id ASC) AS rd,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rc
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rd <= {TOP_K} AND rc <= {TOP_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           ROUND(SUM(CASE WHEN rd <= {TOP_K} AND rc <= {TOP_K}
+                     THEN 1 ELSE 0 END)
+                 / CAST({2 * TOP_K} - SUM(CASE WHEN rd <= {TOP_K}
+                        AND rc <= {TOP_K} THEN 1 ELSE 0 END) AS DOUBLE), 4)
+               AS jaccard_topk
+    FROM ranked WHERE rd <= {TOP_K} OR rc <= {TOP_K}
+    GROUP BY query_id ORDER BY query_id
+"""
+
+QUERIES["dot_vs_cosine_rank_overlap"] = dot_vs_cosine_rank_overlap
+
+
+COV_DIMS = 8  # leading dimensions profiled by the covariance matrix
+
+
+def embedding_covariance_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariance and correlation matrix of the first ``COV_DIMS``
+    embedding dimensions — the PCA-readiness profile (an encoder whose
+    leading dims correlate at 0.9 is wasting capacity; whitening needs
+    exactly these numbers).  One row per (i <= j) pair.
+
+    Determinism is the dim-profile recipe: sums and cross-products
+    accumulate in DECIMAL(28,12); covariance/correlation then derive
+    via identical single double expressions in both engines.
+
+    100 TB shape: ONE partial+final aggregate with 8 + 36 decimal sums
+    — vectors never shuffle, output is 36 rows at any corpus size."""
+    emb = widen_small_scan(table(spark, sf, "embeddings"))
+    xs = {
+        i: F.try_element_at(
+            F.col("embedding").cast("array<double>"), F.lit(i)
+        )
+        for i in range(1, COV_DIMS + 1)
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(1, COV_DIMS + 1):
+        aggs.append(
+            F.sum(xs[i].cast("decimal(28,12)")).alias(f"s_{i}")
+        )
+    for i in range(1, COV_DIMS + 1):
+        for j in range(i, COV_DIMS + 1):
+            aggs.append(
+                F.sum((xs[i] * xs[j]).cast("decimal(28,12)")).alias(
+                    f"p_{i}_{j}"
+                )
+            )
+    one = emb.agg(*aggs)
+    pairs = [
+        (i, j)
+        for i in range(1, COV_DIMS + 1)
+        for j in range(i, COV_DIMS + 1)
+    ]
+    stack_args = ", ".join(
+        f"{i}, {j}, p_{i}_{j}, s_{i}, s_{j}, p_{i}_{i}, p_{j}_{j}"
+        for i, j in pairs
+    )
+    rows = one.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack_args})"
+            " AS (dim_i, dim_j, p, si, sj, pii, pjj)"
+        ),
+    )
+    mean_i = F.col("si").cast("double") / F.col("n")
+    mean_j = F.col("sj").cast("double") / F.col("n")
+    cov = F.col("p").cast("double") / F.col("n") - mean_i * mean_j
+    var_i = F.col("pii").cast("double") / F.col("n") - mean_i * mean_i
+    var_j = F.col("pjj").cast("double") / F.col("n") - mean_j * mean_j
+    return rows.select(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(cov, 6).alias("cov"),
+        F.round(cov / F.sqrt(var_i * var_j), 6).alias("corr"),
+    ).orderBy("dim_i", "dim_j")
+
+
+def _cov_oracle_sql() -> str:
+    aggs = ["COUNT(*) AS n"]
+    for i in range(1, COV_DIMS + 1):
+        aggs.append(
+            f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(28,12)))"
+            f" AS s_{i}"
+        )
+    for i in range(1, COV_DIMS + 1):
+        for j in range(i, COV_DIMS + 1):
+            aggs.append(
+                f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE)"
+                f" * CAST(embedding[{j}] AS DOUBLE) AS DECIMAL(28,12)))"
+                f" AS p_{i}_{j}"
+            )
+    selects = []
+    for i in range(1, COV_DIMS + 1):
+        for j in range(i, COV_DIMS + 1):
+            selects.append(
+                f"""SELECT {i} AS dim_i, {j} AS dim_j,
+                CAST(n AS BIGINT) AS n,
+                ROUND(CAST(p_{i}_{j} AS DOUBLE) / n
+                      - (CAST(s_{i} AS DOUBLE) / n)
+                        * (CAST(s_{j} AS DOUBLE) / n), 6) AS cov,
+                ROUND((CAST(p_{i}_{j} AS DOUBLE) / n
+                       - (CAST(s_{i} AS DOUBLE) / n)
+                         * (CAST(s_{j} AS DOUBLE) / n))
+                      / sqrt((CAST(p_{i}_{i} AS DOUBLE) / n
+                              - (CAST(s_{i} AS DOUBLE) / n)
+                                * (CAST(s_{i} AS DOUBLE) / n))
+                             * (CAST(p_{j}_{j} AS DOUBLE) / n
+                                - (CAST(s_{j} AS DOUBLE) / n)
+                                  * (CAST(s_{j} AS DOUBLE) / n))), 6)
+                    AS corr
+            FROM one"""
+            )
+    return (
+        "WITH one AS (SELECT " + ", ".join(aggs) + " FROM embeddings)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY dim_i, dim_j"
+    )
+
+
+ORACLE["embedding_covariance_matrix"] = _cov_oracle_sql()
+QUERIES["embedding_covariance_matrix"] = embedding_covariance_matrix

@@ -416,3 +416,73 @@ def test_committed_detail_disables_guard_outside_git(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", _fail)
     assert bench.committed_detail() == {}
+
+
+# --- round 7: output-bound budget class — jaccard_prefix_filter_pairs --------
+#
+# The r5/r6 verdicts adjudicated jaccard_prefix_filter_pairs "heavy by
+# proven answer size, not plan waste": under x10 fixture replication its
+# output grows ~K^2 while wall time grows SLOWER than output
+# (docs/SCALE.md "Measured scaling"), and the inline-verification
+# alternative measured 8x worse (the join-condition-pushdown finding).
+# Wall-clock budgets can't express that class — the correct invariant is
+# the UNIT cost per OUTPUT pair. Steady: 3.61 s for 47,452 pairs at
+# sf0.1 (committed r6 bench) = ~76 us/pair. The test fails only if the
+# per-pair cost regresses >2x after host-speed normalization — a plan
+# regression (lost prefix bound, predicate migrating into the join
+# condition) multiplies the unit cost; a bigger answer does not.
+
+JACCARD_UNIT_STEADY_US = 76.0  # us per output pair, sf0.1, calibration box
+JACCARD_CAL_QUERIES = (
+    "q1_category_per_country",
+    "dedup_exact_text",
+    "top_terms_per_lang",
+    "sessionize_events",
+)
+
+
+@pytest.mark.sweep
+def test_jaccard_unit_cost_per_output_pair(spark):
+    """µs-per-output-pair budget for the PPJoin entry at sf0.1: unit
+    cost (best-of-3 wall / exact output-pair count) must stay within
+    2x its committed steady after host-speed normalization (median
+    ratio of four cheap calibration queries vs their committed sf0.01
+    steadies, clamped at >= 1 so a fast box tightens the bar)."""
+    import statistics
+    import time
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf001, sf01 = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    ratios = []
+    for name in JACCARD_CAL_QUERIES:
+        qs[name](spark, sf001).count()
+        b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf001).count()
+            b = min(b, time.perf_counter() - t0)
+        ratios.append(b / HEADLINE_STEADY_SF001[name])
+    speed = max(1.0, statistics.median(ratios))
+
+    q = qs["jaccard_prefix_filter_pairs"]
+    n_pairs = q(spark, sf01).count()  # also the warm rep
+    assert n_pairs > 0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        q(spark, sf01).count()
+        best = min(best, time.perf_counter() - t0)
+    unit_us = best / n_pairs * 1e6
+    assert unit_us <= 2.0 * JACCARD_UNIT_STEADY_US * speed, (
+        f"jaccard unit cost {unit_us:.1f} us/pair over budget "
+        f"{2.0 * JACCARD_UNIT_STEADY_US * speed:.1f} "
+        f"(steady {JACCARD_UNIT_STEADY_US}, host speed {speed:.2f}x, "
+        f"{n_pairs} pairs, best {best:.3f}s) — heavy-by-answer-size is "
+        "fine, heavy-by-plan-regression is not"
+    )

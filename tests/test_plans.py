@@ -484,6 +484,8 @@ INTENTIONAL_BNLJ = {
     "hard_negative_mining",  # composes _cell_assignment + broadcast queries
     "cell_label_purity",    # composes _cell_assignment's broadcast centroids
     "matryoshka_truncation_error",  # 5 broadcast query vectors x corpus scan
+    "rrf_fusion_topk",             # 5 broadcast query vectors x corpus scan
+    "dot_vs_cosine_rank_overlap",  # 5 broadcast query vectors x corpus scan
 }
 
 
@@ -1456,3 +1458,79 @@ def test_abc_cumulative_revenue_range_exchange_is_reused(spark):
         if "ReusedExchange" in line and "rangepartitioning" in line
     ]
     assert reused, plan[:2000]
+
+
+# --- round 7: CBO evidence — catalog statistics flip the join strategy -------
+
+
+def test_cbo_stats_flip_sortmerge_to_broadcast(spark):
+    """Cost-based-optimizer evidence (r6 verdict task 4): computed
+    catalog statistics must CHANGE a physical join strategy, not just
+    decorate the plan.  Three steps on a selectively-filtered dim join:
+
+      1. no stats            -> the dim's size estimate is the default
+         (Long.MaxValue for a catalog table without stats) -> SortMergeJoin;
+      2. table-level ANALYZE -> size = real bytes, still above the
+         threshold -> SortMergeJoin;
+      3. ANALYZE ... FOR ALL COLUMNS + spark.sql.cbo.enabled -> the
+         min/max column stats let FilterEstimation shrink the filtered
+         dim below the threshold -> BroadcastHashJoin.
+
+    At 100 TB the difference between stats-informed and threshold-guess
+    broadcast decisions is a cluster-melter (a mis-chosen SMJ shuffles
+    the fact table; a mis-chosen broadcast OOMs the driver) — this
+    pins that the engine's tables actually feed the CBO.  See
+    docs/SCALE.md §"Stats-driven planning (CBO)"."""
+    from pinterest_data_pipeline6_spark.plans import executed_plan
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.cbo.enabled",
+        "spark.sql.cbo.planStats.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    old = {}
+    for k in keys:
+        try:
+            old[k] = conf.get(k)
+        except Exception:
+            old[k] = None
+    spark.sql("DROP TABLE IF EXISTS cbo_dim_orders")
+    spark.sql("DROP TABLE IF EXISTS cbo_fact_lineitem")
+    try:
+        spark.read.parquet(f"{SF}/orders.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_dim_orders")
+        spark.read.parquet(f"{SF}/lineitem.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_fact_lineitem")
+        conf.set("spark.sql.cbo.enabled", "true")
+        conf.set("spark.sql.cbo.planStats.enabled", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024))
+        q = """
+            SELECT f.l_orderkey, d.o_totalprice
+            FROM cbo_fact_lineitem f
+            JOIN cbo_dim_orders d ON f.l_orderkey = d.o_orderkey
+            WHERE d.o_totalprice < 1000.0
+        """
+        p1 = executed_plan(spark.sql(q))
+        assert "SortMergeJoin" in p1 and "BroadcastHashJoin" not in p1, p1
+        spark.sql("ANALYZE TABLE cbo_dim_orders COMPUTE STATISTICS")
+        p2 = executed_plan(spark.sql(q))
+        assert "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2, p2
+        spark.sql(
+            "ANALYZE TABLE cbo_dim_orders COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        p3 = executed_plan(spark.sql(q))
+        assert "BroadcastHashJoin" in p3, p3
+    finally:
+        for k in keys:
+            if old[k] is None:
+                try:
+                    conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                conf.set(k, old[k])
+        spark.sql("DROP TABLE IF EXISTS cbo_dim_orders")
+        spark.sql("DROP TABLE IF EXISTS cbo_fact_lineitem")
