@@ -556,3 +556,84 @@ QUERIES = {
     "morton_bucket_counts": morton_bucket_counts,
     "map_explode_roundtrip": map_explode_roundtrip,
 }
+
+
+HEAVY_TYPE_MIN = 3  # per-user count above which an event type is "heavy"
+
+
+def map_hof_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Map higher-order-function surface: per user, the event-type
+    count map is reshaped with ``transform_values`` (counts -> global
+    shares), pruned with ``map_filter`` (heavy types only), and
+    reduced with ``aggregate`` over ``map_values`` — the map-cell
+    toolkit ``map_event_counts`` doesn't cover.  The DuckDB oracle
+    derives the identical numbers relationally from the
+    (user, type, n) counts — map HOFs are Spark plan surface, not
+    semantics, so the twin pins the RESULTS.
+
+    100 TB shape: the map is built and consumed inside one
+    post-aggregation projection — it never crosses an exchange."""
+    ev = table(spark, sf, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+    )
+    # total materializes as a COLUMN before any lambda consumes it: an
+    # aggregate() fold embedded in the transform_values body would
+    # re-evaluate once per map ENTRY (the HOF-recompute pathology the
+    # registry sweep guards); the multi-referenced attribute survives
+    # CollapseProject, so the body only ever sees total#N.
+    built = per_type.groupBy("user_id").agg(m.alias("m")).withColumn(
+        "total",
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ),
+    )
+    heavy = F.map_filter("m", lambda k, v: v >= HEAVY_TYPE_MIN)
+    shares = F.transform_values(
+        "m", lambda k, v: F.round(v / F.col("total").cast("double"), 6)
+    )
+    return built.select(
+        "user_id",
+        F.col("total").alias("n_events"),
+        F.cardinality(heavy).cast("int").alias("n_heavy_types"),
+        F.concat_ws(",", F.array_sort(F.map_keys(heavy))).alias(
+            "heavy_types_csv"
+        ),
+        F.round(
+            F.aggregate(
+                F.map_values(shares),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            6,
+        ).alias("max_share"),
+    ).orderBy("user_id")
+
+
+ORACLE["map_hof_family"] = f"""
+    WITH per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, SUM(n) AS n_events FROM per_type GROUP BY user_id
+    )
+    SELECT t.user_id,
+           CAST(t.n_events AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN p.n >= {HEAVY_TYPE_MIN} THEN 1 END)
+                AS INT) AS n_heavy_types,
+           COALESCE(string_agg(CASE WHEN p.n >= {HEAVY_TYPE_MIN}
+                               THEN p.event_type END, ','
+                               ORDER BY p.event_type), '')
+               AS heavy_types_csv,
+           ROUND(MAX(ROUND(p.n / CAST(t.n_events AS DOUBLE), 6)), 6)
+               AS max_share
+    FROM tot t JOIN per_type p USING (user_id)
+    GROUP BY t.user_id, t.n_events
+    ORDER BY t.user_id
+"""
+
+QUERIES["map_hof_family"] = map_hof_family

@@ -1110,3 +1110,75 @@ def _shard_balance_sql() -> str:
 
 ORACLE["shard_balance_audit"] = _shard_balance_sql()
 QUERIES["shard_balance_audit"] = shard_balance_audit
+
+
+def token_lorenz_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-mass concentration (Lorenz-curve points) per language:
+    the share of the lang's total tokens held by its top 1% and top
+    10% of documents by length — the complement of
+    ``source_concentration_hhi``: that measures WHICH sources
+    dominate, this measures whether a few mega-documents dominate the
+    token budget (they do in real crawls, and samplers must know).
+    Top-N cutoffs are exact integer rationals ceil(n/100), ceil(n/10).
+
+    100 TB shape: the per-lang length rank rides ``_distributed_rank``
+    (range shuffle, no single-task sort); shares are two conditional
+    sums in one aggregate."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        _distributed_rank,
+    )
+
+    docs = table(spark, sf, "documents")
+    scored = docs.select(
+        "lang",
+        # rank ascending on the NEGATED length = descending on length
+        (-F.size(F.split(F.col("text"), " ")).cast("bigint")).alias(
+            "score"
+        ),
+        F.col("doc_id").alias("doc_id"),
+    )
+    ranked = _distributed_rank(scored, group_cols=["lang"])
+    top1 = F.expr("(total + 99) div 100")
+    top10 = F.expr("(total + 9) div 10")
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("total").cast("bigint").alias("n_docs"),
+            F.sum(-F.col("score")).cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(F.col("_grank") <= top1, -F.col("score")))
+                / F.sum(-F.col("score")).cast("double"),
+                6,
+            ).alias("top1pct_share"),
+            F.round(
+                F.sum(F.when(F.col("_grank") <= top10, -F.col("score")))
+                / F.sum(-F.col("score")).cast("double"),
+                6,
+            ).alias("top10pct_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["token_lorenz_points"] = """
+    WITH ranked AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY -CAST(len(string_split(text, ' '))
+                                                 AS BIGINT) ASC NULLS FIRST,
+                                           doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS total
+        FROM documents
+    )
+    SELECT lang,
+           CAST(MAX(total) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(SUM(CASE WHEN rk <= (total + 99) // 100 THEN n_tok END)
+                 / CAST(SUM(n_tok) AS DOUBLE), 6) AS top1pct_share,
+           ROUND(SUM(CASE WHEN rk <= (total + 9) // 10 THEN n_tok END)
+                 / CAST(SUM(n_tok) AS DOUBLE), 6) AS top10pct_share
+    FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["token_lorenz_points"] = token_lorenz_points

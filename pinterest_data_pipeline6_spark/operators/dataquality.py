@@ -1452,3 +1452,120 @@ ORACLE["winsorized_mean_prices"] = """
 """
 
 QUERIES["winsorized_mean_prices"] = winsorized_mean_prices
+
+
+def page_hinkley_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-Hinkley drift detection on daily event volume — the
+    sequential-change statistic that complements ``cusum_change_point``:
+    instead of the single global |CUSUM| peak it tracks the rise of the
+    cumulative deviation above its RUNNING TROUGH (upward shift) and
+    the fall below its running crest (downward shift), which is what
+    catches a sustained level change that starts mid-series.  Per
+    type: both drift magnitudes and the day each peaks.
+
+    Integer-exact like the CUSUM entry: u_t = D*prefix_t - t*S is
+    bigint, the running min/max are window extrema over it, and the
+    argmax ranks on the exact integers (earliest-day ties); the
+    reported drift divides once by D.
+
+    100 TB shape: raw events reduce to #types x #days in one agg;
+    every window runs over that bounded aggregate."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    w_ord = wt.orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    u = (
+        F.count(F.lit(1)).over(wt).cast("bigint")
+        * F.sum("n").over(w_cum).cast("bigint")
+        - F.row_number().over(w_ord).cast("bigint")
+        * F.sum("n").over(wt).cast("bigint")
+    )
+    scored = daily.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n_days"),
+        (u - F.min(u).over(w_cum)).alias("up_i"),
+        (F.max(u).over(w_cum) - u).alias("down_i"),
+    )
+    w_up = wt.orderBy(F.desc("up_i"), F.asc("d"))
+    w_dn = wt.orderBy(F.desc("down_i"), F.asc("d"))
+    picked = scored.select(
+        "event_type",
+        "d",
+        "n_days",
+        "up_i",
+        "down_i",
+        F.row_number().over(w_up).alias("r_up"),
+        F.row_number().over(w_dn).alias("r_dn"),
+    ).filter((F.col("r_up") == 1) | (F.col("r_dn") == 1))
+    return (
+        picked.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.round(
+                F.max(F.when(F.col("r_up") == 1, F.col("up_i")))
+                / F.max("n_days").cast("double"),
+                4,
+            ).alias("up_drift"),
+            F.min(F.when(F.col("r_up") == 1, F.col("d"))).alias("up_day"),
+            F.round(
+                F.max(F.when(F.col("r_dn") == 1, F.col("down_i")))
+                / F.max("n_days").cast("double"),
+                4,
+            ).alias("down_drift"),
+            F.min(F.when(F.col("r_dn") == 1, F.col("d"))).alias("down_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["page_hinkley_drift"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, d,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               * CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY d) AS BIGINT)
+               * CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS u
+        FROM daily
+    ),
+    drift AS (
+        SELECT event_type, d, n_days,
+               u - MIN(u) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS up_i,
+               MAX(u) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) - u AS down_i
+        FROM scored
+    ),
+    picked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY up_i DESC, d ASC) AS r_up,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY down_i DESC, d ASC) AS r_dn
+        FROM drift
+    )
+    SELECT event_type,
+           MAX(n_days) AS n_days,
+           ROUND(MAX(CASE WHEN r_up = 1 THEN up_i END)
+                 / CAST(MAX(n_days) AS DOUBLE), 4) AS up_drift,
+           MIN(CASE WHEN r_up = 1 THEN d END) AS up_day,
+           ROUND(MAX(CASE WHEN r_dn = 1 THEN down_i END)
+                 / CAST(MAX(n_days) AS DOUBLE), 4) AS down_drift,
+           MIN(CASE WHEN r_dn = 1 THEN d END) AS down_day
+    FROM picked WHERE r_up = 1 OR r_dn = 1
+    GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["page_hinkley_drift"] = page_hinkley_drift

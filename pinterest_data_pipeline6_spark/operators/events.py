@@ -2182,3 +2182,73 @@ ORACLE["inter_event_time_quantiles"] = """
 """
 
 QUERIES["inter_event_time_quantiles"] = inter_event_time_quantiles
+
+
+def churn_hazard_by_tenure(spark: SparkSession, sf: str) -> DataFrame:
+    """Discrete survival analysis of user lifetime: for each observed
+    tenure T (days between a user's first and last event), the hazard
+    h(T) = churned-at-T / at-risk-at-T — the Kaplan-Meier building
+    block, kept integer-exact by reporting the hazard numerator and
+    denominator instead of a float survival product.  "Churned at T"
+    means the user's LAST observed activity falls T days after their
+    first (right-censoring by corpus end is not modeled — this is the
+    descriptive ledger, documented as such).
+
+    100 TB shape: events reduce to one (first_day, last_day) row per
+    user in one agg; tenures reduce to <= #days rows; the at-risk
+    suffix sum is a window over that bounded aggregate."""
+    ev = table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "tenure"
+        )
+    )
+    tens = per_user.groupBy("tenure").agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    w_suffix = (
+        Window.partitionBy()
+        .orderBy(F.desc("tenure"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tens.select(
+            F.col("tenure").cast("bigint").alias("tenure_days"),
+            F.col("n_churned").cast("bigint").alias("n_churned"),
+            F.sum("n_churned").over(w_suffix).cast("bigint").alias(
+                "n_at_risk"
+            ),
+        )
+        .select(
+            "tenure_days",
+            "n_at_risk",
+            "n_churned",
+            F.round(
+                F.col("n_churned") / F.col("n_at_risk").cast("double"), 6
+            ).alias("hazard"),
+        )
+        .orderBy("tenure_days")
+    )
+
+
+ORACLE["churn_hazard_by_tenure"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) AS tenure
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ),
+    tens AS (
+        SELECT tenure, COUNT(*) AS n_churned FROM per_user GROUP BY tenure
+    )
+    SELECT CAST(tenure AS BIGINT) AS tenure_days,
+           CAST(SUM(n_churned) OVER (ORDER BY tenure DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           ROUND(n_churned / CAST(SUM(n_churned) OVER (ORDER BY tenure DESC
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS hazard
+    FROM tens ORDER BY tenure_days
+"""
+
+QUERIES["churn_hazard_by_tenure"] = churn_hazard_by_tenure
