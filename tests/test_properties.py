@@ -1417,3 +1417,116 @@ def test_unicode_fold_matches_duckdb_nfc_on_declared_subset(
     assert en["merged_by_fold"] == len(_NFC_PAIRS)
     fw = by_lang["fw"]
     assert fw["n_changed_fold"] == 1 and fw["merged_by_fold"] == 1
+
+
+# --- round 7: stats-entry brute-force differentials ---------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),
+            st.sampled_from([0, 1, 2]),  # 0/1 weekend days, 2 weekday
+            st.integers(0, 5),           # small value space forces ties
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_mannwhitney_matches_brute_force(spark, rows, tmp_path_factory):
+    """The integer-exact 2U formulation (sum over distinct values of
+    cnt_w * (2*min_rank + cnt - 1), minus nw*(nw+1)) must equal the
+    textbook tie-averaged rank-sum U computed directly in Python."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        mannwhitney_value_shift,
+    )
+
+    # 2024-01-06 Sat / 2024-01-07 Sun / 2024-01-08 Mon
+    days = [datetime.datetime(2024, 1, 6, 12), datetime.datetime(2024, 1, 7, 12),
+            datetime.datetime(2024, 1, 8, 12)]
+    data = [
+        (i, days[d], i, et, float(v), None)
+        for i, (et, d, v) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("mw_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_weekend"], r["n_weekday"], r["u2_weekend"])
+        for r in mannwhitney_value_shift(spark, str(out)).collect()
+    }
+
+    want = {}
+    for et in {r[0] for r in rows}:
+        sample = [(float(v), d < 2) for e, d, v in rows if e == et]
+        sample.sort(key=lambda t: t[0])
+        # tie-averaged ranks, doubled to stay integer
+        r2 = 0
+        i = 0
+        while i < len(sample):
+            j = i
+            while j < len(sample) and sample[j][0] == sample[i][0]:
+                j += 1
+            # 2 * average rank of positions i..j-1 (1-based)
+            avg2 = (i + 1) + j  # == 2*( (i+1 + j) / 2 )
+            r2 += sum(avg2 for v, w in sample[i:j] if w)
+            i = j
+        nw = sum(1 for v, w in sample if w)
+        nd = len(sample) - nw
+        want[et] = (nw, nd, r2 - nw * (nw + 1))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 9)),  # (user, day)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_churn_hazard_matches_brute_force(spark, rows, tmp_path_factory):
+    """Per-tenure churned / at-risk counts must match a direct Python
+    computation from each user's (first, last) activity days."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        churn_hazard_by_tenure,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 9)
+    data = [
+        (i, base + datetime.timedelta(days=d), u, "click", 1.0, None)
+        for i, (u, d) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("chz_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["tenure_days"]: (r["n_at_risk"], r["n_churned"])
+        for r in churn_hazard_by_tenure(spark, str(out)).collect()
+    }
+
+    span = {}
+    for u, d in rows:
+        lo, hi = span.get(u, (d, d))
+        span[u] = (min(lo, d), max(hi, d))
+    from collections import Counter
+
+    churned = Counter(hi - lo for lo, hi in span.values())
+    want = {
+        t: (sum(c for tt, c in churned.items() if tt >= t), churned[t])
+        for t in churned
+    }
+    assert got == want
