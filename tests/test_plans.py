@@ -1534,3 +1534,24 @@ def test_cbo_stats_flip_sortmerge_to_broadcast(spark):
                 conf.set(k, old[k])
         spark.sql("DROP TABLE IF EXISTS cbo_dim_orders")
         spark.sql("DROP TABLE IF EXISTS cbo_fact_lineitem")
+
+
+def test_round7_dedup_entries_do_not_shuffle_text(spark):
+    """Substring-level dedup and the two ledger twins move 60-bit gram
+    hashes / 16-byte band keys through every exchange — document text
+    must stay on the map side (at 100 TB the text column IS the
+    corpus; a plan that shuffles it is wrong regardless of results)."""
+    import re
+
+    from pinterest_data_pipeline6_spark.operators import curation
+
+    for fn in (
+        dedup.QUERIES["longest_dup_substring_stats"],
+        dedup.QUERIES["neardup_suppression_ledger"],
+        curation.QUERIES["curation_funnel_batch_ledger"],
+        dedup.QUERIES["doc_stitch_links"],
+        dedup.QUERIES["unicode_fold_dedup_stats"],
+    ):
+        plan = executed_plan(fn(spark, SF))
+        for m in re.finditer(r"Exchange [^\n]*", plan):
+            assert "text" not in m.group(0), m.group(0)[:200]
