@@ -195,3 +195,59 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
+
+
+def register_catalog_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ),
+    analyze: bool = True,
+    column_stats: bool = True,
+    prefix: str = "",
+) -> list[str]:
+    """Register the testdata parquet tables as EXTERNAL catalog tables
+    and (by default) run ``ANALYZE TABLE ... COMPUTE STATISTICS [FOR
+    ALL COLUMNS]`` on each — the ingest-path step that feeds Spark's
+    cost-based optimizer.  Without catalog statistics a table's size
+    estimate defaults to Long.MaxValue and every selective-filter
+    broadcast opportunity is lost (the flip is plan-asserted in
+    tests/test_plans.py::test_cbo_stats_flip_sortmerge_to_broadcast
+    and documented in docs/SCALE.md §"Stats-driven planning (CBO)").
+    At 100 TB, shipping ANALYZE with ingestion is the difference
+    between a stats-informed broadcast decision and a guessed one.
+
+    Tables are external (``USING parquet LOCATION ...``): dropping
+    them never touches the data files.  Returns the registered table
+    names.  Set ``column_stats=False`` to collect table-level stats
+    only (row count + size — enough for join-side sizing, not for
+    filter selectivity)."""
+    registered = []
+    for name in names:
+        path = Path(sf_dir) / f"{name}.parquet"
+        if not path.exists():
+            continue
+        tbl = f"{prefix}{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} USING parquet LOCATION '{path}'"
+        )
+        if analyze:
+            suffix = ""
+            if column_stats:
+                # ANALYZE ... FOR COLUMNS rejects complex types (e.g.
+                # embeddings' array<float>): collect per-column stats
+                # for the atomic columns only, table-level otherwise
+                atomic = [
+                    f.name
+                    for f in spark.table(tbl).schema.fields
+                    if f.dataType.typeName()
+                    not in ("array", "map", "struct", "binary")
+                ]
+                if atomic:
+                    suffix = " FOR COLUMNS " + ", ".join(atomic)
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS{suffix}")
+        registered.append(tbl)
+    return registered

@@ -1555,3 +1555,54 @@ def test_round7_dedup_entries_do_not_shuffle_text(spark):
         plan = executed_plan(fn(spark, SF))
         for m in re.finditer(r"Exchange [^\n]*", plan):
             assert "text" not in m.group(0), m.group(0)[:200]
+
+
+def test_register_catalog_tables_feeds_cbo(spark):
+    """The library's ingest-path helper must leave every registered
+    table with catalog statistics the CBO can read (rowCount present),
+    and the stats-informed broadcast decision must hold end-to-end on
+    a registered table (the dedicated flip test proves the negative
+    direction; this proves the PRODUCT surface)."""
+    from pinterest_data_pipeline6_spark.sources.readers import (
+        register_catalog_tables,
+    )
+
+    conf = spark.conf
+    keys = ("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    old = {}
+    for k in keys:
+        try:
+            old[k] = conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        names = register_catalog_tables(
+            spark, SF, names=("orders", "lineitem"), prefix="cat_"
+        )
+        assert names == ["cat_orders", "cat_lineitem"]
+        desc = spark.sql("DESCRIBE EXTENDED cat_orders").collect()
+        stats = [r for r in desc if r.col_name == "Statistics"]
+        assert stats and "rows" in stats[0].data_type, desc
+        conf.set("spark.sql.cbo.enabled", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024))
+        from pinterest_data_pipeline6_spark.plans import executed_plan
+
+        plan = executed_plan(
+            spark.sql(
+                """SELECT f.l_orderkey FROM cat_lineitem f
+                   JOIN cat_orders d ON f.l_orderkey = d.o_orderkey
+                   WHERE d.o_totalprice < 1000.0"""
+            )
+        )
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        for k in keys:
+            if old[k] is None:
+                try:
+                    conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                conf.set(k, old[k])
+        spark.sql("DROP TABLE IF EXISTS cat_orders")
+        spark.sql("DROP TABLE IF EXISTS cat_lineitem")
