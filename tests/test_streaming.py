@@ -623,3 +623,69 @@ def test_foreach_batch_trending_topk(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "snapshot")).collect()
     }
     assert snap2 == snap
+
+
+def test_neardup_ledger_twin_matches_real_sink(spark, tmp_path):
+    """Equivalence of the batch twin and the REAL streaming sink: feed
+    the sf0.001 documents to write_foreach_batch_neardup as three
+    micro-batches partitioned by doc_id % 3 (the twin's batch rule),
+    then assert the sink's accepted doc set equals the twin's
+    kept+bandless set per batch.  The DuckDB oracle proves the twin's
+    arithmetic; THIS proves the twin replays the sink's semantics —
+    together they give the foreachBatch recurrence an end-to-end
+    external check."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        NEARDUP_LEDGER_BATCHES,
+        _neardup_batch_states,
+    )
+    from pinterest_data_pipeline6_spark.sources.readers import table
+    from pinterest_data_pipeline6_spark.streaming.jobs import (
+        write_foreach_batch_neardup,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "accepted")
+    bands = str(tmp_path / "bands")
+    ck = str(tmp_path / "ck")
+
+    def run_one_batch(k: int) -> None:
+        with open(src / f"b{k}.json", "w") as f:
+            for r in rows:
+                if r.doc_id % NEARDUP_LEDGER_BATCHES == k:
+                    f.write(
+                        json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        + "\n"
+                    )
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        write_foreach_batch_neardup(stream, sink, ck, bands).awaitTermination()
+
+    for k in range(NEARDUP_LEDGER_BATCHES):
+        run_one_batch(k)
+
+    sink_accepted = {
+        r.doc_id for r in spark.read.parquet(sink).select("doc_id").collect()
+    }
+
+    batched = docs.withColumn(
+        "batch_id", F.pmod("doc_id", F.lit(NEARDUP_LEDGER_BATCHES))
+    )
+    twin_accepted = {
+        r.doc_id
+        for r in _neardup_batch_states(batched)
+        .filter(F.col("status").isin("kept", "bandless"))
+        .select("doc_id")
+        .collect()
+    }
+    assert sink_accepted == twin_accepted
