@@ -1569,3 +1569,348 @@ ORACLE["page_hinkley_drift"] = """
 """
 
 QUERIES["page_hinkley_drift"] = page_hinkley_drift
+
+
+def mad_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median-absolute-deviation outlier audit of event values per
+    type — the robust twin of z-score outlier detection (median/MAD
+    shrug off the very whales a mean/stddev rule would be dragged by).
+    Flags events whose modified z-score 0.6745*|x-med|/MAD exceeds 3.5
+    (Iglewicz-Hoaglin convention).
+
+    Determinism contract: median and MAD are exact element picks
+    (smallest rank r with 100r >= 50n, unique (value, event_id) sort
+    key — never interpolated); the outlier test cross-multiplies
+    (6745*dev > 35000*mad) so no division touches the comparison, and
+    both engines evaluate the identical IEEE products.
+
+    100 TB shape: both ranked passes ride ``_distributed_rank`` (range
+    shuffle + broadcast prefix counts — no single-task per-group
+    sort); each pass reduces to one row per event_type that broadcasts
+    back.  No window over raw data anywhere."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        _distributed_rank,
+    )
+
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    scored = ev.select(
+        "event_type",
+        F.col("value").alias("score"),
+        F.col("event_id").alias("doc_id"),
+    )
+    r1 = _distributed_rank(scored, group_cols=["event_type"])
+    med_rank = F.expr("(50 * total + 99) div 100")
+    med = r1.groupBy("event_type").agg(
+        F.min(F.when(F.col("_grank") == med_rank, F.col("score"))).alias(
+            "med"
+        )
+    )
+    dev = (
+        scored.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.col("score").alias("value"),
+            F.abs(F.col("score") - F.col("med")).alias("score"),
+            "doc_id",
+            "med",
+        )
+    )
+    r2 = _distributed_rank(
+        dev.select("event_type", "score", "doc_id"), group_cols=["event_type"]
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.min(F.when(F.col("_grank") == med_rank, F.col("score"))).alias(
+            "mad"
+        )
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (
+            (F.col("score") * F.lit(6745.0)) > (F.col("mad") * F.lit(35000.0))
+        ).cast("bigint").alias("is_out"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum("is_out").alias("n_outliers"),
+            F.round(
+                F.sum("is_out").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["mad_robust_outliers"] = """
+    WITH scored AS (
+        SELECT event_type, value AS score, event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+        SELECT event_type, score,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY score ASC NULLS FIRST,
+                                           event_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS total
+        FROM scored
+    ),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN rk = (50 * total + 99) // 100
+                        THEN score END) AS med
+        FROM r1 GROUP BY event_type
+    ),
+    dev AS (
+        SELECT s.event_type, s.score AS value,
+               ABS(s.score - m.med) AS dscore, s.event_id, m.med
+        FROM scored s JOIN med m USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, dscore,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dscore ASC NULLS FIRST,
+                                           event_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS total
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type,
+               MIN(CASE WHEN rk = (50 * total + 99) // 100
+                        THEN dscore END) AS mad
+        FROM r2 GROUP BY event_type
+    )
+    SELECT d.event_type, COUNT(*) AS n_events,
+           ROUND(MIN(d.med), 6) AS median_value,
+           ROUND(MIN(a.mad), 6) AS mad,
+           CAST(SUM(CAST(d.dscore * 6745.0 > a.mad * 35000.0 AS BIGINT))
+                AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CAST(d.dscore * 6745.0 > a.mad * 35000.0
+                               AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+QUERIES["mad_robust_outliers"] = mad_robust_outliers
+
+
+def moment_stats_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-shape profile of lineitem quantity per return
+    flag: mean, population variance, skewness (g1) and excess
+    kurtosis (g2) — the four-moment summary a data-quality dashboard
+    tracks to catch silent generator / upstream-schema drift that
+    leaves counts and means untouched.
+
+    Determinism contract: quantity scales to integer centiunits via
+    ROUND(v*100); the four power sums S1..S4 accumulate as exact
+    DECIMAL integers (widths sized for ≤1e9 rows per group — S4 ≤
+    1e9 * (5000^4) needs 25 digits); the moment formulas then run in
+    double ON IDENTICAL EXACT INPUTS in both engines (skew/kurtosis
+    are scale-invariant, so the x100 cancels; variance divides once
+    by 100^2).  Built-in skewness()/kurtosis() are order-dependent
+    double accumulations — exactly what this entry avoids.
+
+    100 TB shape: ONE partial+final agg per flag; map-side combine
+    carries the four sums.  Nothing else moves."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_quantity").isNotNull())
+    q = F.round(F.col("l_quantity") * 100).cast("decimal(6,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum(q).cast("decimal(16,0)").alias("s1"),
+        F.sum(q * q).cast("decimal(19,0)").alias("s2"),
+        F.sum(q * q * q).cast("decimal(22,0)").alias("s3"),
+        F.sum(q * q * q * q).cast("decimal(25,0)").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    m3 = F.col("s3").cast("double") / nd
+    m4 = F.col("s4").cast("double") / nd
+    var_s = m2 - m1 * m1
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.nullif(
+        var_s * F.sqrt(var_s), F.lit(0.0)
+    )
+    kurt = (
+        m4
+        - F.lit(4.0) * m1 * m3
+        + F.lit(6.0) * m1 * m1 * m2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / F.nullif(var_s * var_s, F.lit(0.0)) - F.lit(3.0)
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(m1 / F.lit(100.0), 6).alias("mean_qty"),
+        F.round(var_s / F.lit(10000.0), 6).alias("var_qty"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE["moment_stats_family"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS s1,
+               SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)
+                   * CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS s2,
+               SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)
+                   * CAST(ROUND(l_quantity * 100) AS HUGEINT)
+                   * CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS s3,
+               SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)
+                   * CAST(ROUND(l_quantity * 100) AS HUGEINT)
+                   * CAST(ROUND(l_quantity * 100) AS HUGEINT)
+                   * CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS s4
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+               AS mean_qty,
+           ROUND((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 10000.0, 6) AS var_qty,
+           ROUND((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / NULLIF((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                          * SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * (CAST(s1 AS DOUBLE)
+                                      / CAST(n AS DOUBLE))), 0.0), 6)
+               AS skewness,
+           ROUND((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / NULLIF((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                          * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(s1 AS DOUBLE)
+                                  / CAST(n AS DOUBLE))), 0.0)
+                 - 3.0, 6) AS excess_kurtosis
+    FROM m ORDER BY l_returnflag
+"""
+
+QUERIES["moment_stats_family"] = moment_stats_family
+
+
+def shewhart_control_limits(spark: SparkSession, sf: str) -> DataFrame:
+    """Shewhart 3-sigma control chart over daily event volume per type
+    — the classical SPC monitor that completes this module's
+    sequential-detection triad (Shewhart catches SPIKES the cumulative
+    CUSUM / Page-Hinkley statistics smooth over).  Per type: the
+    center line, sigma, and how many days breach the upper / lower
+    3-sigma limits.
+
+    Determinism contract: the breach test never touches a double —
+    |n*c - S1| > 3*sigma*n cross-multiplies to (n*c - S1)^2 >
+    9*(n*S2 - S1^2), all exact DECIMAL integers (widths sized for
+    ≤1e5 days and ≤1e9 events/day/type); mean and sigma go double
+    only in the final report columns.
+
+    100 TB shape: raw events reduce to #types x #days in one agg;
+    the moment sums and the breach flags run over that bounded
+    aggregate with a 5-row broadcast join."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("decimal(12,0)").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("n"),
+        F.sum("c").cast("decimal(15,0)").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(24,0)").alias("s2"),
+    )
+    j = daily.join(F.broadcast(m), "event_type")
+    dev = (F.col("n") * F.col("c") - F.col("s1")).cast("decimal(15,0)")
+    lhs = dev * dev
+    rhs = F.lit(9).cast("decimal(1,0)") * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    flags = j.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        F.when((lhs > rhs) & (dev > 0), 1).otherwise(0).alias("out_hi"),
+        F.when((lhs > rhs) & (dev < 0), 1).otherwise(0).alias("out_lo"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    sigma = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    ) / nd
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.max("n").alias("nn"),
+            F.max("s1").alias("s1"),
+            F.max("s2").alias("s2"),
+            F.sum("out_hi").alias("n_out_hi"),
+            F.sum("out_lo").alias("n_out_lo"),
+        )
+        .withColumnRenamed("nn", "n")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(mean, 4).alias("mean_daily"),
+            F.round(sigma, 6).alias("sigma_daily"),
+            "n_out_hi",
+            "n_out_lo",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["shewhart_control_limits"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS HUGEINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(c) AS s1, SUM(c * c) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(MAX(m.n) AS BIGINT) AS n_days,
+           ROUND(CAST(MAX(m.s1) AS DOUBLE) / CAST(MAX(m.n) AS DOUBLE), 4)
+               AS mean_daily,
+           ROUND(SQRT(CAST(MAX(m.n) * MAX(m.s2)
+                           - MAX(m.s1) * MAX(m.s1) AS DOUBLE))
+                 / CAST(MAX(m.n) AS DOUBLE), 6) AS sigma_daily,
+           CAST(SUM(CASE WHEN (m.n * d.c - m.s1) * (m.n * d.c - m.s1)
+                              > 9 * (m.n * m.s2 - m.s1 * m.s1)
+                          AND m.n * d.c - m.s1 > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_hi,
+           CAST(SUM(CASE WHEN (m.n * d.c - m.s1) * (m.n * d.c - m.s1)
+                              > 9 * (m.n * m.s2 - m.s1 * m.s1)
+                          AND m.n * d.c - m.s1 < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_lo
+    FROM daily d JOIN m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+QUERIES["shewhart_control_limits"] = shewhart_control_limits

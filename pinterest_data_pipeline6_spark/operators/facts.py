@@ -1244,3 +1244,354 @@ ORACLE["abc_revenue_classes"] = """
 """
 
 QUERIES["abc_revenue_classes"] = abc_revenue_classes
+
+
+def ols_order_price_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority OLS trend of order value over time — the
+    regression primitive behind "is average order value drifting?"
+    dashboards: slope (currency units per day), intercept at the
+    group's first order day, and R², all derived from exact integer
+    moment sums.
+
+    Determinism contract: both engines scale o_totalprice to integer
+    milliunits via ROUND(v * 1000) (identical IEEE product + identical
+    half-away-from-zero rounding), shift the day axis to the group's
+    first order day (keeps x < ~10^4), and accumulate n/Σx/Σy/Σxy/
+    Σx²/Σy² as DECIMAL integers whose declared widths keep every
+    product ≤ 38 digits — exact for ≤1e8 orders per group over a
+    ≤10-year span (documented domain; today's data is 4 orders of
+    magnitude inside it).  Only the final slope/intercept/R² divisions
+    run in double, on identical exact inputs.
+
+    100 TB shape: one partial+final agg per group produces the six
+    moments (map-side combine does almost all the work); the per-group
+    min-day is a 5-row broadcast joined back before the agg.  No
+    window, no sort, no per-row state."""
+    orders = table(spark, sf, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    day0 = orders.groupBy("o_orderpriority").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_day")
+    )
+    j = orders.join(F.broadcast(day0), "o_orderpriority")
+    x = (
+        F.unix_date(F.to_date("o_orderdate")) - F.unix_date(F.col("first_day"))
+    ).cast("decimal(4,0)")
+    y = F.round(F.col("o_totalprice") * 1000).cast("decimal(10,0)")
+    m = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.min("first_day").alias("first_day"),
+        F.sum(x).cast("decimal(12,0)").alias("sx"),
+        F.sum(y).cast("decimal(17,0)").alias("sy"),
+        F.sum(x * x).cast("decimal(16,0)").alias("sxx"),
+        F.sum(x * y).cast("decimal(21,0)").alias("sxy"),
+        F.sum(y * y).cast("decimal(26,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / F.nullif(den, F.lit(0.0)) / F.lit(1000.0)
+    nd = F.col("n").cast("double")
+    intercept = F.col("sy").cast("double") / F.lit(1000.0) / nd - slope * (
+        F.col("sx").cast("double") / nd
+    )
+    r2 = num * num / F.nullif(den * deny, F.lit(0.0))
+    return m.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        "first_day",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE["ols_order_price_trend"] = """
+    WITH day0 AS (
+        SELECT o_orderpriority,
+               MIN(CAST(o_orderdate AS DATE)) AS first_day
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY o_orderpriority
+    ),
+    m AS (
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               MIN(d.first_day) AS first_day,
+               SUM(CAST(DATEDIFF('day', d.first_day,
+                                 CAST(o.o_orderdate AS DATE))
+                        AS HUGEINT)) AS sx,
+               SUM(CAST(ROUND(o.o_totalprice * 1000) AS HUGEINT)) AS sy,
+               SUM(CAST(DATEDIFF('day', d.first_day,
+                                 CAST(o.o_orderdate AS DATE)) AS HUGEINT)
+                   * CAST(DATEDIFF('day', d.first_day,
+                                   CAST(o.o_orderdate AS DATE))
+                          AS HUGEINT)) AS sxx,
+               SUM(CAST(DATEDIFF('day', d.first_day,
+                                 CAST(o.o_orderdate AS DATE)) AS HUGEINT)
+                   * CAST(ROUND(o.o_totalprice * 1000) AS HUGEINT)) AS sxy,
+               SUM(CAST(ROUND(o.o_totalprice * 1000) AS HUGEINT)
+                   * CAST(ROUND(o.o_totalprice * 1000) AS HUGEINT)) AS syy
+        FROM orders o JOIN day0 d USING (o_orderpriority)
+        WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+        GROUP BY o.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           first_day,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+                 / 1000.0, 6) AS slope_per_day,
+           ROUND(CAST(sy AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+                    / 1000.0)
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+               AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE), 0.0), 6)
+               AS r2
+    FROM m ORDER BY o_orderpriority
+"""
+
+QUERIES["ols_order_price_trend"] = ols_order_price_trend
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's four numeric measures
+    (quantity, extendedprice, discount, tax) — the profiling primitive
+    behind feature-redundancy checks before a model ingests a fact
+    table.  All six unordered pairs in one scan.
+
+    Determinism contract: every measure scales to integer centiunits
+    via ROUND(v * 100) (all four have ≤2 decimal digits), and the 14
+    moment sums accumulate as DECIMAL integers sized so every later
+    product stays ≤38 digits for ≤1e9 rows.  Pearson r is scale-
+    invariant, so the ×100 cancels; the final r divides once in double
+    (IEEE sqrt on identical exact inputs).
+
+    100 TB shape: ONE partial+final global aggregate computes all 14
+    sums map-side; the 6-row matrix explodes from that single row.
+    Nothing shuffles but the 14-value partial rows."""
+    li = table(spark, sf, "lineitem")
+    cols = {
+        "quantity": "l_quantity",
+        "extendedprice": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    scaled = li.select(
+        *[
+            F.round(F.col(c) * 100).cast("decimal(10,0)").alias(k)
+            for k, c in cols.items()
+        ]
+    ).na.drop()
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).cast("decimal(10,0)").alias("n")]
+    for k in names:
+        aggs.append(F.sum(F.col(k)).cast("decimal(17,0)").alias(f"s_{k}"))
+        aggs.append(
+            F.sum(F.col(k) * F.col(k)).cast("decimal(24,0)").alias(f"ss_{k}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b))
+            .cast("decimal(24,0)")
+            .alias(f"sp_{a}_{b}")
+        )
+    m = scaled.agg(*aggs)
+
+    def _r(a: str, b: str):
+        num = (
+            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ).cast("double")
+        dena = (
+            F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ).cast("double")
+        denb = (
+            F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        ).cast("double")
+        return F.round(
+            num / F.nullif(F.sqrt(dena * denb), F.lit(0.0)), 6
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("metric_a"),
+                F.lit(b).alias("metric_b"),
+                _r(a, b).alias("pearson_r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        m.select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.explode(rows).alias("p"),
+        )
+        .select("p.metric_a", "p.metric_b", "n_rows", "p.pearson_r")
+        .orderBy("metric_a", "metric_b")
+    )
+
+
+def _corr_oracle() -> str:
+    names = ["quantity", "extendedprice", "discount", "tax"]
+    cols = {
+        "quantity": "l_quantity",
+        "extendedprice": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    sums = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for k in names:
+        sums.append(
+            f"SUM(CAST(ROUND({cols[k]} * 100) AS HUGEINT)) AS s_{k}"
+        )
+        sums.append(
+            f"SUM(CAST(ROUND({cols[k]} * 100) AS HUGEINT)"
+            f" * CAST(ROUND({cols[k]} * 100) AS HUGEINT)) AS ss_{k}"
+        )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    for a, b in pairs:
+        sums.append(
+            f"SUM(CAST(ROUND({cols[a]} * 100) AS HUGEINT)"
+            f" * CAST(ROUND({cols[b]} * 100) AS HUGEINT)) AS sp_{a}_{b}"
+        )
+    branches = []
+    for a, b in pairs:
+        branches.append(
+            f"SELECT '{a}' AS metric_a, '{b}' AS metric_b,"
+            f" CAST(n AS BIGINT) AS n_rows,"
+            f" ROUND(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+            f" / NULLIF(SQRT(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)"
+            f" * CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)), 0.0), 6)"
+            f" AS pearson_r FROM m"
+        )
+    union = " UNION ALL ".join(branches)
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols.values())
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem"
+        f" WHERE {where}) {union} ORDER BY metric_a, metric_b"
+    )
+
+
+ORACLE["lineitem_corr_matrix"] = _corr_oracle()
+
+QUERIES["lineitem_corr_matrix"] = lineitem_corr_matrix
+
+
+def basket_brand_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence of part brands within an order —
+    the Apriori-style association primitive (support / lift) behind
+    "customers who bought X also bought Y".  Top 25 brand pairs by
+    co-order count, ties broken lexically.
+
+    Determinism contract: support and lift derive from four exact
+    integer counts (co-orders, per-brand orders, total orders); the
+    single double division happens after all integer math, so both
+    engines divide identical exact operands.
+
+    100 TB shape: part is a broadcast dim; the order→brand distinct
+    reduces lineitem BEFORE the self-join; the pair join keys on
+    l_orderkey (high cardinality, co-partitioned on one shuffle — the
+    distinct already hashed on (orderkey, brand), and AQE reuses that
+    exchange); brand-level tables are ≤25 rows and broadcast.  Pair
+    cardinality is bounded by brands²/2, not data size."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    totals = base.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    brand_n = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_brand")
+    )
+    a = base.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = base.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / F.col("n_orders").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("n_both"), "brand_a", "brand_b"
+    ).limit(25)
+
+
+ORACLE["basket_brand_pairs"] = """
+    WITH base AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    totals AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM base),
+    brand_n AS (
+        SELECT p_brand, COUNT(*) AS n_brand FROM base GROUP BY p_brand
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_both
+        FROM base a JOIN base b ON a.l_orderkey = b.l_orderkey
+        WHERE a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(t.n_orders AS DOUBLE), 6)
+               AS support,
+           ROUND(CAST(n_both * t.n_orders AS DOUBLE)
+                 / CAST(na.n_brand * nb.n_brand AS DOUBLE), 6) AS lift
+    FROM pairs
+    JOIN brand_n na ON na.p_brand = brand_a
+    JOIN brand_n nb ON nb.p_brand = brand_b
+    CROSS JOIN totals t
+    ORDER BY n_both DESC, brand_a, brand_b
+    LIMIT 25
+"""
+
+QUERIES["basket_brand_pairs"] = basket_brand_pairs
