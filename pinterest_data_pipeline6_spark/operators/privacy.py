@@ -973,3 +973,107 @@ def _erasure_sql() -> str:
 
 ORACLE["right_to_erasure_audit"] = _erasure_sql()
 QUERIES["right_to_erasure_audit"] = right_to_erasure_audit
+
+
+def reid_risk_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-identification risk profile of a quasi-identifier (QI)
+    combination — the disclosure-risk measurement that COMPLEMENTS the
+    k-anonymity gate: instead of a pass/fail on min class size it
+    reports the full risk surface of QI = (event_type, weekday,
+    6-hour band) over the events stream, per event_type: equivalence-
+    class count, singleton classes (k=1 — individuals unique on the
+    QI alone), the uniqueness rate, min/avg class size, and the QI
+    entropy in bits (higher entropy = the QI partitions the population
+    more finely = more re-identification power; Shannon's measure is
+    the standard scalar for comparing QI choices before release).
+
+    Determinism contract: weekday/band derive from integer epoch-day /
+    hour arithmetic (no locale); each entropy term -(k/N)*log2(k/N)
+    rounds to 12 decimals and accumulates in DECIMAL(20,12), so
+    per-class aggregation order cannot perturb the sum; divisions of
+    exact integer counts happen once, in double.
+
+    100 TB shape: one hash agg on the QI key (bounded: #types x 7 x
+    4 classes), then a per-type rollup of that bounded aggregate —
+    raw events are touched exactly once, map-side combined."""
+    ev = table(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    # weekday = epoch-day mod 7 (0 = Thursday): pure integer arithmetic,
+    # identical in both engines; band = hour div 6.
+    qi = ev.select(
+        "event_type",
+        F.pmod(F.unix_date(F.to_date("ts")), F.lit(7)).alias("weekday"),
+        (F.hour("ts") / 6).cast("int").alias("band"),
+    )
+    classes = qi.groupBy("event_type", "weekday", "band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    totals = classes.groupBy("event_type").agg(
+        F.sum("k").alias("n_events_raw")
+    )
+    j = classes.join(F.broadcast(totals), "event_type")
+    p = F.col("k").cast("double") / F.col("n_events_raw").cast("double")
+    term = F.round(-(p * F.log2(p)), 12).cast("decimal(20,12)")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n_events_raw").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias(
+                "n_singletons"
+            ),
+            F.round(
+                F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("double")
+                / F.max("n_events_raw").cast("double"),
+                6,
+            ).alias("uniqueness_rate"),
+            F.min("k").alias("min_k"),
+            F.round(
+                F.max("n_events_raw").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_k"),
+            F.round(F.sum(term).cast("double"), 6).alias("qi_entropy_bits"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["reid_risk_entropy"] = """
+    WITH qi AS (
+        SELECT event_type,
+               ((DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7)
+                + 7) % 7 AS weekday,
+               CAST(EXTRACT(hour FROM ts) // 6 AS INT) AS band
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    classes AS (
+        SELECT event_type, weekday, band, COUNT(*) AS k
+        FROM qi GROUP BY event_type, weekday, band
+    ),
+    totals AS (
+        SELECT event_type, CAST(SUM(k) AS BIGINT) AS n_events_raw
+        FROM classes GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(MAX(t.n_events_raw) AS BIGINT) AS n_events,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN c.k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           ROUND(CAST(SUM(CASE WHEN c.k = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(MAX(t.n_events_raw) AS DOUBLE), 6)
+               AS uniqueness_rate,
+           MIN(c.k) AS min_k,
+           ROUND(CAST(MAX(t.n_events_raw) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_k,
+           ROUND(CAST(SUM(CAST(ROUND(
+                    -(CAST(c.k AS DOUBLE) / CAST(t.n_events_raw AS DOUBLE))
+                    * LOG2(CAST(c.k AS DOUBLE)
+                           / CAST(t.n_events_raw AS DOUBLE)), 12)
+                 AS DECIMAL(20,12))) AS DOUBLE), 6) AS qi_entropy_bits
+    FROM classes c JOIN totals t USING (event_type)
+    GROUP BY c.event_type ORDER BY c.event_type
+"""
+
+QUERIES["reid_risk_entropy"] = reid_risk_entropy

@@ -2141,3 +2141,45 @@ ORACLE["collated_group_family"] = """
 """
 
 QUERIES["collated_group_family"] = collated_group_family
+
+
+def group_order_by_all_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 ``GROUP BY ALL`` / ``ORDER BY ALL`` surface: the
+    analyst-ergonomics syntax that infers the grouping key set from
+    the non-aggregate select items and orders by the full output row.
+    Both resolve at ANALYSIS time into the explicit forms, so the
+    physical plan is identical to spelling the columns out — the
+    entry pins that equivalence (same rollup as an explicit GROUP BY
+    l_returnflag, l_linestatus ORDER BY 1, 2).  DuckDB pioneered this
+    syntax, so the oracle runs the SAME text modulo view names — the
+    cross-engine check covers the dialect itself, not just the
+    rollup.
+
+    Money discipline as everywhere: DECIMAL(18,6) sums before the
+    final double round."""
+    import hashlib
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    table(spark, sf, "lineitem").createOrReplaceTempView(f"gba_lineitem_{tag}")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE), 4) AS revenue
+        FROM gba_lineitem_{tag}
+        WHERE l_quantity > 5
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+ORACLE["group_order_by_all_family"] = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                      AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 5
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+QUERIES["group_order_by_all_family"] = group_order_by_all_family

@@ -2087,3 +2087,111 @@ def _cov_oracle_sql() -> str:
 
 ORACLE["embedding_covariance_matrix"] = _cov_oracle_sql()
 QUERIES["embedding_covariance_matrix"] = embedding_covariance_matrix
+
+
+# NDCG@k discount table 1/log2(pos+1), computed ONCE driver-side with
+# math.log2 and embedded as full-precision literals in BOTH engines'
+# plans — log2() is libm-backed and may differ by 1 ulp between the
+# JVM and DuckDB, so neither engine is allowed to compute it.
+import math as _math
+
+_NDCG_DISC: list[float] = [1.0 / _math.log2(p + 1) for p in range(1, TOP_K + 1)]
+
+
+def ann_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 of the IVF single-probe search against the brute-force
+    ground truth — the graded-relevance twin of ``ann_recall_eval``:
+    recall treats every true neighbor equally, NDCG also penalizes the
+    approximate index for returning them in the wrong ORDER (gain
+    11-rank_true, standard log2 position discounts).
+
+    Determinism contract: the discount constants are driver-side
+    literals (identical doubles in both plans); each gain x discount
+    is a single IEEE multiply; the ≤10-term DCG/IDCG sums round to 12
+    decimals and accumulate in DECIMAL(20,12), so partial-agg order
+    cannot perturb them; the final division is one double op.
+
+    Scale shape: the two underlying searches carry all the cost and
+    are already scale-shaped (broadcast queries, cell-blocked
+    compares); this evaluation joins n_queries x k RESULT rows."""
+    truth = knn_brute_force(spark, sf).select(
+        "query_id", "vec_id", F.col("rank").alias("t_rank")
+    )
+    res = knn_ivf(spark, sf).select("query_id", "vec_id", F.col("rank").alias("pos"))
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    gain = F.coalesce(F.lit(TOP_K + 1) - F.col("t_rank"), F.lit(0)).cast(
+        "double"
+    )
+    dcg_term = F.round(
+        gain * F.element_at(disc, F.col("pos")), 12
+    ).cast("decimal(20,12)")
+    dcg = (
+        res.join(truth, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.sum(dcg_term).alias("dcg_x"),
+        )
+    )
+    ideal_term = F.round(
+        (F.lit(TOP_K + 1) - F.col("t_rank")).cast("double")
+        * F.element_at(disc, F.col("t_rank")),
+        12,
+    ).cast("decimal(20,12)")
+    idcg = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(ideal_term).alias("idcg_x"),
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            "n_results",
+            "n_truth",
+            F.round(F.col("dcg_x").cast("double"), 6).alias("dcg"),
+            F.round(F.col("idcg_x").cast("double"), 6).alias("idcg"),
+            F.round(
+                (F.col("dcg_x") / F.col("idcg_x")).cast("double"), 6
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_oracle_sql() -> str:
+    disc_rows = ", ".join(
+        f"({p + 1}, {_NDCG_DISC[p]!r})" for p in range(TOP_K)
+    )
+    return f"""
+    WITH truth AS ({_KNN_BRUTE_SQL}),
+    res AS ({_KNN_IVF_SQL}),
+    disc(pos, d) AS (VALUES {disc_rows}),
+    dcg AS (
+        SELECT r.query_id, COUNT(*) AS n_results,
+               SUM(CAST(ROUND(CAST(COALESCE({TOP_K + 1} - t.rank, 0)
+                                   AS DOUBLE) * dd.d, 12)
+                        AS DECIMAL(20,12))) AS dcg_x
+        FROM res r
+        JOIN disc dd ON dd.pos = r.rank
+        LEFT JOIN truth t
+               ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+        GROUP BY r.query_id
+    ),
+    idcg AS (
+        SELECT t.query_id, COUNT(*) AS n_truth,
+               SUM(CAST(ROUND(CAST({TOP_K + 1} - t.rank AS DOUBLE) * dd.d,
+                              12) AS DECIMAL(20,12))) AS idcg_x
+        FROM truth t JOIN disc dd ON dd.pos = t.rank
+        GROUP BY t.query_id
+    )
+    SELECT d.query_id, d.n_results, i.n_truth,
+           ROUND(CAST(d.dcg_x AS DOUBLE), 6) AS dcg,
+           ROUND(CAST(i.idcg_x AS DOUBLE), 6) AS idcg,
+           ROUND(CAST(d.dcg_x / i.idcg_x AS DOUBLE), 6) AS ndcg
+    FROM dcg d JOIN idcg i USING (query_id)
+    ORDER BY d.query_id
+    """
+
+
+ORACLE["ann_ndcg_eval"] = _ndcg_oracle_sql()
+QUERIES["ann_ndcg_eval"] = ann_ndcg_eval
