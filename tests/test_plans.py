@@ -486,6 +486,8 @@ INTENTIONAL_BNLJ = {
     "matryoshka_truncation_error",  # 5 broadcast query vectors x corpus scan
     "rrf_fusion_topk",             # 5 broadcast query vectors x corpus scan
     "dot_vs_cosine_rank_overlap",  # 5 broadcast query vectors x corpus scan
+    "ann_ndcg_eval",        # composes knn_brute_force/knn_ivf broadcast scans
+    "basket_brand_pairs",   # 1-row distinct-order total crossJoined for support
 }
 
 

@@ -1530,3 +1530,276 @@ def test_churn_hazard_matches_brute_force(spark, rows, tmp_path_factory):
         for t in churned
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),          # priority bucket
+            st.integers(0, 400),        # day offset
+            st.integers(100, 9_999_99), # price in cents
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_ols_trend_matches_integer_reference(spark, rows, tmp_path_factory):
+    """The decimal-moment OLS must equal a pure-Python integer-exact
+    least squares (same milliunit scaling, same first-day shift)."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.facts import (
+        ols_order_price_trend,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, i, "O", cents / 100.0, base + datetime.timedelta(days=d),
+         f"P{p}")
+        for i, (p, d, cents) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("ols_prop")
+    spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["slope_per_day"], r["r2"])
+        for r in ols_order_price_trend(spark, str(out)).collect()
+    }
+
+    for p in {f"P{p}" for p, d, c in rows}:
+        pts = [(d, c * 10) for pp, d, c in rows if f"P{pp}" == p]
+        d0 = min(d for d, y in pts)
+        n = len(pts)
+        sx = sum(d - d0 for d, y in pts)
+        sy = sum(y for d, y in pts)
+        sxx = sum((d - d0) ** 2 for d, y in pts)
+        sxy = sum((d - d0) * y for d, y in pts)
+        syy = sum(y * y for d, y in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        assert got[p][0] == n
+        if den == 0:
+            assert got[p][1] is None
+        else:
+            want_slope = float(num) / float(den) / 1000.0
+            assert got[p][1] == pytest.approx(want_slope, abs=2e-6)
+            if deny != 0:
+                want_r2 = (float(num) * float(num)) / (
+                    float(den) * float(deny)
+                )
+                assert got[p][2] == pytest.approx(want_r2, abs=2e-6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-500, 500)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_mad_outliers_match_sorted_pick(spark, rows, tmp_path_factory):
+    """Median/MAD element picks and the cross-multiplied outlier count
+    must match a direct sorted-list computation."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        mad_robust_outliers,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 9)
+    data = [
+        (i, base, i, f"t{t}", v / 10.0, None)
+        for i, (t, v) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("mad_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_events"], r["median_value"], r["mad"],
+                          r["n_outliers"])
+        for r in mad_robust_outliers(spark, str(out)).collect()
+    }
+
+    for t in {f"t{t}" for t, v in rows}:
+        vals = sorted(
+            (v / 10.0, i) for i, (tt, v) in enumerate(rows) if f"t{tt}" == t
+        )
+        n = len(vals)
+        med = vals[(50 * n + 99) // 100 - 1][0]
+        devs = sorted((abs(v - med), i) for v, i in vals)
+        mad = devs[(50 * n + 99) // 100 - 1][0]
+        n_out = sum(1 for d, i in devs if d * 6745.0 > mad * 35000.0)
+        assert got[t] == (
+            n,
+            pytest.approx(med, abs=1e-9),
+            pytest.approx(mad, abs=1e-9),
+            n_out,
+        )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 4), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_transition_matrix_matches_brute_force(spark, rows, tmp_path_factory):
+    """(src, dst) transition counts must equal a per-user time-ordered
+    bigram count with (ts, event_id) tie-break."""
+    import datetime
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        event_transition_matrix,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(minutes=m), u, f"e{t}", 1.0, None)
+        for i, (u, t, m) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("trans_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        (r["src"], r["dst"]): r["n_trans"]
+        for r in event_transition_matrix(spark, str(out)).collect()
+    }
+
+    want = Counter()
+    by_user = {}
+    for i, (u, t, m) in enumerate(rows):
+        by_user.setdefault(u, []).append((m, i, f"e{t}"))
+    for seq in by_user.values():
+        seq.sort()
+        for (m1, i1, a), (m2, i2, b) in zip(seq, seq[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 35)),  # (user, day)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cohort_retention_matches_brute_force(spark, rows, tmp_path_factory):
+    """Cohort sizes, active counts, and offsets must match a direct
+    per-user first-week computation on integer epoch-week buckets."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        cohort_retention_matrix,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12)
+    epoch0 = (base.date() - datetime.date(1970, 1, 1)).days
+    data = [
+        (i, base + datetime.timedelta(days=d), u, "click", 1.0, None)
+        for i, (u, d) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("cohort_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        ((r["cohort_week"] - datetime.date(1970, 1, 1)).days // 7,
+         r["week_offset"]): (r["cohort_users"], r["n_active"])
+        for r in cohort_retention_matrix(spark, str(out)).collect()
+    }
+
+    user_weeks = {}
+    for u, d in rows:
+        user_weeks.setdefault(u, set()).add((epoch0 + d) // 7)
+    cohort_of = {u: min(ws) for u, ws in user_weeks.items()}
+    sizes = {}
+    for u, cw in cohort_of.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    want = {}
+    for u, ws in user_weeks.items():
+        cw = cohort_of[u]
+        for w in ws:
+            key = (cw, w - cw)
+            want.setdefault(key, set()).add(u)
+    want = {k: (sizes[k[0]], len(us)) for k, us in want.items()}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 9), st.integers(1, 40)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_shewhart_breaches_match_brute_force(spark, rows, tmp_path_factory):
+    """3-sigma breach counts must match a direct integer computation
+    (n*c - S1)^2 > 9*(n*S2 - S1^2) over the daily-count series."""
+    import datetime
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        shewhart_control_limits,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 6)
+    data = []
+    eid = 0
+    for t, d, c in rows:
+        for _ in range(c):
+            data.append(
+                (eid, base + datetime.timedelta(days=d), eid, f"t{t}", 1.0,
+                 None)
+            )
+            eid += 1
+    out = tmp_path_factory.mktemp("shew_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_days"], r["n_out_hi"], r["n_out_lo"])
+        for r in shewhart_control_limits(spark, str(out)).collect()
+    }
+
+    daily = Counter()
+    for t, d, c in rows:
+        daily[(f"t{t}", d)] += c
+    for t in {f"t{t}" for t, d, c in rows}:
+        cs = [c for (tt, d), c in daily.items() if tt == t]
+        n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+        hi = sum(
+            1
+            for c in cs
+            if (n * c - s1) ** 2 > 9 * (n * s2 - s1 * s1) and n * c - s1 > 0
+        )
+        lo = sum(
+            1
+            for c in cs
+            if (n * c - s1) ** 2 > 9 * (n * s2 - s1 * s1) and n * c - s1 < 0
+        )
+        assert got[t] == (n, hi, lo)
