@@ -1830,19 +1830,26 @@ def shewhart_control_limits(spark: SparkSession, sf: str) -> DataFrame:
     ≤1e5 days and ≤1e9 events/day/type); mean and sigma go double
     only in the final report columns.
 
-    100 TB shape: raw events reduce to #types x #days in one agg;
-    the moment sums and the breach flags run over that bounded
-    aggregate with a 5-row broadcast join."""
+    100 TB shape: raw events reduce to #types x #days in ONE agg
+    (single scan); the moment sums ride a window over that bounded
+    aggregate — partitioned by event_type, so no join and no second
+    pass over the reduction."""
     ev = table(spark, sf, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("decimal(12,0)").alias("c"))
-    m = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("decimal(6,0)").alias("n"),
-        F.sum("c").cast("decimal(15,0)").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).cast("decimal(24,0)").alias("s2"),
+    w = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    j = daily.join(F.broadcast(m), "event_type")
+    j = daily.select(
+        "event_type",
+        "c",
+        F.count(F.lit(1)).over(w).cast("decimal(6,0)").alias("n"),
+        F.sum("c").over(w).cast("decimal(15,0)").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("decimal(24,0)").alias(
+            "s2"
+        ),
+    )
     dev = (F.col("n") * F.col("c") - F.col("s1")).cast("decimal(15,0)")
     lhs = dev * dev
     rhs = F.lit(9).cast("decimal(1,0)") * (

@@ -1388,12 +1388,20 @@ def lineitem_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
         "discount": "l_discount",
         "tax": "l_tax",
     }
-    scaled = li.select(
+    # null-filter the RAW columns with an explicit IsNotNull conjunction
+    # so the predicates reach the parquet scan as PushedFilters —
+    # na.drop compiles to AtLeastNNonNulls, which the parquet source
+    # cannot translate, and filtering the casted aliases would strand
+    # the predicates behind the projection entirely
+    notnull = F.lit(True)
+    for c in cols.values():
+        notnull = notnull & F.col(c).isNotNull()
+    scaled = li.filter(notnull).select(
         *[
             F.round(F.col(c) * 100).cast("decimal(10,0)").alias(k)
             for k, c in cols.items()
         ]
-    ).na.drop()
+    )
     names = list(cols)
     aggs = [F.count(F.lit(1)).cast("decimal(10,0)").alias("n")]
     for k in names:

@@ -1608,3 +1608,103 @@ def test_register_catalog_tables_feeds_cbo(spark):
                 conf.set(k, old[k])
         spark.sql("DROP TABLE IF EXISTS cat_orders")
         spark.sql("DROP TABLE IF EXISTS cat_lineitem")
+
+
+def test_corr_matrix_single_scan_single_agg(spark):
+    """The 6-pair Pearson matrix must stay ONE parquet scan + ONE
+    partial+final aggregate: at 100 TB the 15 moment sums travel as a
+    single 29-value partial row per map task, and the only exchange is
+    the 1-row final-agg gather.  A second scan or a join would mean
+    the matrix recomputes per pair."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.QUERIES["lineitem_corr_matrix"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan[:400]
+    assert "Join" not in plan
+    assert has_pushed_filter(df, "l_quantity")
+    assert read_schema_columns(df) == [
+        {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    ]
+
+
+def test_ols_trend_broadcasts_group_minima(spark):
+    """The per-priority first-day table (≤5 rows) must arrive at the
+    raw-orders join as a broadcast — a shuffle join keyed on 5
+    priorities would funnel 100 TB of orders through 5 reducers."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.QUERIES["ols_order_price_trend"](spark, SF)
+    assert has_broadcast_join(df)
+    plan = executed_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_moment_and_shewhart_reduce_before_judging(spark):
+    """Both SPC entries must do all per-row work inside ONE scan +
+    hash-agg pipeline: moment sums reduce lineitem map-side; Shewhart
+    reduces events to #types x #days before any limit math (the
+    moment sums ride a window over that bounded aggregate — one scan,
+    no join, no second pass)."""
+    from pinterest_data_pipeline6_spark.operators import dataquality
+
+    plan_m = executed_plan(
+        dataquality.QUERIES["moment_stats_family"](spark, SF)
+    )
+    assert plan_m.count("Scan parquet") == 1
+    assert "Join" not in plan_m
+
+    plan_s = executed_plan(
+        dataquality.QUERIES["shewhart_control_limits"](spark, SF)
+    )
+    assert plan_s.count("Scan parquet") == 1
+    assert "Join" not in plan_s
+    assert "hashpartitioning(event_type" in plan_s
+
+
+def test_transition_matrix_window_keys_on_user(spark):
+    """The LEAD window must partition by user_id (high cardinality —
+    no single-task global sort), and the transition rollup's
+    per-source totals must broadcast back onto the ≤#types² pair
+    aggregate."""
+    from pinterest_data_pipeline6_spark.operators import events as ev
+
+    df = ev.QUERIES["event_transition_matrix"](spark, SF)
+    plan = executed_plan(df)
+    assert "Window" in plan
+    # the window's required distribution: hashpartitioning(user_id...)
+    assert "hashpartitioning(user_id" in plan, plan[:600]
+    assert has_broadcast_join(df)
+
+
+def test_basket_pairs_reduce_then_selfjoin_on_orderkey(spark):
+    """The brand self-join must key on l_orderkey (high cardinality)
+    AFTER the distinct reduced lineitem to (order, brand) rows, and
+    part must broadcast — the pair space is bounded by brands², so
+    every heavy structure stays on the order key."""
+    from pinterest_data_pipeline6_spark.operators import facts
+
+    df = facts.QUERIES["basket_brand_pairs"](spark, SF)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert "hashpartitioning(ok" in plan or "hashpartitioning(l_orderkey" in plan, (
+        plan[:800]
+    )
+    assert has_take_ordered(df)
+
+
+def test_cohort_retention_single_user_keyed_shuffle_family(spark):
+    """Weekly activity, first-week cohort, and the join back all key
+    on user_id; the (cohort, offset) rollup runs on the already-
+    reduced user-week table.  No exchange may carry a timestamp —
+    raw events reduce to integer week buckets map-side."""
+    import re
+
+    from pinterest_data_pipeline6_spark.operators import events as ev
+
+    plan = executed_plan(
+        ev.QUERIES["cohort_retention_matrix"](spark, SF)
+    )
+    assert "hashpartitioning(user_id" in plan
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "ts#" not in m.group(0), m.group(0)[:200]
