@@ -1803,3 +1803,142 @@ def test_shewhart_breaches_match_brute_force(spark, rows, tmp_path_factory):
             if (n * c - s1) ** 2 > 9 * (n * s2 - s1 * s1) and n * c - s1 < 0
         )
         assert got[t] == (n, hi, lo)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 12), st.integers(1, 30)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_page_hinkley_matches_integer_reference(
+    spark, rows, tmp_path_factory
+):
+    """The window formulation (u_t = D*prefix_t - t*S, drift = peak
+    distance from the running trough/crest) must equal a direct
+    sequential Page-Hinkley computation in Python integers."""
+    import datetime
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        page_hinkley_drift,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 6)
+    data = []
+    eid = 0
+    for t, d, c in rows:
+        for _ in range(c):
+            data.append(
+                (eid, base + datetime.timedelta(days=d), eid, f"t{t}", 1.0,
+                 None)
+            )
+            eid += 1
+    out = tmp_path_factory.mktemp("ph_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["up_drift"],
+            (r["up_day"] - base.date()).days,
+            r["down_drift"],
+            (r["down_day"] - base.date()).days,
+        )
+        for r in page_hinkley_drift(spark, str(out)).collect()
+    }
+
+    daily = Counter()
+    for t, d, c in rows:
+        daily[(f"t{t}", d)] += c
+    for t in {f"t{t}" for t, d, c in rows}:
+        series = sorted((d, c) for (tt, d), c in daily.items() if tt == t)
+        D = len(series)
+        S = sum(c for d, c in series)
+        prefix = 0
+        run_min = run_max = 0  # u_0 bounds start at the first row below
+        us = []
+        for i, (d, c) in enumerate(series, start=1):
+            prefix += c
+            us.append((D * prefix - i * S, d))
+        up_best = (None, None)
+        dn_best = (None, None)
+        lo = hi = None
+        for i, (u, d) in enumerate(us):
+            lo = u if lo is None else min(lo, u)
+            hi = u if hi is None else max(hi, u)
+            up, dn = u - lo, hi - u
+            if up_best[0] is None or up > up_best[0]:
+                up_best = (up, d)
+            if dn_best[0] is None or dn > dn_best[0]:
+                dn_best = (dn, d)
+        assert got[t] == (
+            D,
+            pytest.approx(up_best[0] / D, abs=1e-4),
+            up_best[1],
+            pytest.approx(dn_best[0] / D, abs=1e-4),
+            dn_best[1],
+        )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 8), st.integers(1, 8)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_spearman_matches_permutation_rank_reference(
+    spark, rows, tmp_path_factory
+):
+    """Tie-broken Spearman: sum(d^2) over (length rank, diversity
+    rank) permutation ranks with doc_id tie-break must match a direct
+    Python computation on synthesized token streams."""
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        QUERIES as TQ,
+    )
+
+    # doc i: n_tok tokens of which n_dis are distinct (n_dis <= n_tok)
+    docs = []
+    for i, (lg, n_tok, n_dis) in enumerate(rows):
+        n_dis = min(n_dis, n_tok)
+        toks = [f"w{j % n_dis}" for j in range(n_tok)]
+        docs.append((i, " ".join(toks), f"l{lg}", "s", len(" ".join(toks))))
+    out = tmp_path_factory.mktemp("spear_prop")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_d2"])
+        for r in TQ["spearman_length_diversity"](spark, str(out)).collect()
+    }
+
+    for lg in {f"l{lg}" for lg, a, b in rows}:
+        pts = [
+            (i, n_tok, min(n_dis, n_tok))
+            for i, (g, n_tok, n_dis) in enumerate(rows)
+            if f"l{g}" == lg
+        ]
+        rank_x = {
+            i: r + 1
+            for r, (i, x, y) in enumerate(
+                sorted(pts, key=lambda p: (p[1], p[0]))
+            )
+        }
+        rank_y = {
+            i: r + 1
+            for r, (i, x, y) in enumerate(
+                sorted(pts, key=lambda p: (p[2], p[0]))
+            )
+        }
+        sum_d2 = sum((rank_x[i] - rank_y[i]) ** 2 for i, x, y in pts)
+        assert got[lg] == (len(pts), sum_d2)
