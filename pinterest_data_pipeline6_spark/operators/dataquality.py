@@ -1921,3 +1921,265 @@ ORACLE["shewhart_control_limits"] = """
 """
 
 QUERIES["shewhart_control_limits"] = shewhart_control_limits
+
+
+def kendall_tau_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall tau-b rank correlation per event type between daily
+    VOLUME and daily VALUE — the robust monotone-association check
+    that complements tie-broken Spearman: tau is built from pairwise
+    concordance, so a single wild day moves it by at most 1/n0, and
+    tau-b's tie terms keep it honest on plateaued series.
+
+    Determinism contract: concordant / discordant / tie counts are
+    exact integers over (count, DECIMAL-exact value-sum) pairs; the
+    tie corrections t(t-1)/2 come from integer group sizes; only the
+    final tau divides, in double, on identical exact operands.
+
+    100 TB shape: raw events reduce to #types x #days in one agg; the
+    O(days^2) pair join runs on that bounded aggregate (same argument
+    as quality_trend_theilsen — ~500 rows join ~500 rows per type,
+    K-invariant under fact replication); tie terms are two more tiny
+    aggs."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,6)")),
+            F.lit(0).cast("decimal(28,6)"),
+        ).alias("y"),
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d_a"),
+        F.col("x").alias("x_a"), F.col("y").alias("y_a"),
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d_b"),
+        F.col("x").alias("x_b"), F.col("y").alias("y_b"),
+    )
+    sgn = (
+        (F.col("x_a") < F.col("x_b")).cast("int")
+        - (F.col("x_a") > F.col("x_b")).cast("int")
+    ) * (
+        (F.col("y_a") < F.col("y_b")).cast("int")
+        - (F.col("y_a") > F.col("y_b")).cast("int")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d_a") < F.col("d_b"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum((sgn == 1).cast("bigint")).alias("n_concordant"),
+            F.sum((sgn == -1).cast("bigint")).alias("n_discordant"),
+        )
+    )
+    tx = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("bigint").alias(
+                "tie_x"
+            )
+        )
+    )
+    ty = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("bigint").alias(
+                "tie_y"
+            )
+        )
+    )
+    j = pairs.join(F.broadcast(tx), "event_type").join(
+        F.broadcast(ty), "event_type"
+    )
+    num = (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+    den = F.sqrt(
+        (F.col("n0") - F.col("tie_x")).cast("double")
+        * (F.col("n0") - F.col("tie_y")).cast("double")
+    )
+    return j.select(
+        "event_type",
+        "n0",
+        "n_concordant",
+        "n_discordant",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("tau_b"),
+    ).orderBy("event_type")
+
+
+ORACLE["kendall_tau_daily"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               COUNT(*) AS x,
+               COALESCE(SUM(CAST(value AS DECIMAL(18,6))),
+                        CAST(0 AS DECIMAL(28,6))) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN (CASE WHEN a.x < b.x THEN 1
+                                        WHEN a.x > b.x THEN -1 ELSE 0 END)
+                             * (CASE WHEN a.y < b.y THEN 1
+                                     WHEN a.y > b.y THEN -1 ELSE 0 END) = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+               CAST(SUM(CASE WHEN (CASE WHEN a.x < b.x THEN 1
+                                        WHEN a.x > b.x THEN -1 ELSE 0 END)
+                             * (CASE WHEN a.y < b.y THEN 1
+                                     WHEN a.y > b.y THEN -1 ELSE 0 END) = -1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type
+    ),
+    tx AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS tie_x
+        FROM (SELECT event_type, x, COUNT(*) AS t
+              FROM daily GROUP BY event_type, x)
+        GROUP BY event_type
+    ),
+    ty AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS tie_y
+        FROM (SELECT event_type, y, COUNT(*) AS t
+              FROM daily GROUP BY event_type, y)
+        GROUP BY event_type
+    )
+    SELECT p.event_type, p.n0, p.n_concordant, p.n_discordant,
+           ROUND(CAST(p.n_concordant - p.n_discordant AS DOUBLE)
+                 / NULLIF(SQRT(CAST(p.n0 - tx.tie_x AS DOUBLE)
+                               * CAST(p.n0 - ty.tie_y AS DOUBLE)), 0.0), 6)
+               AS tau_b
+    FROM pairs p JOIN tx USING (event_type) JOIN ty USING (event_type)
+    ORDER BY p.event_type
+"""
+
+QUERIES["kendall_tau_daily"] = kendall_tau_daily
+
+
+def runs_test_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the direction of daily volume moves
+    per event type — the classical randomness check that catches
+    oscillation (too many runs: load balancer flapping, dedup
+    double-fires) and stickiness (too few runs: ramps, outages) that
+    magnitude-based monitors miss entirely.  Zero-change days drop out
+    (standard convention).
+
+    Determinism contract: run boundaries, n_up, n_down are exact
+    integers from sign comparisons; the z-score's expectation
+    mu = 2*n_up*n_down/n + 1 and variance
+    (mu-1)*(mu-2)/(n-1) evaluate in double from those exact integers,
+    identically in both engines.
+
+    100 TB shape: raw events reduce to #types x #days in one agg;
+    both lag windows run over that bounded aggregate."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    moves = (
+        daily.select(
+            "event_type",
+            "d",
+            (F.col("c") - F.lag("c").over(w)).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+        .select(
+            "event_type", "d", (F.col("delta") > 0).cast("int").alias("s")
+        )
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d")
+    runs = moves.select(
+        "event_type",
+        "s",
+        F.when(
+            F.lag("s").over(w2).isNull()
+            | (F.lag("s").over(w2) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.sum("s").cast("bigint").alias("n_up"),
+        F.sum(F.lit(1) - F.col("s")).cast("bigint").alias("n_down"),
+        F.sum("run_start").cast("bigint").alias("n_runs"),
+    )
+    nd = F.col("n_moves").cast("double")
+    mu = (
+        F.lit(2.0) * F.col("n_up").cast("double")
+        * F.col("n_down").cast("double") / nd
+        + F.lit(1.0)
+    )
+    var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / F.nullif(
+        nd - F.lit(1.0), F.lit(0.0)
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.nullif(
+        F.sqrt(var), F.lit(0.0)
+    )
+    return agg.select(
+        "event_type",
+        "n_moves",
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(z, 6).alias("z_runs"),
+    ).orderBy("event_type")
+
+
+ORACLE["runs_test_daily"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    moves AS (
+        SELECT event_type, d,
+               CAST(c - LAG(c) OVER (PARTITION BY event_type ORDER BY d)
+                    > 0 AS INT) AS s
+        FROM (SELECT event_type, d, c FROM daily)
+        QUALIFY c - LAG(c) OVER (PARTITION BY event_type ORDER BY d)
+                IS NOT NULL
+            AND c - LAG(c) OVER (PARTITION BY event_type ORDER BY d) <> 0
+    ),
+    runs AS (
+        SELECT event_type, s,
+               CASE WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY d)
+                         IS NULL
+                     OR LAG(s) OVER (PARTITION BY event_type ORDER BY d)
+                         <> s
+                    THEN 1 ELSE 0 END AS run_start
+        FROM moves
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_moves,
+               CAST(SUM(s) AS BIGINT) AS n_up,
+               CAST(SUM(1 - s) AS BIGINT) AS n_down,
+               CAST(SUM(run_start) AS BIGINT) AS n_runs
+        FROM runs GROUP BY event_type
+    )
+    SELECT event_type, n_moves, n_up, n_down, n_runs,
+           ROUND((CAST(n_runs AS DOUBLE)
+                  - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                     / CAST(n_moves AS DOUBLE) + 1.0))
+                 / NULLIF(SQRT((2.0 * CAST(n_up AS DOUBLE)
+                                * CAST(n_down AS DOUBLE)
+                                / CAST(n_moves AS DOUBLE) + 1.0 - 1.0)
+                               * (2.0 * CAST(n_up AS DOUBLE)
+                                  * CAST(n_down AS DOUBLE)
+                                  / CAST(n_moves AS DOUBLE) + 1.0 - 2.0)
+                               / NULLIF(CAST(n_moves AS DOUBLE) - 1.0,
+                                        0.0)), 0.0), 6)
+               AS z_runs
+    FROM agg ORDER BY event_type
+"""
+
+QUERIES["runs_test_daily"] = runs_test_daily

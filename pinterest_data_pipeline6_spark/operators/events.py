@@ -2252,164 +2252,3 @@ ORACLE["churn_hazard_by_tenure"] = """
 """
 
 QUERIES["churn_hazard_by_tenure"] = churn_hazard_by_tenure
-
-
-def cohort_retention_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    """Weekly cohort retention — the product-analytics staple: users
-    grouped by the week of their first event, then the share of each
-    cohort still active 0..N weeks later.  One row per (cohort_week,
-    week_offset).
-
-    Determinism contract: weeks are engine-independent integer buckets
-    ``unix_date(day) div 7`` (no locale/week-start semantics — both
-    engines floor-divide the same epoch-day number; negative days
-    floor the same way via exact integer arithmetic on non-negative
-    epoch days in this table's domain); retention divides two exact
-    counts once, in double.
-
-    100 TB shape: the per-user first-week agg keys on user_id (high
-    cardinality, one shuffle); the join back is user_id-to-user_id on
-    the same key (co-partitioned, AQE reuses the exchange); the final
-    distinct+agg runs on (cohort_week, offset, user_id) — already
-    reduced to at most #users x #weeks rows."""
-    ev = table(spark, sf, "events").filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    )
-    wk = F.floor(F.unix_date(F.to_date("ts")) / 7).cast("bigint")
-    weekly = ev.select("user_id", wk.alias("wk")).distinct()
-    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    sizes = cohort.groupBy("cohort_wk").agg(
-        F.count(F.lit(1)).alias("cohort_users")
-    )
-    j = weekly.join(cohort, "user_id").select(
-        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
-        "user_id",
-    )
-    active = j.groupBy("cohort_wk", "week_offset").agg(
-        F.count_distinct("user_id").alias("n_active")
-    )
-    return (
-        active.join(F.broadcast(sizes), "cohort_wk")
-        .select(
-            F.date_add(
-                F.lit("1970-01-01").cast("date"),
-                (F.col("cohort_wk") * 7).cast("int"),
-            ).alias("cohort_week"),
-            "week_offset",
-            "cohort_users",
-            "n_active",
-            F.round(
-                F.col("n_active").cast("double")
-                / F.col("cohort_users").cast("double"),
-                6,
-            ).alias("retention"),
-        )
-        .orderBy("cohort_week", "week_offset")
-    )
-
-
-ORACLE["cohort_retention_matrix"] = """
-    WITH weekly AS (
-        SELECT DISTINCT user_id,
-               CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
-                    // 7 AS BIGINT) AS wk
-        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-    ),
-    cohort AS (
-        SELECT user_id, MIN(wk) AS cohort_wk FROM weekly GROUP BY user_id
-    ),
-    sizes AS (
-        SELECT cohort_wk, COUNT(*) AS cohort_users
-        FROM cohort GROUP BY cohort_wk
-    ),
-    active AS (
-        SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
-               COUNT(DISTINCT w.user_id) AS n_active
-        FROM weekly w JOIN cohort c USING (user_id)
-        GROUP BY c.cohort_wk, w.wk - c.cohort_wk
-    )
-    SELECT CAST(DATE '1970-01-01' + INTERVAL (a.cohort_wk * 7) DAY AS DATE)
-               AS cohort_week,
-           a.week_offset, s.cohort_users, a.n_active,
-           ROUND(CAST(a.n_active AS DOUBLE)
-                 / CAST(s.cohort_users AS DOUBLE), 6) AS retention
-    FROM active a JOIN sizes s USING (cohort_wk)
-    ORDER BY cohort_week, week_offset
-"""
-
-QUERIES["cohort_retention_matrix"] = cohort_retention_matrix
-
-
-def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    """First-order Markov transition matrix over event types — for
-    each user's time-ordered event stream, count (current -> next)
-    type transitions and normalize to per-source probabilities: the
-    behavioral-model primitive behind next-action prediction and
-    anomalous-flow detection.
-
-    Determinism contract: the stream orders by the unique (ts,
-    event_id) key so LEAD is unambiguous under timestamp ties; the
-    probability divides two exact counts once, in double.
-
-    100 TB shape: the LEAD window partitions by user_id — high
-    cardinality, so one hash shuffle and no giant partitions; the
-    transition rollup is a tiny #types^2 aggregate with map-side
-    combine; per-source totals ride a broadcast join of a ≤#types-row
-    table."""
-    ev = table(spark, sf, "events").filter(
-        F.col("ts").isNotNull()
-        & F.col("user_id").isNotNull()
-        & F.col("event_type").isNotNull()
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
-        ev.select(
-            "user_id",
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_trans"))
-    )
-    totals = trans.groupBy("src").agg(F.sum("n_trans").alias("n_src"))
-    return (
-        trans.join(F.broadcast(totals), "src")
-        .select(
-            "src",
-            "dst",
-            "n_trans",
-            F.round(
-                F.col("n_trans").cast("double") / F.col("n_src").cast("double"),
-                6,
-            ).alias("prob"),
-        )
-        .orderBy("src", "dst")
-    )
-
-
-ORACLE["event_transition_matrix"] = """
-    WITH seq AS (
-        SELECT user_id, event_type AS src,
-               LEAD(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS dst
-        FROM events
-        WHERE ts IS NOT NULL AND user_id IS NOT NULL
-              AND event_type IS NOT NULL
-    ),
-    trans AS (
-        SELECT src, dst, COUNT(*) AS n_trans
-        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
-    ),
-    totals AS (
-        SELECT src, CAST(SUM(n_trans) AS BIGINT) AS n_src
-        FROM trans GROUP BY src
-    )
-    SELECT t.src, t.dst, t.n_trans,
-           ROUND(CAST(t.n_trans AS DOUBLE) / CAST(x.n_src AS DOUBLE), 6)
-               AS prob
-    FROM trans t JOIN totals x USING (src)
-    ORDER BY t.src, t.dst
-"""
-
-QUERIES["event_transition_matrix"] = event_transition_matrix

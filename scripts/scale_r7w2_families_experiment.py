@@ -15,9 +15,10 @@ What each op should do as K grows:
   wall, K-invariant output.
 - `mad_robust_outliers`: two `_distributed_rank` range shuffles grow
   linearly; no per-group single-task sort to collapse.
-- `cohort_retention_matrix`: key-shifted copies mint new users, so
-  the user-keyed shuffles grow linearly; the (cohort, offset) output
-  stays bounded by the calendar.
+- `kendall_tau_daily`, `runs_test_daily`: reduce to the bounded
+  #types x #days aggregate map-side; the O(days^2) pair join and the
+  lag windows run on that aggregate — near-linear wall, K-invariant
+  output.
 - `event_transition_matrix`: the user-keyed LEAD window grows
   linearly in rows; output is bounded by #types^2.
 - `basket_brand_pairs`: the orderkey-keyed self-join grows linearly
@@ -50,7 +51,8 @@ OPS = (
     ("dataquality", "mad_robust_outliers"),
     ("dataquality", "moment_stats_family"),
     ("dataquality", "shewhart_control_limits"),
-    ("events", "cohort_retention_matrix"),
+    ("dataquality", "kendall_tau_daily"),
+    ("dataquality", "runs_test_daily"),
     ("events", "event_transition_matrix"),
     ("similarity", "ann_ndcg_eval"),
     ("privacy", "reid_risk_entropy"),

@@ -1664,9 +1664,8 @@ def test_moment_and_shewhart_reduce_before_judging(spark):
 
 def test_transition_matrix_window_keys_on_user(spark):
     """The LEAD window must partition by user_id (high cardinality —
-    no single-task global sort), and the transition rollup's
-    per-source totals must broadcast back onto the ≤#types² pair
-    aggregate."""
+    no single-task global sort); the share window runs over the
+    ≤#types² pair aggregate."""
     from pinterest_data_pipeline6_spark.operators import events as ev
 
     df = ev.QUERIES["event_transition_matrix"](spark, SF)
@@ -1674,7 +1673,6 @@ def test_transition_matrix_window_keys_on_user(spark):
     assert "Window" in plan
     # the window's required distribution: hashpartitioning(user_id...)
     assert "hashpartitioning(user_id" in plan, plan[:600]
-    assert has_broadcast_join(df)
 
 
 def test_basket_pairs_reduce_then_selfjoin_on_orderkey(spark):
@@ -1694,17 +1692,14 @@ def test_basket_pairs_reduce_then_selfjoin_on_orderkey(spark):
 
 
 def test_cohort_retention_single_user_keyed_shuffle_family(spark):
-    """Weekly activity, first-week cohort, and the join back all key
-    on user_id; the (cohort, offset) rollup runs on the already-
-    reduced user-week table.  No exchange may carry a timestamp —
-    raw events reduce to integer week buckets map-side."""
+    """Weekly activity, the first-seen cohort, and the join back all
+    key on user_id; no exchange may carry the raw event timestamp —
+    events reduce to week buckets map-side before any shuffle."""
     import re
 
     from pinterest_data_pipeline6_spark.operators import events as ev
 
-    plan = executed_plan(
-        ev.QUERIES["cohort_retention_matrix"](spark, SF)
-    )
+    plan = executed_plan(ev.QUERIES["cohort_retention"](spark, SF))
     assert "hashpartitioning(user_id" in plan
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "ts#" not in m.group(0), m.group(0)[:200]

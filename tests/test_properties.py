@@ -1678,7 +1678,7 @@ def test_transition_matrix_matches_brute_force(spark, rows, tmp_path_factory):
     ).write.mode("overwrite").parquet(str(out / "events.parquet"))
 
     got = {
-        (r["src"], r["dst"]): r["n_trans"]
+        (r["from_type"], r["to_type"]): r["n_transitions"]
         for r in event_transition_matrix(spark, str(out)).collect()
     }
 
@@ -1702,16 +1702,15 @@ def test_transition_matrix_matches_brute_force(spark, rows, tmp_path_factory):
     )
 )
 def test_cohort_retention_matches_brute_force(spark, rows, tmp_path_factory):
-    """Cohort sizes, active counts, and offsets must match a direct
-    per-user first-week computation on integer epoch-week buckets."""
+    """Cohort buckets (Monday-truncated first-seen week), offsets, and
+    distinct-user counts must match a direct per-user computation."""
     import datetime
 
     from pinterest_data_pipeline6_spark.operators.events import (
-        cohort_retention_matrix,
+        cohort_retention,
     )
 
-    base = datetime.datetime(2024, 1, 1, 12)
-    epoch0 = (base.date() - datetime.date(1970, 1, 1)).days
+    base = datetime.datetime(2024, 1, 1, 12)  # a Monday
     data = [
         (i, base + datetime.timedelta(days=d), u, "click", 1.0, None)
         for i, (u, d) in enumerate(rows)
@@ -1724,26 +1723,24 @@ def test_cohort_retention_matches_brute_force(spark, rows, tmp_path_factory):
     ).write.mode("overwrite").parquet(str(out / "events.parquet"))
 
     got = {
-        ((r["cohort_week"] - datetime.date(1970, 1, 1)).days // 7,
-         r["week_offset"]): (r["cohort_users"], r["n_active"])
-        for r in cohort_retention_matrix(spark, str(out)).collect()
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(spark, str(out)).collect()
     }
+
+    def monday(day_offset: int) -> datetime.date:
+        d = (base + datetime.timedelta(days=day_offset)).date()
+        return d - datetime.timedelta(days=d.weekday())
 
     user_weeks = {}
     for u, d in rows:
-        user_weeks.setdefault(u, set()).add((epoch0 + d) // 7)
-    cohort_of = {u: min(ws) for u, ws in user_weeks.items()}
-    sizes = {}
-    for u, cw in cohort_of.items():
-        sizes[cw] = sizes.get(cw, 0) + 1
+        user_weeks.setdefault(u, set()).add(monday(d))
     want = {}
     for u, ws in user_weeks.items():
-        cw = cohort_of[u]
+        cw = min(ws)
         for w in ws:
-            key = (cw, w - cw)
+            key = (cw.isoformat(), (w - cw).days // 7)
             want.setdefault(key, set()).add(u)
-    want = {k: (sizes[k[0]], len(us)) for k, us in want.items()}
-    assert got == want
+    assert got == {k: len(us) for k, us in want.items()}
 
 
 @settings(max_examples=6, deadline=None)
@@ -1942,3 +1939,129 @@ def test_spearman_matches_permutation_rank_reference(
         }
         sum_d2 = sum((rank_x[i] - rank_y[i]) ** 2 for i, x, y in pts)
         assert got[lg] == (len(pts), sum_d2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10), st.integers(1, 6),
+                  st.integers(-3, 3)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_kendall_tau_matches_brute_force(spark, rows, tmp_path_factory):
+    """Concordant/discordant pair counts and the tau-b tie terms must
+    match a direct O(days^2) Python computation over the daily
+    (count, value-sum) series."""
+    import datetime
+    from collections import defaultdict
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        kendall_tau_daily,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 6)
+    data = []
+    eid = 0
+    for t, d, c, v in rows:
+        for _ in range(c):
+            data.append(
+                (eid, base + datetime.timedelta(days=d), eid, f"t{t}",
+                 float(v), None)
+            )
+            eid += 1
+    out = tmp_path_factory.mktemp("kt_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n0"], r["n_concordant"], r["n_discordant"])
+        for r in kendall_tau_daily(spark, str(out)).collect()
+    }
+
+    daily = defaultdict(lambda: [0, 0])
+    for t, d, c, v in rows:
+        daily[(f"t{t}", d)][0] += c
+        daily[(f"t{t}", d)][1] += c * v
+    for t in {f"t{t}" for t, *_ in rows}:
+        series = [(x, y) for (tt, d), (x, y) in daily.items() if tt == t]
+        n = len(series)
+        if n < 2:
+            # no day pairs: the inner pair join yields no group at all
+            assert t not in got
+            continue
+        con = dis = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = 0
+                if series[i][0] != series[j][0] and series[i][1] != series[j][1]:
+                    sx = 1 if series[i][0] < series[j][0] else -1
+                    sy = 1 if series[i][1] < series[j][1] else -1
+                    s = sx * sy
+                if s == 1:
+                    con += 1
+                elif s == -1:
+                    dis += 1
+        assert got[t] == (n * (n - 1) // 2, con, dis)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 12), st.integers(1, 8)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_runs_test_matches_brute_force(spark, rows, tmp_path_factory):
+    """Run boundaries and up/down counts over the nonzero daily deltas
+    must match a direct sequential computation."""
+    import datetime
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        runs_test_daily,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 6)
+    data = []
+    eid = 0
+    for t, d, c in rows:
+        for _ in range(c):
+            data.append(
+                (eid, base + datetime.timedelta(days=d), eid, f"t{t}", 1.0,
+                 None)
+            )
+            eid += 1
+    out = tmp_path_factory.mktemp("runs_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_moves"], r["n_up"], r["n_down"], r["n_runs"])
+        for r in runs_test_daily(spark, str(out)).collect()
+    }
+
+    daily = Counter()
+    for t, d, c in rows:
+        daily[(f"t{t}", d)] += c
+    for t in {f"t{t}" for t, *_ in rows}:
+        series = sorted((d, c) for (tt, d), c in daily.items() if tt == t)
+        signs = []
+        for (d1, c1), (d2, c2) in zip(series, series[1:]):
+            if c2 != c1:
+                signs.append(1 if c2 > c1 else 0)
+        if not signs:
+            assert t not in got
+            continue
+        n_runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        assert got[t] == (
+            len(signs), sum(signs), len(signs) - sum(signs), n_runs
+        )
