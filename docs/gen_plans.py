@@ -52,6 +52,9 @@ SHOWCASE = [
     ("late_arrival_accounting", "watermark lateness: running prefix-max over arrival order distributes as range shuffle + per-partition window + broadcast prefix-max of the #partitions-row max table (ReusedExchange) — no global sort"),
     ("trending_topk_snapshot", "per-window top-k compiles to WindowGroupLimit: the rank exchange carries at most k rows per window per map partition"),
     ("label_propagation_communities", "two synchronous LPA rounds in ONE lazy DAG: edge⋈label equijoins + plurality via max(struct) aggregates — no label-column window"),
+    ("lineitem_corr_matrix", "6-pair Pearson matrix: ONE pruned scan with IsNotNull PushedFilters, ONE partial+final agg carrying all 15 decimal moment sums, the matrix exploded from the single result row"),
+    ("shewhart_control_limits", "SPC limits: events reduce to #types x #days in one agg; the moment sums ride a window over that bounded aggregate — one scan, no join"),
+    ("kendall_tau_daily", "tau-b: the O(days^2) concordance join runs on the bounded daily aggregate; tie corrections are two more tiny aggs broadcast back"),
 ]
 
 
