@@ -2065,3 +2065,222 @@ def test_runs_test_matches_brute_force(spark, rows, tmp_path_factory):
         assert got[t] == (
             len(signs), sum(signs), len(signs) - sum(signs), n_runs
         )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fano_factor_matches_integer_reference(spark, rows, tmp_path_factory):
+    """fano = (D*sum(n^2) - S^2) / (D*S) must equal the direct
+    variance/mean of the daily-count series (population variance)."""
+    import datetime
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        fano_burstiness,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 6)
+    data = []
+    eid = 0
+    for t, d, c in rows:
+        for _ in range(c):
+            data.append(
+                (eid, base + datetime.timedelta(days=d), eid, f"t{t}", 1.0,
+                 None)
+            )
+            eid += 1
+    out = tmp_path_factory.mktemp("fano_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_days"], r["fano_factor"])
+        for r in fano_burstiness(spark, str(out)).collect()
+    }
+
+    daily = Counter()
+    for t, d, c in rows:
+        daily[(f"t{t}", d)] += c
+    for t in {f"t{t}" for t, *_ in rows}:
+        cs = [c for (tt, d), c in daily.items() if tt == t]
+        D, S = len(cs), sum(cs)
+        mean = S / D
+        var = sum((c - mean) ** 2 for c in cs) / D
+        assert got[t][0] == D
+        assert got[t][1] == pytest.approx(var / mean, abs=1e-5)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_lag1_autocorr_matches_brute_force(spark, rows, tmp_path_factory):
+    """Pearson r over consecutive observed-day pairs must match a
+    direct computation on the sorted daily-count series."""
+    import datetime
+    import math
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        lag1_autocorr_daily,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 6)
+    data = []
+    eid = 0
+    for t, d, c in rows:
+        for _ in range(c):
+            data.append(
+                (eid, base + datetime.timedelta(days=d), eid, f"t{t}", 1.0,
+                 None)
+            )
+            eid += 1
+    out = tmp_path_factory.mktemp("lag1_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_pairs"], r["r1_autocorr"])
+        for r in lag1_autocorr_daily(spark, str(out)).collect()
+    }
+
+    daily = Counter()
+    for t, d, c in rows:
+        daily[(f"t{t}", d)] += c
+    for t in {f"t{t}" for t, *_ in rows}:
+        series = [c for d, c in sorted(
+            (d, c) for (tt, d), c in daily.items() if tt == t
+        )]
+        if len(series) < 2:
+            assert t not in got
+            continue
+        xs, ys = series[:-1], series[1:]
+        m = len(xs)
+        num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        vx = m * sum(x * x for x in xs) - sum(xs) ** 2
+        vy = m * sum(y * y for y in ys) - sum(ys) ** 2
+        want = None if vx * vy == 0 else num / math.sqrt(float(vx) * float(vy))
+        assert got[t][0] == m
+        if want is None:
+            assert got[t][1] is None
+        else:
+            assert got[t][1] == pytest.approx(want, abs=1e-5)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20), st.integers(1, 6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weekday_seasonality_matches_brute_force(
+    spark, rows, tmp_path_factory
+):
+    """ISO-Monday=0 weekday buckets, shares, and x7 lifts must match a
+    direct Python computation (2024-01-01 is a Monday, so day offset
+    mod 7 IS the expected weekday)."""
+    import datetime
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        weekday_seasonality,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 6)  # Monday
+    data = []
+    eid = 0
+    for t, d, c in rows:
+        for _ in range(c):
+            data.append(
+                (eid, base + datetime.timedelta(days=d), eid, f"t{t}", 1.0,
+                 None)
+            )
+            eid += 1
+    out = tmp_path_factory.mktemp("wd_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        (r["event_type"], r["weekday"]): (r["n_events"], r["share"])
+        for r in weekday_seasonality(spark, str(out)).collect()
+    }
+
+    by_wd = Counter()
+    totals = Counter()
+    for t, d, c in rows:
+        by_wd[(f"t{t}", d % 7)] += c
+        totals[f"t{t}"] += c
+    want = {
+        k: (n, pytest.approx(n / totals[k[0]], abs=1e-6))
+        for k, n in by_wd.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 5), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hhi_gini_match_brute_force(spark, rows, tmp_path_factory):
+    """HHI (sum of squared shares) and the mean-absolute-difference
+    Gini must match direct computations on per-source doc counts."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        source_concentration_hhi,
+    )
+
+    data = []
+    did = 0
+    for lg, s, c in rows:
+        for _ in range(c):
+            data.append((did, f"doc {did} text", f"l{lg}", f"s{s}", 10))
+            did += 1
+    out = tmp_path_factory.mktemp("hhi_prop")
+    spark.createDataFrame(
+        data,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        r["lang"]: (r["n_sources"], r["n_docs"], r["hhi"], r["gini"])
+        for r in source_concentration_hhi(spark, str(out)).collect()
+    }
+
+    from collections import Counter
+
+    cnt = Counter()
+    for lg, s, c in rows:
+        cnt[(f"l{lg}", f"s{s}")] += c
+    for lg in {f"l{lg}" for lg, *_ in rows}:
+        xs = [c for (g, s), c in cnt.items() if g == lg]
+        k, S = len(xs), sum(xs)
+        hhi = sum(x * x for x in xs) / S**2
+        sad = sum(abs(a - b) for a in xs for b in xs)
+        gini = sad / (2 * k * S)
+        assert got[lg] == (
+            k, S, pytest.approx(hhi, abs=1e-6), pytest.approx(gini, abs=1e-6)
+        )
