@@ -2284,3 +2284,161 @@ def test_hhi_gini_match_brute_force(spark, rows, tmp_path_factory):
         assert got[lg] == (
             k, S, pytest.approx(hhi, abs=1e-6), pytest.approx(gini, abs=1e-6)
         )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 30)),  # (lang, n_tok)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_token_lorenz_matches_sorted_pick(spark, rows, tmp_path_factory):
+    """Top-1%/top-10% token shares must match a direct sorted
+    computation with the ceil(n/100)/ceil(n/10) cutoffs and the
+    (length desc, doc_id asc) tie-break."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        token_lorenz_points,
+    )
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(n)), f"l{lg}", "s", 3 * n)
+        for i, (lg, n) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("lorenz_prop")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        r["lang"]: (r["n_docs"], r["total_tokens"], r["top1pct_share"],
+                    r["top10pct_share"])
+        for r in token_lorenz_points(spark, str(out)).collect()
+    }
+
+    for lg in {f"l{lg}" for lg, n in rows}:
+        lens = sorted(
+            ((n, i) for i, (g, n) in enumerate(rows) if f"l{g}" == lg),
+            key=lambda t: (-t[0], t[1]),
+        )
+        n_docs = len(lens)
+        total = sum(n for n, i in lens)
+        k1 = (n_docs + 99) // 100
+        k10 = (n_docs + 9) // 10
+        s1 = sum(n for n, i in lens[:k1]) / total
+        s10 = sum(n for n, i in lens[:k10]) / total
+        assert got[lg] == (
+            n_docs, total,
+            pytest.approx(s1, abs=1e-6), pytest.approx(s10, abs=1e-6),
+        )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 4), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rate_cap_matches_brute_force(spark, rows, tmp_path_factory):
+    """Violation counts, worst burst, and dropped-event mass per day
+    must match a direct per-(user, day) computation at the cap of 5."""
+    import datetime
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        RATE_CAP_PER_DAY,
+        rate_cap_violations,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 6)
+    data = []
+    eid = 0
+    for u, d, c in rows:
+        for _ in range(c):
+            data.append(
+                (eid, base + datetime.timedelta(days=d), u, "click", 1.0,
+                 None)
+            )
+            eid += 1
+    out = tmp_path_factory.mktemp("cap_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        (r["d"] - base.date()).days: (
+            r["n_user_days"], r["n_violations"], r["max_burst"],
+            r["n_excess_events"],
+        )
+        for r in rate_cap_violations(spark, str(out)).collect()
+    }
+
+    per = Counter()
+    for u, d, c in rows:
+        per[(u, d)] += c
+    want = {}
+    for d in {d for u, d, c in rows}:
+        ns = [n for (u, dd), n in per.items() if dd == d]
+        want[d] = (
+            len(ns),
+            sum(1 for n in ns if n > RATE_CAP_PER_DAY),
+            max(ns),
+            sum(n - RATE_CAP_PER_DAY for n in ns if n > RATE_CAP_PER_DAY),
+        )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3), st.integers(0, 2),
+                  st.integers(0, 500)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_first_touch_dedup_matches_brute_force(spark, rows, tmp_path_factory):
+    """Kept counts per type must match a direct first-per-(user, day)
+    selection with the (ts, event_id) tie-break — including events of
+    DIFFERENT types competing for the same (user, day) slot."""
+    import datetime
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        daily_first_touch_dedup,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(days=d, seconds=s), u, f"e{t}", 1.0,
+         None)
+        for i, (u, d, t, s) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("ft_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_events"], r["n_kept"])
+        for r in daily_first_touch_dedup(spark, str(out)).collect()
+    }
+
+    first = {}
+    for i, (u, d, t, s) in enumerate(rows):
+        key = (u, d)
+        cand = (s, i, f"e{t}")
+        if key not in first or cand < first[key]:
+            first[key] = cand
+    kept = Counter(t for s, i, t in first.values())
+    n_all = Counter(f"e{t}" for u, d, t, s in rows)
+    want = {t: (n_all[t], kept.get(t, 0)) for t in n_all}
+    assert got == want
