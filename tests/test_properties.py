@@ -2442,3 +2442,63 @@ def test_first_touch_dedup_matches_brute_force(spark, rows, tmp_path_factory):
     n_all = Counter(f"e{t}" for u, d, t, s in rows)
     want = {t: (n_all[t], kept.get(t, 0)) for t in n_all}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    cents=st.lists(
+        st.one_of(
+            st.integers(-10_000_000, 10_000_000),
+            # exact-binary fractions whose x1000 lands exactly on .5 —
+            # the adversarial tie case for the rounding contract
+            st.integers(-1000, 1000).map(lambda k: k * 62.5),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_integer_scaling_round_contract_matches_duckdb(spark, cents):
+    """The moment entries scale doubles to integers via ROUND(v * S)
+    in BOTH engines and rely on the products and the half-away-from-
+    zero tie rule being identical.  Pin it: Spark's
+    round(v*1000)::bigint must equal DuckDB's CAST(ROUND(v*1000) AS
+    BIGINT) for every value, including exact .5 ties (62.5 multiples
+    land exactly on half-integers after x1000 scaling)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = [float(c) / 100.0 for c in cents]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["r"]
+        for r in df.select(
+            F.round(F.col("v") * 1000).cast("bigint").alias("r")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(ROUND(CAST(? AS DOUBLE) * 1000) AS BIGINT)", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+def test_ndcg_discount_literals_round_trip_exactly():
+    """ann_ndcg_eval embeds 1/log2(p+1) as repr() literals in the
+    DuckDB oracle; the whole determinism contract rests on repr
+    round-tripping to the identical double."""
+    from pinterest_data_pipeline6_spark.operators.similarity import (
+        _NDCG_DISC,
+    )
+
+    for d in _NDCG_DISC:
+        assert float(repr(d)) == d
+    # and the oracle string carries exactly these literals
+    from pinterest_data_pipeline6_spark.operators.similarity import ORACLE
+
+    sql = ORACLE["ann_ndcg_eval"]
+    for d in _NDCG_DISC:
+        assert repr(d) in sql
