@@ -2502,3 +2502,58 @@ def test_ndcg_discount_literals_round_trip_exactly():
     sql = ORACLE["ann_ndcg_eval"]
     for d in _NDCG_DISC:
         assert repr(d) in sql
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 4000)),  # (lang, doc_id)
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_js_divergence_matches_python_reference(spark, rows, tmp_path_factory):
+    """Hash-split counts and the smoothed JSD terms must match a
+    pure-Python computation with the same 60-bit md5 hash splits and
+    add-one smoothing."""
+    import math
+
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        SPLIT_BOUNDS,
+        js_divergence_splits,
+    )
+
+    docs = [
+        (did, f"text {did}", f"l{lg}", "s", 10) for lg, did in rows
+    ]
+    out = tmp_path_factory.mktemp("jsd_prop")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        r["lang"]: (r["n_train"], r["n_val"], r["jsd_term"])
+        for r in js_divergence_splits(spark, str(out)).collect()
+    }
+
+    langs = sorted({f"l{lg}" for lg, did in rows})
+    n_train = {lg: 0 for lg in langs}
+    n_val = {lg: 0 for lg in langs}
+    for lg, did in rows:
+        pct = _h64_py(str(did)) % 100
+        if pct < SPLIT_BOUNDS[0]:
+            n_train[f"l{lg}"] += 1
+        elif pct < SPLIT_BOUNDS[1]:
+            n_val[f"l{lg}"] += 1
+    tot_t = sum(n_train.values()) + len(langs)
+    tot_v = sum(n_val.values()) + len(langs)
+    for lg in langs:
+        p = (n_train[lg] + 1) / tot_t
+        q = (n_val[lg] + 1) / tot_v
+        m = (p + q) / 2
+        jsd = 0.5 * p * math.log2(p / m) + 0.5 * q * math.log2(q / m)
+        assert got[lg][0] == n_train[lg]
+        assert got[lg][1] == n_val[lg]
+        assert got[lg][2] == pytest.approx(jsd, abs=1e-5)
