@@ -1578,6 +1578,16 @@ def mad_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     Flags events whose modified z-score 0.6745*|x-med|/MAD exceeds 3.5
     (Iglewicz-Hoaglin convention).
 
+    MAD=0 convention: when a single value is shared by more than half
+    of a group, MAD degenerates to 0 and the modified z-score is
+    undefined.  This audit deliberately flags EVERY event with any
+    nonzero deviation in that case (6745*dev > 0 for dev > 0): a
+    majority-constant metric is exactly the regime where any departure
+    from the constant is anomalous, and the cross-multiplied predicate
+    keeps the convention identical cross-engine (no 0/0 NaN paths).
+    Pinned by a property test against a Python reference including the
+    MAD=0 corner (tests/test_properties.py::test_mad_outliers_*).
+
     Determinism contract: median and MAD are exact element picks
     (smallest rank r with 100r >= 50n, unique (value, event_id) sort
     key — never interpolated); the outlier test cross-multiplies

@@ -1561,9 +1561,19 @@ def basket_brand_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 / F.col("n_orders").cast("double"),
                 6,
             ).alias("support"),
+            # Cast each count to double BEFORE multiplying: at ~100 TB
+            # (~1.5e11 orders, 25 brands so n_a ~ n_orders) the bigint
+            # products n_both*n_orders and n_a*n_b exceed int64; double
+            # products stay exact below 2^53 and degrade gracefully above.
             F.round(
-                (F.col("n_both") * F.col("n_orders")).cast("double")
-                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                (
+                    F.col("n_both").cast("double")
+                    * F.col("n_orders").cast("double")
+                )
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
                 6,
             ).alias("lift"),
         )
@@ -1592,8 +1602,9 @@ ORACLE["basket_brand_pairs"] = """
     SELECT brand_a, brand_b, n_both,
            ROUND(CAST(n_both AS DOUBLE) / CAST(t.n_orders AS DOUBLE), 6)
                AS support,
-           ROUND(CAST(n_both * t.n_orders AS DOUBLE)
-                 / CAST(na.n_brand * nb.n_brand AS DOUBLE), 6) AS lift
+           ROUND((CAST(n_both AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+                 / (CAST(na.n_brand AS DOUBLE) * CAST(nb.n_brand AS DOUBLE)),
+                 6) AS lift
     FROM pairs
     JOIN brand_n na ON na.p_brand = brand_a
     JOIN brand_n nb ON nb.p_brand = brand_b

@@ -989,9 +989,13 @@ def reid_risk_entropy(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism contract: weekday/band derive from integer epoch-day /
     hour arithmetic (no locale); each entropy term -(k/N)*log2(k/N)
-    rounds to 12 decimals and accumulates in DECIMAL(20,12), so
+    rounds to 9 decimals and accumulates in DECIMAL(20,9), so
     per-class aggregation order cannot perturb the sum; divisions of
-    exact integer counts happen once, in double.
+    exact integer counts happen once, in double. The term rounds to 9
+    (not 12) decimals because p is data-dependent, so log2 cannot be a
+    driver-side literal: a 1-ulp JVM-vs-DuckDB libm divergence sits at
+    ~1e-16 relative, and the 3-decimal margin between the 9-decimal
+    term rounding and the 6-decimal output rounding absorbs it.
 
     100 TB shape: one hash agg on the QI key (bounded: #types x 7 x
     4 classes), then a per-type rollup of that bounded aggregate —
@@ -1014,7 +1018,7 @@ def reid_risk_entropy(spark: SparkSession, sf: str) -> DataFrame:
     )
     j = classes.join(F.broadcast(totals), "event_type")
     p = F.col("k").cast("double") / F.col("n_events_raw").cast("double")
-    term = F.round(-(p * F.log2(p)), 12).cast("decimal(20,12)")
+    term = F.round(-(p * F.log2(p)), 9).cast("decimal(20,9)")
     return (
         j.groupBy("event_type")
         .agg(
@@ -1070,8 +1074,8 @@ ORACLE["reid_risk_entropy"] = """
            ROUND(CAST(SUM(CAST(ROUND(
                     -(CAST(c.k AS DOUBLE) / CAST(t.n_events_raw AS DOUBLE))
                     * LOG2(CAST(c.k AS DOUBLE)
-                           / CAST(t.n_events_raw AS DOUBLE)), 12)
-                 AS DECIMAL(20,12))) AS DOUBLE), 6) AS qi_entropy_bits
+                           / CAST(t.n_events_raw AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE), 6) AS qi_entropy_bits
     FROM classes c JOIN totals t USING (event_type)
     GROUP BY c.event_type ORDER BY c.event_type
 """

@@ -30,9 +30,17 @@ def run_batch(
     deterministic: bool = True,
     persist_tables: bool = True,
     quality_report: dict | None = None,
+    analyze_stats: bool = True,
 ) -> dict[str, DataFrame]:
-    """Read → clean → persist → query. Returns the 9 workload results
-    (q1..q8 + q3b over the persisted followers_table).
+    """Read → clean → persist → ANALYZE → query. Returns the 9 workload
+    results (q1..q8 + q3b over the persisted followers_table).
+
+    ``analyze_stats`` (default on) ships ``ANALYZE TABLE ... FOR
+    COLUMNS`` with each persisted table so the cost-based optimizer
+    has real row counts and column NDVs when planning the workload
+    joins — docs/SCALE.md §"Stats-driven planning (CBO)" shows the
+    broadcast-vs-sort-merge flip this enables. Opt out for throwaway
+    runs where the extra stats scan isn't worth it.
 
     Pass ``quality_report={}`` to collect per-table ``observe()``
     metrics (row counts + key-null counts) during the persist actions —
@@ -46,6 +54,7 @@ def run_batch(
         clean_user,
     )
     from pinterest_data_pipeline6_spark.functions.quality import observe_quality
+    from pinterest_data_pipeline6_spark.sources.readers import analyze_table
 
     reader = read_raw_parquet if fmt == "parquet" else read_raw_json
     pin = clean_pin(reader(spark, "pin", pin_path), deterministic=deterministic)
@@ -64,6 +73,9 @@ def run_batch(
         save_table(pin, "pin_table")
         save_table(geo, "geo_table")
         save_table(user, "user_table")
+        if analyze_stats:
+            for tbl in ("pin_table", "geo_table", "user_table"):
+                analyze_table(spark, tbl)
         pin = spark.table("pin_table")
         geo = spark.table("geo_table")
         user = spark.table("user_table")
@@ -80,6 +92,8 @@ def run_batch(
     followers = A.q3a_most_followers_per_country(pin, geo)
     if persist_tables:
         save_table(followers, "followers_table")  # BATCH:174
+        if analyze_stats:
+            analyze_table(spark, "followers_table")
         followers = spark.table("followers_table")
     else:
         followers.createOrReplaceTempView("followers_table")

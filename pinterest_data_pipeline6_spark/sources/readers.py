@@ -235,19 +235,29 @@ def register_catalog_tables(
             f"CREATE TABLE {tbl} USING parquet LOCATION '{path}'"
         )
         if analyze:
-            suffix = ""
-            if column_stats:
-                # ANALYZE ... FOR COLUMNS rejects complex types (e.g.
-                # embeddings' array<float>): collect per-column stats
-                # for the atomic columns only, table-level otherwise
-                atomic = [
-                    f.name
-                    for f in spark.table(tbl).schema.fields
-                    if f.dataType.typeName()
-                    not in ("array", "map", "struct", "binary")
-                ]
-                if atomic:
-                    suffix = " FOR COLUMNS " + ", ".join(atomic)
-            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS{suffix}")
+            analyze_table(spark, tbl, column_stats=column_stats)
         registered.append(tbl)
     return registered
+
+
+def analyze_table(
+    spark: SparkSession, tbl: str, column_stats: bool = True
+) -> None:
+    """Run ``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]``
+    on a catalog table — the CBO-feeding step shared by
+    ``register_catalog_tables`` (external testdata tables) and
+    ``pipeline.run_batch`` (the engine's own persisted tables)."""
+    suffix = ""
+    if column_stats:
+        # ANALYZE ... FOR COLUMNS rejects complex types (e.g.
+        # embeddings' array<float>): collect per-column stats
+        # for the atomic columns only, table-level otherwise
+        atomic = [
+            f.name
+            for f in spark.table(tbl).schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "binary")
+        ]
+        if atomic:
+            suffix = " FOR COLUMNS " + ", ".join(atomic)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS{suffix}")

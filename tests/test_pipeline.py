@@ -34,6 +34,22 @@ def test_tables_persisted(spark, results):
     assert {"pin_table", "geo_table", "user_table", "followers_table"} <= tables
 
 
+def test_run_batch_ships_analyze_stats(spark, results):
+    """run_batch (default analyze_stats=True) must leave CBO statistics
+    in the catalog for every persisted table: row-count table stats plus
+    per-column stats on at least one join key — the ingest-path ANALYZE
+    that docs/SCALE.md's CBO section prescribes."""
+    for tbl in ("pin_table", "geo_table", "user_table", "followers_table"):
+        rows = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        stats = {r["col_name"]: r["data_type"] for r in rows}
+        assert "Statistics" in stats, tbl
+        assert "rows" in stats["Statistics"], (tbl, stats["Statistics"])
+    # column-level stats (NDV) present on the pin join key
+    col = spark.sql("DESCRIBE EXTENDED pin_table ind").collect()
+    kv = {r["info_name"]: r["info_value"] for r in col}
+    assert kv.get("distinct_count") not in (None, "NULL"), kv
+
+
 def test_workload_runs(results):
     assert set(results) == {"q1", "q2", "q3a", "q3b", "q4", "q5", "q6", "q7", "q8"}
     for name, df in results.items():

@@ -1647,6 +1647,38 @@ def test_mad_outliers_match_sorted_pick(spark, rows, tmp_path_factory):
         )
 
 
+def test_mad_outliers_mad_zero_convention(spark, tmp_path_factory):
+    """MAD=0 corner (a value shared by >50% of the group): the modified
+    z-score is undefined, and the documented convention is that EVERY
+    event with nonzero deviation is flagged (6745*dev > 0).  Pins the
+    degenerate behavior the docstring declares."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.dataquality import (
+        mad_robust_outliers,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 9)
+    # 7 of 10 events share value 5.0 -> med=5.0, MAD=0; the 3 deviants
+    # (including a tiny 5.000001 deviation) must ALL be flagged.
+    vals = [5.0] * 7 + [5.000001, 4.0, 100.0]
+    data = [
+        (i, base, i, "tz", v, None) for i, v in enumerate(vals)
+    ]
+    out = tmp_path_factory.mktemp("mad_zero")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    [r] = mad_robust_outliers(spark, str(out)).collect()
+    assert r["median_value"] == 5.0
+    assert r["mad"] == 0.0
+    assert r["n_events"] == 10
+    assert r["n_outliers"] == 3
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     rows=st.lists(
