@@ -27,6 +27,24 @@ sys.path.insert(0, ROOT)
 SF = "/root/testdata/sf0.01"
 OUT = os.path.join(ROOT, "tests", "data", "registry_steady_sf001.json")
 
+# Budget classes (tests/test_bench_contract.py). Every entry gets a
+# wall-clock budget from the steady table this script writes; the
+# entries below ADDITIONALLY carry a unit-cost pin, because for them a
+# wall budget alone would hide the structural regression that matters:
+#   output-bound   — wall grows with the (proven-legitimate) answer
+#                    size; pin = us per OUTPUT pair
+#                    (test_jaccard_unit_cost_per_output_pair)
+#   state-bounded-recurrence — a 3-round unrolled accept/suppress
+#                    recurrence whose band state is K-invariant; a lost
+#                    localCheckpoint compounds lineage and multiplies
+#                    the per-document cost; pin = us per INPUT doc
+#                    (test_ledger_twin_unit_cost_per_doc)
+BUDGET_CLASSES = {
+    "jaccard_prefix_filter_pairs": "output-bound",
+    "neardup_suppression_ledger": "state-bounded-recurrence",
+    "curation_funnel_batch_ledger": "state-bounded-recurrence",
+}
+
 
 def measure_pass(spark, qs) -> dict[str, float]:
     best: dict[str, float] = {}

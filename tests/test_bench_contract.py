@@ -486,3 +486,73 @@ def test_jaccard_unit_cost_per_output_pair(spark):
         f"{n_pairs} pairs, best {best:.3f}s) — heavy-by-answer-size is "
         "fine, heavy-by-plan-regression is not"
     )
+
+
+# --- round 8: state-bounded recurrence class — the two ledger twins ----------
+#
+# neardup_suppression_ledger and curation_funnel_batch_ledger are
+# wall-time outliers for a STRUCTURAL reason: they replay a 3-micro-
+# batch accept/suppress recurrence in one lazy plan, with
+# localCheckpoint lineage cuts standing in for the streaming sink's
+# per-batch materialization. x10 replication shows 1.3x wall because
+# the band state stays K-invariant (docs/SCALE.md) — so a generous
+# wall budget would hide the one regression that matters: a LOST
+# localCheckpoint makes lineage compound across rounds and multiplies
+# the per-document cost, while the document count is unchanged. The
+# invariant is therefore the UNIT cost per processed document.
+# Steadies from the committed r7 driver bench at sf0.1 (5000 docs):
+# neardup 2.40 s -> 480 us/doc; funnel 2.61 s -> 522 us/doc.
+
+LEDGER_UNIT_STEADY_US = {
+    "neardup_suppression_ledger": 480.0,
+    "curation_funnel_batch_ledger": 522.0,
+}
+
+
+@pytest.mark.sweep
+def test_ledger_twin_unit_cost_per_doc(spark):
+    """us-per-processed-document budget for the two state-bounded
+    recurrence entries at sf0.1: unit cost (best-of-3 wall / input doc
+    count) must stay within 2x its committed steady after host-speed
+    normalization — same calibration protocol as the jaccard pin. A
+    bigger corpus scales the denominator too; a compounding-lineage
+    plan regression only scales the numerator and fails loudly."""
+    import statistics
+    import time
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf001, sf01 = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    ratios = []
+    for name in JACCARD_CAL_QUERIES:
+        qs[name](spark, sf001).count()
+        b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf001).count()
+            b = min(b, time.perf_counter() - t0)
+        ratios.append(b / HEADLINE_STEADY_SF001[name])
+    speed = max(1.0, statistics.median(ratios))
+
+    n_docs = spark.read.parquet(f"{sf01}/documents.parquet").count()
+    assert n_docs > 0
+    for name, steady_us in LEDGER_UNIT_STEADY_US.items():
+        q = qs[name]
+        q(spark, sf01).count()  # warm rep
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q(spark, sf01).count()
+            best = min(best, time.perf_counter() - t0)
+        unit_us = best / n_docs * 1e6
+        assert unit_us <= 2.0 * steady_us * speed, (
+            f"{name} unit cost {unit_us:.1f} us/doc over budget "
+            f"{2.0 * steady_us * speed:.1f} (steady {steady_us}, host "
+            f"speed {speed:.2f}x, {n_docs} docs, best {best:.3f}s) — "
+            "state-bounded recurrence became lineage-compounding"
+        )

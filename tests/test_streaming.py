@@ -689,3 +689,225 @@ def test_neardup_ledger_twin_matches_real_sink(spark, tmp_path):
         .collect()
     }
     assert sink_accepted == twin_accepted
+
+
+def test_neardup_sink_restart_from_checkpoint_matches_uninterrupted(
+    spark, tmp_path
+):
+    """Crash-recovery for the near-dup accounting sink: process batch 0,
+    then simulate a crash MID-BATCH-1 — after the accepted-rows append
+    but BEFORE the band-state append (the exact window the sink's
+    per-sink anti-join docstring claims to cover) — and restart from the
+    SAME checkpoint. The replayed batch must not duplicate accepted
+    rows, must complete the missing band state, and the final
+    accepted + band tables must equal an uninterrupted run's."""
+    import json
+
+    from pinterest_data_pipeline6_spark.streaming.jobs import (
+        write_foreach_batch_neardup,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").collect()
+    b1 = [r for r in docs if r.doc_id % 2 == 0]
+    b2 = [r for r in docs if r.doc_id % 2 == 1]
+
+    def write_file(d, name, rows):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    def run(src, sink, bands, ck):
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        write_foreach_batch_neardup(
+            stream, str(sink), str(ck), str(bands)
+        ).awaitTermination()
+
+    # uninterrupted control: two sequential single-file runs, one ck
+    ctl = tmp_path / "ctl"
+    ctl.mkdir()
+    write_file(ctl, "b1.json", b1)
+    run(ctl, tmp_path / "ctl_acc", tmp_path / "ctl_bands", tmp_path / "ctl_ck")
+    write_file(ctl, "b2.json", b2)
+    run(ctl, tmp_path / "ctl_acc", tmp_path / "ctl_bands", tmp_path / "ctl_ck")
+    ctl_acc = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "ctl_acc")).collect()
+    }
+    ctl_bands = sorted(
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in spark.read.parquet(str(tmp_path / "ctl_bands")).collect()
+    )
+
+    # crash run: batch 0 commits; batch 1 "crashes" between the appends
+    cr = tmp_path / "cr"
+    cr.mkdir()
+    write_file(cr, "b1.json", b1)
+    run(cr, tmp_path / "cr_acc", tmp_path / "cr_bands", tmp_path / "cr_ck")
+    write_file(cr, "b2.json", b2)
+    # the rows batch 1 WOULD accept (known from the control run): append
+    # them to the accepted sink only — band append never happened, and
+    # the checkpoint never committed batch 1
+    b2_ids = {r.doc_id for r in b2}
+    b2_accepted = [r for r in b2 if r.doc_id in ctl_acc and r.doc_id in b2_ids]
+    spark.createDataFrame(
+        [(r.doc_id, r.text) for r in b2_accepted], "doc_id long, text string"
+    ).write.mode("append").parquet(str(tmp_path / "cr_acc"))
+    # restart from the same checkpoint: batch 1 replays
+    run(cr, tmp_path / "cr_acc", tmp_path / "cr_bands", tmp_path / "cr_ck")
+
+    cr_acc_rows = spark.read.parquet(str(tmp_path / "cr_acc")).collect()
+    assert len(cr_acc_rows) == len({r.doc_id for r in cr_acc_rows}), (
+        "crash replay duplicated accepted rows"
+    )
+    assert {r.doc_id for r in cr_acc_rows} == ctl_acc
+    cr_bands = sorted(
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in spark.read.parquet(str(tmp_path / "cr_bands")).collect()
+    )
+    assert cr_bands == ctl_bands, "band state short/duplicated after crash"
+
+
+def test_dq_gate_restart_from_checkpoint_matches_uninterrupted(
+    spark, tmp_path
+):
+    """Crash-recovery for the DQ-gate ledger: stop after batch 0,
+    restart from the SAME checkpoint with more input — the restarted
+    query must process only the new file (no reprocessing, no
+    double-appended ledger rows), and accepted/quarantine/metrics must
+    equal an uninterrupted run over the full input."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline6_spark.streaming.jobs import (
+        write_foreach_batch_dq_gate,
+    )
+
+    rows1 = [
+        {"doc_id": 1, "text": "ok row", "score": 0.5},
+        {"doc_id": 2, "text": "", "score": 0.7},
+    ]
+    rows2 = [
+        {"doc_id": 3, "text": "fine", "score": 0.1},
+        {"doc_id": 4, "text": "bad", "score": 9.0},
+    ]
+    rules = {
+        "nonempty": F.length("text") > 0,
+        "score_range": (F.col("score") >= 0) & (F.col("score") <= 1),
+    }
+
+    def run(src, root, ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, score double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        write_foreach_batch_dq_gate(
+            stream, f"{root}/acc", f"{root}/quar", f"{root}/metrics",
+            str(ck), rules,
+        ).awaitTermination()
+
+    def ledger(root):
+        acc = sorted(
+            r.doc_id for r in spark.read.parquet(f"{root}/acc").collect()
+        )
+        quar = sorted(
+            (r.doc_id, r.violated)
+            for r in spark.read.parquet(f"{root}/quar").collect()
+        )
+        met = sorted(
+            (r.batch_id, r.n_in, r.n_accepted, r.n_quarantined,
+             r.v_nonempty, r.v_score_range)
+            for r in spark.read.parquet(f"{root}/metrics").collect()
+        )
+        return acc, quar, met
+
+    # uninterrupted control
+    ctl = tmp_path / "ctl_src"
+    ctl.mkdir()
+    (ctl / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (ctl / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    run(ctl, str(tmp_path / "ctl"), tmp_path / "ctl_ck")
+
+    # interrupted: batch 0 only, then restart same ck with b2 present
+    cr = tmp_path / "cr_src"
+    cr.mkdir()
+    (cr / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    run(cr, str(tmp_path / "cr"), tmp_path / "cr_ck")
+    (cr / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    run(cr, str(tmp_path / "cr"), tmp_path / "cr_ck")
+
+    assert ledger(str(tmp_path / "cr")) == ledger(str(tmp_path / "ctl"))
+
+
+def test_trending_restart_from_checkpoint_matches_uninterrupted(
+    spark, tmp_path
+):
+    """Crash-recovery for the trending sink: restart from the SAME
+    checkpoint mid-stream; the merged partials and final snapshot must
+    equal an uninterrupted run (batch_id continuity from the checkpoint
+    keeps the partials partitions disjoint)."""
+    import json as _json
+
+    from pinterest_data_pipeline6_spark.streaming.jobs import (
+        write_foreach_batch_trending,
+    )
+
+    base = "2024-03-01T10:{m:02d}:00"
+    rows1 = [
+        {"event_id": i, "ts": base.format(m=i % 50), "event_type": "view"}
+        for i in range(6)
+    ] + [
+        {"event_id": 10 + i, "ts": base.format(m=i % 50), "event_type": "click"}
+        for i in range(3)
+    ]
+    rows2 = [
+        {"event_id": 20 + i, "ts": base.format(m=i % 50), "event_type": "click"}
+        for i in range(5)
+    ]
+
+    def run(src, root, ck):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        write_foreach_batch_trending(
+            stream, f"{root}/counts", f"{root}/snapshot", str(ck), k=2
+        ).awaitTermination()
+
+    def snapshot(root):
+        return sorted(
+            (r.win_start, r.event_type, r.n, r.rank)
+            for r in spark.read.parquet(f"{root}/snapshot").collect()
+        )
+
+    ctl = tmp_path / "ctl_src"
+    ctl.mkdir()
+    (ctl / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (ctl / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    run(ctl, str(tmp_path / "ctl"), tmp_path / "ctl_ck")
+
+    cr = tmp_path / "cr_src"
+    cr.mkdir()
+    (cr / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    run(cr, str(tmp_path / "cr"), tmp_path / "cr_ck")
+    (cr / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    run(cr, str(tmp_path / "cr"), tmp_path / "cr_ck")
+
+    assert snapshot(str(tmp_path / "cr")) == snapshot(str(tmp_path / "ctl"))
+    ctl_partials = sorted(
+        (r.batch_id, r.win_start, r.event_type, r.n)
+        for r in spark.read.parquet(str(tmp_path / "ctl/counts")).collect()
+    )
+    cr_partials = sorted(
+        (r.batch_id, r.win_start, r.event_type, r.n)
+        for r in spark.read.parquet(str(tmp_path / "cr/counts")).collect()
+    )
+    assert cr_partials == ctl_partials
