@@ -2655,3 +2655,502 @@ ORACLE["neardup_suppression_ledger"] = (
 )
 
 QUERIES["neardup_suppression_ledger"] = neardup_suppression_ledger
+
+
+# ---------------------------------------------------------------------------
+# Round 8: paragraph-level (CCNet-class) boilerplate REMOVAL accounting.
+#
+# span_dedup_stats / longest_dup_substring_stats MEASURE sub-document
+# duplication; this family accounts for actually REMOVING it at
+# paragraph granularity, the CCNet recipe (Wenzek et al. 2020): hash
+# paragraphs, keep the first occurrence of each duplicated paragraph
+# (cross-corpus dedup), or drop every occurrence of paragraphs repeated
+# across >= N docs of one source (boilerplate: nav bars, footers,
+# license headers). Documents here are single-space word streams, so a
+# "paragraph" is a disjoint PARA_TOKENS-word chunk (last partial chunk
+# included — a real paragraph remnant, unlike the shingle family's
+# full-width-only spans).
+#
+# Shared scale shape: explode chunk START INDEX (codegen path), hash to
+# 60 bits immediately — every shuffle from there carries (hash, small
+# ints), never paragraph text; first-occurrence/frequency passes are
+# single partial+final aggs on the hash; attribution joins are
+# hash-equi. No pairwise step anywhere.
+
+PARA_TOKENS = 12  # pseudo-paragraph width (disjoint chunks)
+PARA_BOILER_MIN_DOCS = 3  # within-source boilerplate threshold
+# composite first-occurrence key: doc_id * 2^20 + chunk_idx (chunk idx
+# is bounded by tokens/PARA_TOKENS << 2^20 at any realistic doc size)
+_PARA_KEY_SHIFT = 1 << 20
+
+
+def _paragraph_occurrences(docs: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., doc_id, i, n_chunks, p_tok, h): one row per disjoint
+    PARA_TOKENS-word chunk occurrence. p_tok = tokens in this chunk
+    (the last chunk may be partial); h = portable 60-bit text hash."""
+    toks = F.split(F.col("text"), " ")
+    cols = [c for c in keep if c != "doc_id"]
+    return (
+        docs.select(*cols, "doc_id", toks.alias("toks"), F.size(toks).alias("n_tok"))
+        .select(
+            *cols,
+            "doc_id",
+            "toks",
+            "n_tok",
+            F.floor((F.col("n_tok") - 1) / PARA_TOKENS).cast("int").alias("last_i"),
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.col("n_tok") - 1) / PARA_TOKENS))
+            ).alias("i"),
+        )
+        .select(
+            *cols,
+            "doc_id",
+            F.col("i").cast("int").alias("i"),
+            (F.col("last_i") + 1).alias("n_chunks"),
+            F.least(F.lit(PARA_TOKENS), F.col("n_tok") - F.col("i") * PARA_TOKENS).alias("p_tok"),
+            _h64_spark(
+                F.concat_ws(" ", F.slice("toks", F.col("i") * PARA_TOKENS + 1, PARA_TOKENS))
+            ).alias("h"),
+        )
+    )
+
+
+def _para_sql(keep: str) -> str:
+    """DuckDB twin of ``_paragraph_occurrences`` over ``documents``:
+    a CTE body yielding (keep..., doc_id, i, n_chunks, p_tok, h)."""
+    para = (
+        f"array_to_string(toks[CAST(i * {PARA_TOKENS} + 1 AS INT)"
+        f":CAST(i * {PARA_TOKENS} + {PARA_TOKENS} AS INT)], ' ')"
+    )
+    cols = f"{keep}, " if keep else ""
+    return f"""
+        SELECT {cols}doc_id, CAST(i AS INT) AS i,
+               CAST((n_tok - 1) // {PARA_TOKENS} + 1 AS BIGINT) AS n_chunks,
+               LEAST({PARA_TOKENS}, n_tok - i * {PARA_TOKENS}) AS p_tok,
+               {H64_SQL.format(expr=para)} AS h
+        FROM (
+            SELECT {cols}doc_id, toks, len(toks) AS n_tok,
+                   unnest(generate_series(0, (len(toks) - 1) // {PARA_TOKENS})) AS i
+            FROM (SELECT {cols}doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        )
+    """
+
+
+def ccnet_paragraph_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet cross-corpus paragraph dedup, REMOVAL accounting per
+    language: every paragraph occurrence except the first (lowest
+    (doc_id, chunk_idx) composite key) of its hash is removed. Emits
+    the removal ledger: occurrences, removed occurrences, token mass
+    removed/kept, removal rate, and how many docs were touched.
+
+    Determinism: the survivor is the exact min of an integer composite
+    key (doc_id * 2^20 + idx) — no arbitrary-row semantics; all masses
+    are exact integer sums with one final double division.
+
+    100 TB shape: ONE min-agg keyed on the 60-bit hash (shuffle carries
+    (hash, bigint)), then a hash-equi join back; AQE handles the hot
+    digests (empty/template paragraphs) like any skewed agg key."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    occ = _paragraph_occurrences(docs, "lang").withColumn(
+        "k", F.col("doc_id") * _PARA_KEY_SHIFT + F.col("i")
+    )
+    first = occ.groupBy("h").agg(F.min("k").alias("first_k"))
+    j = occ.join(first, "h").withColumn(
+        "removed", (F.col("k") != F.col("first_k")).cast("bigint")
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum("removed").alias("n_removed"),
+            F.sum("p_tok").alias("tokens_total"),
+            F.sum(F.col("p_tok") * F.col("removed")).alias("tokens_removed"),
+            F.round(
+                F.sum(F.col("p_tok") * F.col("removed")).cast("double")
+                / F.sum("p_tok").cast("double"),
+                6,
+            ).alias("removal_rate"),
+            F.count_distinct(
+                F.when(F.col("removed") == 1, F.col("doc_id"))
+            ).alias("n_docs_touched"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["ccnet_paragraph_dedup_stats"] = f"""
+    WITH occ AS (
+        SELECT lang, doc_id, i, p_tok, h,
+               doc_id * {_PARA_KEY_SHIFT} + i AS k
+        FROM ({_para_sql("lang")})
+    ),
+    first AS (SELECT h, MIN(k) AS first_k FROM occ GROUP BY h)
+    SELECT lang, COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN k != first_k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(p_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN k != first_k THEN p_tok ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           ROUND(CAST(SUM(CASE WHEN k != first_k THEN p_tok ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(p_tok) AS DOUBLE), 6)
+               AS removal_rate,
+           CAST(COUNT(DISTINCT CASE WHEN k != first_k THEN doc_id END)
+                AS BIGINT) AS n_docs_touched
+    FROM occ JOIN first USING (h)
+    GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["ccnet_paragraph_dedup_stats"] = ccnet_paragraph_dedup_stats
+
+
+def boilerplate_para_removal_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-source boilerplate paragraph removal (the CCNet/RefinedWeb
+    line-dedup rule): a paragraph repeated in >= PARA_BOILER_MIN_DOCS
+    distinct documents OF THE SAME SOURCE is boilerplate there, and ALL
+    its occurrences in that source are dropped (unlike cross-corpus
+    dedup, no first occurrence survives — a nav bar is noise every
+    time). Per source: docs, paragraph occurrences, removed
+    occurrences, token mass removed/kept, boilerplate fraction.
+
+    100 TB shape: the distinct-doc frequency pass is one partial+final
+    count-distinct agg keyed on (source, hash); the hot set joins back
+    on the same key, sized by AQE (no forced broadcast — a template
+    farm can make it large), same policy as boilerplate_ngram_stats."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    occ = _paragraph_occurrences(docs, "source")
+    hot = (
+        occ.groupBy("source", "h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= PARA_BOILER_MIN_DOCS)
+        .select("source", "h", F.lit(1).alias("boiler"))
+    )
+    j = occ.join(hot, ["source", "h"], "left").withColumn(
+        "rm", F.coalesce(F.col("boiler"), F.lit(0)).cast("bigint")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_paras"),
+            F.sum("rm").alias("n_removed"),
+            F.sum(F.col("p_tok") * F.col("rm")).alias("tokens_removed"),
+            F.sum(F.col("p_tok") * (1 - F.col("rm"))).alias("tokens_kept"),
+            F.round(
+                F.sum("rm").cast("double") / F.count("*").cast("double"), 6
+            ).alias("boiler_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["boilerplate_para_removal_by_source"] = f"""
+    WITH occ AS ({_para_sql("source")}),
+    hot AS (
+        SELECT source, h, 1 AS boiler
+        FROM (SELECT source, h, COUNT(DISTINCT doc_id) AS nd
+              FROM occ GROUP BY source, h)
+        WHERE nd >= {PARA_BOILER_MIN_DOCS}
+    )
+    SELECT occ.source AS source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN boiler IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN boiler IS NOT NULL THEN p_tok ELSE 0 END)
+                AS BIGINT) AS tokens_removed,
+           CAST(SUM(CASE WHEN boiler IS NULL THEN p_tok ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           ROUND(CAST(SUM(CASE WHEN boiler IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_frac
+    FROM occ LEFT JOIN hot ON occ.source = hot.source AND occ.h = hot.h
+    GROUP BY occ.source ORDER BY source
+"""
+
+QUERIES["boilerplate_para_removal_by_source"] = boilerplate_para_removal_by_source
+
+
+def doc_shrinkage_after_para_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document survivor-fraction histogram after CCNet paragraph
+    dedup (first occurrence keeps): how much of each document's token
+    mass survives removal, bucketed into deciles of kept fraction —
+    the distribution a curation team reads to decide whether paragraph
+    dedup is trimming templates or gutting content. Also counts docs
+    emptied entirely (every paragraph was a non-first duplicate).
+
+    Cross-engine determinism: kept_frac is ONE double division of two
+    exact integer sums, then floor(x*10) — the identical IEEE sequence
+    in both engines; bucket 10 (kept_frac == 1.0) folds into 9."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    occ = _paragraph_occurrences(docs).withColumn(
+        "k", F.col("doc_id") * _PARA_KEY_SHIFT + F.col("i")
+    )
+    first = occ.groupBy("h").agg(F.min("k").alias("first_k"))
+    per_doc = (
+        occ.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("p_tok").alias("t_tok"),
+            F.sum(F.when(F.col("k") == F.col("first_k"), F.col("p_tok")).otherwise(0)).alias("k_tok"),
+        )
+    )
+    bucket = F.least(
+        F.floor(F.col("k_tok").cast("double") / F.col("t_tok").cast("double") * 10),
+        F.lit(9),
+    ).cast("int")
+    return (
+        per_doc.select(
+            bucket.alias("kept_decile"),
+            (F.col("k_tok") == 0).cast("bigint").alias("emptied"),
+            "t_tok",
+            "k_tok",
+        )
+        .groupBy("kept_decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("emptied").alias("n_emptied"),
+            F.sum("t_tok").alias("tokens_before"),
+            F.sum("k_tok").alias("tokens_after"),
+        )
+        .orderBy("kept_decile")
+    )
+
+
+ORACLE["doc_shrinkage_after_para_dedup"] = f"""
+    WITH occ AS (
+        SELECT doc_id, i, p_tok, h, doc_id * {_PARA_KEY_SHIFT} + i AS k
+        FROM ({_para_sql("")})
+    ),
+    first AS (SELECT h, MIN(k) AS first_k FROM occ GROUP BY h),
+    per_doc AS (
+        SELECT doc_id, SUM(p_tok) AS t_tok,
+               SUM(CASE WHEN k = first_k THEN p_tok ELSE 0 END) AS k_tok
+        FROM occ JOIN first USING (h) GROUP BY doc_id
+    )
+    SELECT CAST(LEAST(FLOOR(CAST(k_tok AS DOUBLE) / CAST(t_tok AS DOUBLE)
+                            * 10), 9) AS INT) AS kept_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN k_tok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_emptied,
+           CAST(SUM(t_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(k_tok) AS BIGINT) AS tokens_after
+    FROM per_doc GROUP BY 1 ORDER BY kept_decile
+"""
+
+QUERIES["doc_shrinkage_after_para_dedup"] = doc_shrinkage_after_para_dedup
+
+
+def paragraph_df_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph document-frequency spectrum: for each df (number of
+    distinct documents containing a paragraph), how many distinct
+    paragraphs sit at that df and how much occurrence/token mass they
+    carry. The spectrum is what tunes PARA_BOILER_MIN_DOCS: the
+    boilerplate threshold should sit past the knee where organic
+    repetition ends and template mass begins (same role the tuning
+    sweep plays for MinHash band counts).
+
+    Two strictly-shrinking aggregates: occurrences -> per-hash (df,
+    occ, tokens), then per-df rollup — the dup_cluster_size_histogram
+    shape at paragraph granularity."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    occ = _paragraph_occurrences(docs)
+    per_h = occ.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count("*").alias("n_occ"),
+        F.sum("p_tok").alias("tok"),
+    )
+    return (
+        per_h.groupBy("df")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum("n_occ").alias("n_occurrences"),
+            F.sum("tok").alias("token_mass"),
+        )
+        .orderBy("df")
+    )
+
+
+ORACLE["paragraph_df_histogram"] = f"""
+    WITH occ AS ({_para_sql("")}),
+    per_h AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_occ,
+               SUM(p_tok) AS tok
+        FROM occ GROUP BY h
+    )
+    SELECT CAST(df AS BIGINT) AS df, COUNT(*) AS n_paragraphs,
+           CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+           CAST(SUM(tok) AS BIGINT) AS token_mass
+    FROM per_h GROUP BY df ORDER BY df
+"""
+
+QUERIES["paragraph_df_histogram"] = paragraph_df_histogram
+
+
+def boilerplate_position_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """WHERE boilerplate lives inside documents: per language and
+    chunk-position class (first / middle / last / only), paragraph
+    occurrences vs boilerplate occurrences (global df >=
+    PARA_BOILER_MIN_DOCS docs). Web boilerplate concentrates at
+    document edges (headers, footers, nav) — a flat profile instead
+    suggests templated BODY text, which wants substring-level dedup
+    rather than edge-trimming.
+
+    The df pass is the same single hash-keyed agg as the histogram;
+    position class is row-local arithmetic on (i, n_chunks)."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    occ = _paragraph_occurrences(docs, "lang")
+    hot = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= PARA_BOILER_MIN_DOCS)
+        .select("h", F.lit(1).alias("boiler"))
+    )
+    pos = (
+        F.when(F.col("n_chunks") == 1, "only")
+        .when(F.col("i") == 0, "first")
+        .when(F.col("i") == F.col("n_chunks") - 1, "last")
+        .otherwise("middle")
+    )
+    return (
+        occ.join(hot, "h", "left")
+        .select(
+            "lang",
+            pos.alias("pos_class"),
+            F.coalesce(F.col("boiler"), F.lit(0)).cast("bigint").alias("b"),
+        )
+        .groupBy("lang", "pos_class")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.sum("b").alias("n_boilerplate"),
+            F.round(
+                F.sum("b").cast("double") / F.count("*").cast("double"), 6
+            ).alias("boiler_rate"),
+        )
+        .orderBy("lang", "pos_class")
+    )
+
+
+ORACLE["boilerplate_position_profile"] = f"""
+    WITH occ AS ({_para_sql("lang")}),
+    hot AS (
+        SELECT h, 1 AS boiler
+        FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY h)
+        WHERE nd >= {PARA_BOILER_MIN_DOCS}
+    )
+    SELECT lang,
+           CASE WHEN n_chunks = 1 THEN 'only'
+                WHEN i = 0 THEN 'first'
+                WHEN i = n_chunks - 1 THEN 'last'
+                ELSE 'middle' END AS pos_class,
+           COUNT(*) AS n_occurrences,
+           CAST(SUM(CASE WHEN boiler IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           ROUND(CAST(SUM(CASE WHEN boiler IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_rate
+    FROM occ LEFT JOIN hot USING (h)
+    GROUP BY 1, 2 ORDER BY lang, pos_class
+"""
+
+QUERIES["boilerplate_position_profile"] = boilerplate_position_profile
+
+
+def para_canonical_source_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level survivorship attribution: for every paragraph
+    that occurs in more than one document, the CANONICAL copy is its
+    first occurrence (min composite key). Per source: how many
+    duplicated paragraphs this source canonically owns, how many of its
+    occurrences are removed in favor of a canonical copy in ANOTHER
+    source vs its own — who originates shared content and who recycles
+    it (the paragraph-granularity twin of dedup_survivorship).
+
+    Shape: the first-occurrence agg carries (hash -> key) once; the
+    owner lookup is a second hash-equi join of two already-aggregated
+    tables."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    occ = _paragraph_occurrences(docs, "source").withColumn(
+        "k", F.col("doc_id") * _PARA_KEY_SHIFT + F.col("i")
+    )
+    first = occ.groupBy("h").agg(
+        F.min("k").alias("first_k"), F.count_distinct("doc_id").alias("nd")
+    )
+    dup_first = first.filter(F.col("nd") > 1)
+    owner = (
+        occ.join(dup_first, "h")
+        .filter(F.col("k") == F.col("first_k"))
+        .select("h", F.col("source").alias("owner_source"))
+    )
+    removed = (
+        occ.join(dup_first, "h")
+        .filter(F.col("k") != F.col("first_k"))
+        .join(owner, "h")
+    )
+    owned = owner.groupBy(F.col("owner_source").alias("source")).agg(
+        F.count("*").alias("n_canonical_owned")
+    )
+    rem = removed.groupBy("source").agg(
+        F.sum((F.col("owner_source") == F.col("source")).cast("bigint")).alias(
+            "n_removed_self_canonical"
+        ),
+        F.sum((F.col("owner_source") != F.col("source")).cast("bigint")).alias(
+            "n_removed_foreign_canonical"
+        ),
+    )
+    return (
+        owned.join(rem, "source", "full")
+        .select(
+            "source",
+            F.coalesce("n_canonical_owned", F.lit(0)).alias("n_canonical_owned"),
+            F.coalesce("n_removed_self_canonical", F.lit(0)).alias(
+                "n_removed_self_canonical"
+            ),
+            F.coalesce("n_removed_foreign_canonical", F.lit(0)).alias(
+                "n_removed_foreign_canonical"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["para_canonical_source_share"] = f"""
+    WITH occ AS (
+        SELECT source, doc_id, i, h, doc_id * {_PARA_KEY_SHIFT} + i AS k
+        FROM ({_para_sql("source")})
+    ),
+    first AS (
+        SELECT h, MIN(k) AS first_k, COUNT(DISTINCT doc_id) AS nd
+        FROM occ GROUP BY h
+    ),
+    dup_first AS (SELECT * FROM first WHERE nd > 1),
+    owner AS (
+        SELECT occ.h, occ.source AS owner_source
+        FROM occ JOIN dup_first USING (h) WHERE k = first_k
+    ),
+    removed AS (
+        SELECT occ.source, owner.owner_source
+        FROM occ JOIN dup_first USING (h) JOIN owner USING (h)
+        WHERE k != first_k
+    ),
+    owned AS (
+        SELECT owner_source AS source, COUNT(*) AS n_canonical_owned
+        FROM owner GROUP BY 1
+    ),
+    rem AS (
+        SELECT source,
+               SUM(CASE WHEN owner_source = source THEN 1 ELSE 0 END)
+                   AS n_removed_self_canonical,
+               SUM(CASE WHEN owner_source != source THEN 1 ELSE 0 END)
+                   AS n_removed_foreign_canonical
+        FROM removed GROUP BY source
+    )
+    SELECT COALESCE(owned.source, rem.source) AS source,
+           CAST(COALESCE(n_canonical_owned, 0) AS BIGINT)
+               AS n_canonical_owned,
+           CAST(COALESCE(n_removed_self_canonical, 0) AS BIGINT)
+               AS n_removed_self_canonical,
+           CAST(COALESCE(n_removed_foreign_canonical, 0) AS BIGINT)
+               AS n_removed_foreign_canonical
+    FROM owned FULL OUTER JOIN rem ON owned.source = rem.source
+    ORDER BY source
+"""
+
+QUERIES["para_canonical_source_share"] = para_canonical_source_share

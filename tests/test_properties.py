@@ -2589,3 +2589,65 @@ def test_js_divergence_matches_python_reference(spark, rows, tmp_path_factory):
         assert got[lg][0] == n_train[lg]
         assert got[lg][1] == n_val[lg]
         assert got[lg][2] == pytest.approx(jsd, abs=1e-5)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 3), min_size=1, max_size=40),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ccnet_paragraph_dedup_matches_brute_force(
+    spark, docs, tmp_path_factory
+):
+    """CCNet paragraph-dedup removal ledger must match a direct Python
+    chunk-hash-first-occurrence computation (tiny alphabet forces chunk
+    collisions, partial last chunks, and single-chunk docs)."""
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        PARA_TOKENS,
+        ccnet_paragraph_dedup_stats,
+    )
+
+    rows = [
+        (i, " ".join(f"w{t}" for t in toks), f"l{i % 2}", "s0", 0)
+        for i, toks in enumerate(docs)
+    ]
+    out = tmp_path_factory.mktemp("ccnet_prop")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        r["lang"]: (r["n_paras"], r["n_removed"], r["tokens_total"],
+                    r["tokens_removed"], r["n_docs_touched"])
+        for r in ccnet_paragraph_dedup_stats(spark, str(out)).collect()
+    }
+
+    first: dict[str, tuple] = {}
+    occs = []  # (lang, doc_id, i, text, p_tok)
+    for doc_id, text, lang, _, _ in rows:
+        toks = text.split(" ")
+        n_chunks = (len(toks) - 1) // PARA_TOKENS + 1
+        for i in range(n_chunks):
+            chunk = " ".join(toks[i * PARA_TOKENS:(i + 1) * PARA_TOKENS])
+            occs.append((lang, doc_id, i, chunk, len(chunk.split(" "))))
+            if chunk not in first or (doc_id, i) < first[chunk]:
+                first[chunk] = (doc_id, i)
+    want: dict[str, list] = {}
+    touched: dict[str, set] = {}
+    for lang, doc_id, i, chunk, p_tok in occs:
+        w = want.setdefault(lang, [0, 0, 0, 0])
+        removed = first[chunk] != (doc_id, i)
+        w[0] += 1
+        w[1] += removed
+        w[2] += p_tok
+        w[3] += p_tok * removed
+        if removed:
+            touched.setdefault(lang, set()).add(doc_id)
+    for lang, w in want.items():
+        assert got[lang] == (
+            w[0], w[1], w[2], w[3], len(touched.get(lang, set()))
+        ), lang
