@@ -2628,3 +2628,290 @@ ORACLE["weighted_length_quantiles"] = f"""
     ORDER BY quantile
 """
 QUERIES["weighted_length_quantiles"] = weighted_length_quantiles
+
+
+# ---------------------------------------------------------------------------
+# Round 8: ITERATIVE BPE merge training (Sennrich et al. 2016) —
+# bpe_merge_candidates does one round of pair counting; this family
+# unrolls BPE_MERGE_ROUNDS full train rounds (count pairs -> pick the
+# argmax merge -> APPLY it to the vocabulary -> recount), the same
+# fixed-round lazy-plan shape as kmeans_embeddings / label propagation.
+#
+# Representation: each vocabulary word's symbol sequence is a
+# delimiter-framed string "|c|a|t|".  Applying merge (l, r) is then a
+# LITERAL string replace of "|l|r|" with "|lr|" run TWICE — replace
+# scans left-to-right over non-overlapping occurrences, so consecutive
+# pair sites share a frame delimiter and every second site survives
+# pass one; pass two catches exactly those (two leftover sites can
+# never share a delimiter, or pass one would have taken the first).
+# Double-replace therefore equals the tokenizer's greedy left-to-right
+# merge application exactly — in BOTH engines, with no UDF and no
+# per-symbol explode in the apply step.
+#
+# Scale shape (the classic BPE-training trick): the corpus collapses to
+# its WORD-FREQUENCY table first (one shuffle, vocabulary << corpus);
+# every subsequent round runs over the vocabulary only, weighted by
+# freq.  At 100 TB the vocab table is a few GB: 3 unrolled rounds are
+# 3 hash aggs + 3 broadcast singleton joins over it, corpus touched
+# once.
+
+BPE_MERGE_ROUNDS = 3
+
+
+def _bpe_word_vocab(docs: DataFrame) -> DataFrame:
+    """(w, freq, s): word-frequency vocabulary with the delimiter-framed
+    character-symbol string s = '|c|a|t|'."""
+    return (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.concat(
+                F.regexp_replace("w", "(.)", r"|$1"), F.lit("|")
+            ).alias("s"),
+        )
+    )
+
+
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over the framed vocab."""
+    syms = F.split("s", "\\|")
+    return (
+        vocab.select("freq", syms.alias("sy"))
+        .filter(F.size("sy") >= 4)  # at least two symbols
+        .select(
+            "freq",
+            "sy",
+            F.explode(F.sequence(F.lit(2), F.size("sy") - 2)).alias("i"),
+        )
+        .select(
+            F.element_at("sy", F.col("i").cast("int")).alias("left_sym"),
+            F.element_at("sy", F.col("i").cast("int") + 1).alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _bpe_top1(pairs: DataFrame) -> DataFrame:
+    """The round's merge: argmax pair_count, ties to the
+    lexicographically smallest (left, right) — one deterministic row."""
+    return pairs.agg(
+        F.min(
+            F.struct(
+                (-F.col("pair_count")).alias("nc"),
+                F.col("left_sym").alias("l"),
+                F.col("right_sym").alias("r"),
+            )
+        ).alias("m")
+    ).select(
+        F.col("m.l").alias("left_sym"),
+        F.col("m.r").alias("right_sym"),
+        (-F.col("m.nc")).alias("pair_count"),
+    )
+
+
+def _bpe_apply(vocab: DataFrame, top1: DataFrame) -> DataFrame:
+    """Apply the merge to every vocab word: literal double-replace of
+    '|l|r|' -> '|lr|' (see module comment for why twice is exact)."""
+    pat = F.concat(F.lit("|"), "left_sym", F.lit("|"), "right_sym", F.lit("|"))
+    rep = F.concat(F.lit("|"), "left_sym", "right_sym", F.lit("|"))
+    return vocab.crossJoin(F.broadcast(top1)).select(
+        "w", "freq", F.replace(F.replace("s", pat, rep), pat, rep).alias("s")
+    )
+
+
+def _bpe_chain(docs: DataFrame):
+    """Unrolled train chain: returns ([top1_round1.., top1_roundK],
+    [vocab_round0.., vocab_roundK])."""
+    vocab = _bpe_word_vocab(docs)
+    tops, vocabs = [], [vocab]
+    for _ in range(BPE_MERGE_ROUNDS):
+        top1 = _bpe_top1(_bpe_pair_counts(vocab))
+        vocab = _bpe_apply(vocab, top1)
+        tops.append(top1)
+        vocabs.append(vocab)
+    return tops, vocabs
+
+
+def _bpe_sql_ctes(src: str = "documents") -> str:
+    """DuckDB twin of ``_bpe_chain``: CTEs v0..vK (framed vocab after k
+    merges) and t1..tK (the round-k merge row)."""
+    ctes = [
+        f"""v0 AS (
+            SELECT w, COUNT(*) AS freq,
+                   regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS s
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {src})
+            GROUP BY w
+        )"""
+    ]
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        ctes.append(
+            f"""p{k} AS (
+            SELECT sy[i] AS left_sym, sy[i + 1] AS right_sym,
+                   CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM (
+                SELECT freq, sy,
+                       unnest(generate_series(2, len(sy) - 2)) AS i
+                FROM (SELECT freq, string_split(s, '|') AS sy
+                      FROM v{k - 1})
+                WHERE len(sy) >= 4
+            )
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""t{k} AS (
+            SELECT left_sym, right_sym, pair_count FROM p{k}
+            ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""v{k} AS (
+            SELECT w, freq,
+                   replace(replace(s,
+                       '|' || left_sym || '|' || right_sym || '|',
+                       '|' || left_sym || right_sym || '|'),
+                       '|' || left_sym || '|' || right_sym || '|',
+                       '|' || left_sym || right_sym || '|') AS s
+            FROM v{k - 1} CROSS JOIN t{k}
+        )"""
+        )
+    return ",\n".join(ctes)
+
+
+def bpe_iterative_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training, rounds 1..3: the merge each round
+    greedily picks (argmax weighted adjacent-pair count over the
+    CURRENT vocabulary, i.e. after applying all earlier merges) and its
+    count — the actual head of a merges.txt. Each round's count is
+    computed on the merged vocab of the previous round, which is what
+    separates training from bpe_merge_candidates' single snapshot."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    tops, _ = _bpe_chain(docs)
+    out = None
+    for k, t in enumerate(tops, start=1):
+        row = t.select(
+            F.lit(k).alias("round"), "left_sym", "right_sym", "pair_count"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+ORACLE["bpe_iterative_merges"] = (
+    "WITH " + _bpe_sql_ctes() + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, left_sym, right_sym, pair_count FROM t{k}"
+        for k in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+
+QUERIES["bpe_iterative_merges"] = bpe_iterative_merges
+
+
+def bpe_compression_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """What each merge buys: corpus symbol count (vocab symbol count
+    weighted by word frequency) after 0..3 merges, plus symbols per
+    word — the compression curve that justifies (or caps) a vocab
+    budget. Round 0 is the character baseline.
+
+    The weighted totals are exact integer sums; symbols_per_token is
+    the one final double division."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    _, vocabs = _bpe_chain(docs)
+    n_sym = F.size(F.split("s", "\\|")) - 2
+    out = None
+    for k, v in enumerate(vocabs):
+        row = v.agg(
+            F.lit(k).alias("round"),
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * n_sym).alias("total_symbols"),
+            F.round(
+                F.sum(F.col("freq") * n_sym).cast("double")
+                / F.sum("freq").cast("double"),
+                6,
+            ).alias("symbols_per_token"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+ORACLE["bpe_compression_curve"] = (
+    "WITH " + _bpe_sql_ctes() + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT {k} AS round, CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * (len(string_split(s, '|')) - 2)) AS BIGINT)
+                   AS total_symbols,
+               ROUND(CAST(SUM(freq * (len(string_split(s, '|')) - 2))
+                          AS DOUBLE) / CAST(SUM(freq) AS DOUBLE), 6)
+                   AS symbols_per_token
+        FROM v{k}"""
+        for k in range(0, BPE_MERGE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+
+QUERIES["bpe_compression_curve"] = bpe_compression_curve
+
+
+def bpe_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fairness audit: per language, symbols-per-word under
+    the corpus-trained 3-merge BPE — merges trained on the pooled
+    corpus favor the dominant language's pair statistics, and this is
+    the number that quantifies who pays for it (the trained-merge
+    counterpart of the static fertility entry).
+
+    The per-language word table joins the merged vocabulary on the
+    word — a hash-equi join against the (small) vocab, no per-language
+    retraining."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    _, vocabs = _bpe_chain(docs)
+    final = vocabs[-1].select(
+        "w", (F.size(F.split("s", "\\|")) - 2).alias("n_sym")
+    )
+    lang_words = (
+        docs.select("lang", F.explode(_tokens()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        lang_words.join(final, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_sym")).alias("total_symbols"),
+            F.round(
+                F.sum(F.col("freq") * F.col("n_sym")).cast("double")
+                / F.sum("freq").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["bpe_fertility_by_lang"] = (
+    "WITH " + _bpe_sql_ctes() + f""",
+    final AS (
+        SELECT w, len(string_split(s, '|')) - 2 AS n_sym
+        FROM v{BPE_MERGE_ROUNDS}
+    ),
+    lang_words AS (
+        SELECT lang, w, COUNT(*) AS freq
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY lang, w
+    )
+    SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * n_sym) AS BIGINT) AS total_symbols,
+           ROUND(CAST(SUM(freq * n_sym) AS DOUBLE)
+                 / CAST(SUM(freq) AS DOUBLE), 6) AS fertility
+    FROM lang_words JOIN final USING (w)
+    GROUP BY lang ORDER BY lang"""
+)
+
+QUERIES["bpe_fertility_by_lang"] = bpe_fertility_by_lang

@@ -2651,3 +2651,78 @@ def test_ccnet_paragraph_dedup_matches_brute_force(
         assert got[lang] == (
             w[0], w[1], w[2], w[3], len(touched.get(lang, set()))
         ), lang
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_iterative_merges_match_greedy_reference(
+    spark, docs, tmp_path_factory
+):
+    """The 3-round unrolled BPE chain (delimited-string double-replace
+    apply) must match a direct Python greedy implementation: weighted
+    pair counts, argmax with (count desc, pair asc) tie-break, greedy
+    left-to-right single-scan merge application, recount.  A 2-letter
+    alphabet maximizes overlapping pair sites ('aaaa'), the exact corner
+    the double-replace trick must handle."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        BPE_MERGE_ROUNDS,
+        bpe_iterative_merges,
+    )
+
+    rows = [
+        (i, " ".join(words), "en", "s0", 0) for i, words in enumerate(docs)
+    ]
+    out = tmp_path_factory.mktemp("bpe_prop")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_iterative_merges(spark, str(out)).collect()
+    ]
+
+    # Python reference: vocab as symbol tuples
+    from collections import Counter
+
+    vocab = Counter()
+    for words in docs:
+        for w in words:
+            vocab[tuple(w)] += 1
+
+    want = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        pair_counts: Counter = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += freq
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        want.append((rnd, l, r, cnt))
+        new_vocab: Counter = Counter()
+        for syms, freq in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] += freq
+        vocab = new_vocab
+
+    assert got[: len(want)] == want
