@@ -2195,3 +2195,411 @@ def _ndcg_oracle_sql() -> str:
 
 ORACLE["ann_ndcg_eval"] = _ndcg_oracle_sql()
 QUERIES["ann_ndcg_eval"] = ann_ndcg_eval
+
+
+# ---------------------------------------------------------------------------
+# Round 8: product-quantization (PQ) codebooks (Jégou et al. 2011) —
+# completes the embedding-compression story next to int8 quantization
+# and Matryoshka truncation: split the 64-d space into PQ_M subspaces,
+# train a tiny k-means codebook per subspace (the kmeans_embeddings
+# recipe, all subspaces in ONE lazy plan keyed by sub_id), then encode
+# every vector as PQ_M code bytes and search with asymmetric distance
+# lookups.
+#
+# Scale shape: the corpus is touched once to explode (vec_id, sub_id,
+# subvector); every training round is a broadcast-hash join against the
+# (PQ_M x PQ_K)-row centroid table + decimal-exact mean update (the
+# shuffle carries PQ_M*PQ_K*PQ_SUBDIM cells, never vectors); encoding
+# is the same join; ADC queries never touch raw vectors at all — only
+# the (query x centroid) lookup table (PQ_M x PQ_K rows per query) and
+# the code table.
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 4          # codebook size per subspace
+PQ_ITERS = 2      # Lloyd rounds (fixed, unrolled, lazy)
+
+
+def _pq_subvectors(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, sub_id, sv): the corpus exploded into per-subspace
+    slices, double precision."""
+    emb = widen_small_scan(table(spark, sf, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub_id"),
+        "v",
+    ).select(
+        "vec_id",
+        F.col("sub_id").cast("int").alias("sub_id"),
+        F.slice("v", F.col("sub_id") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+
+
+def _pq_train(subs: DataFrame):
+    """Returns (assigned, cent): the final per-(vec_id, sub_id) code
+    assignment with its squared distance, and the trained codebook.
+    Init = the PQ_K lowest vec_ids' subvectors (cid = vec_id), then
+    PQ_ITERS assign/update rounds with DECIMAL(28,12)-exact means —
+    the kmeans_embeddings determinism contract, per subspace."""
+    cent = (
+        subs.filter(F.col("vec_id") < PQ_K)
+        .select("sub_id", F.col("vec_id").alias("cid"), F.col("sv").alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    assigned = None
+    for _ in range(PQ_ITERS):
+        scored = subs.join(F.broadcast(cent), "sub_id").select(
+            "vec_id", "sub_id", "cid", d2.alias("d2")
+        )
+        assigned = (
+            scored.groupBy("vec_id", "sub_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(
+                "vec_id",
+                "sub_id",
+                F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"),
+            )
+        )
+        cent = (
+            assigned.join(subs, ["vec_id", "sub_id"])
+            .select("sub_id", "cid", F.posexplode("sv").alias("i", "x"))
+            .groupBy("sub_id", "cid", "i")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("sub_id", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+            .select(
+                "sub_id",
+                "cid",
+                F.transform("pairs", lambda p: p["m"]).alias("c"),
+            )
+        )
+    return assigned, cent
+
+
+def _pq_sql_ctes() -> str:
+    """DuckDB twin of ``_pq_subvectors`` + ``_pq_train``: CTEs subs,
+    c0..c{PQ_ITERS} and a1..a{PQ_ITERS} (assignments)."""
+    d2 = (
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        "i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"""subs AS (
+        SELECT vec_id, CAST(sub_id AS INT) AS sub_id,
+               v[CAST(sub_id * {PQ_SUBDIM} + 1 AS INT)
+                 :CAST(sub_id * {PQ_SUBDIM} + {PQ_SUBDIM} AS INT)] AS sv
+        FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(0, {PQ_M - 1})) AS sub_id
+            FROM embeddings
+        )
+    )""",
+        f"""c0 AS (
+        SELECT sub_id, vec_id AS cid, sv AS c FROM subs
+        WHERE vec_id < {PQ_K}
+    )""",
+    ]
+    prev = "c0"
+    for r in range(1, PQ_ITERS + 1):
+        ctes.append(f"""a{r} AS (
+        SELECT vec_id, sub_id, cid, d2 FROM (
+            SELECT s.vec_id, s.sub_id, c.cid, {d2} AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.sub_id
+                       ORDER BY {d2}, c.cid) AS rn
+            FROM subs s JOIN {prev} c ON s.sub_id = c.sub_id
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""c{r} AS (
+        SELECT sub_id, cid, list(m ORDER BY i) AS c FROM (
+            SELECT sub_id, cid, i,
+                   CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM (
+                SELECT a.sub_id, a.cid,
+                       unnest(list_transform(
+                           generate_series(1, {PQ_SUBDIM}),
+                           j -> {{'i': j, 'x': s.sv[j]}}),
+                           recursive := true)
+                FROM a{r} a JOIN subs s
+                  ON a.vec_id = s.vec_id AND a.sub_id = s.sub_id
+            )
+            GROUP BY sub_id, cid, i
+        )
+        GROUP BY sub_id, cid
+    )""")
+        prev = f"c{r}"
+    return ",\n".join(ctes)
+
+
+def pq_codebook_train(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ codebook training summary: per (subspace, code), how many
+    vectors the code captures and their mean distance to it — the
+    per-cell health view (a dead code means the init collapsed; one
+    giant code means the subspace needs more centroids)."""
+    assigned, _ = _pq_train(_pq_subvectors(spark, sf))
+    return (
+        assigned.groupBy("sub_id", "cid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(
+                F.sum(F.sqrt("d2").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_dist"),
+        )
+        .orderBy("sub_id", "cid")
+    )
+
+
+ORACLE["pq_codebook_train"] = (
+    "WITH " + _pq_sql_ctes() + f"""
+    SELECT sub_id, cid, COUNT(*) AS n_points,
+           ROUND(CAST(SUM(CAST(sqrt(d2) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_dist
+    FROM a{PQ_ITERS}
+    GROUP BY sub_id, cid ORDER BY sub_id, cid"""
+)
+
+QUERIES["pq_codebook_train"] = pq_codebook_train
+
+
+def pq_reconstruction_error(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end PQ quantization error per label class: each vector's
+    reconstruction error is the sum of its per-subspace squared
+    distances to the assigned codes. Per label: vectors, mean and max
+    total squared error — read next to int8_quantization_error and
+    matryoshka_truncation_error to pick the compression point.
+
+    Determinism: each per-subspace d2 rounds to 9 decimals and the
+    4-term per-vector sum accumulates in DECIMAL(28,9) (order-free);
+    the label mean divides once in double."""
+    assigned, _ = _pq_train(_pq_subvectors(spark, sf))
+    per_vec = assigned.groupBy("vec_id").agg(
+        F.sum(F.round("d2", 9).cast("decimal(28,9)")).alias("tot")
+    )
+    emb = table(spark, sf, "embeddings").select("vec_id", "label")
+    return (
+        per_vec.join(emb, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum("tot").cast("double") / F.count("*"), 6
+            ).alias("avg_sq_err"),
+            F.round(F.max("tot").cast("double"), 6).alias("max_sq_err"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE["pq_reconstruction_error"] = (
+    "WITH " + _pq_sql_ctes() + f""",
+    per_vec AS (
+        SELECT vec_id,
+               SUM(CAST(ROUND(d2, 9) AS DECIMAL(28,9))) AS tot
+        FROM a{PQ_ITERS} GROUP BY vec_id
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(tot) AS DOUBLE) / COUNT(*), 6) AS avg_sq_err,
+           ROUND(CAST(MAX(tot) AS DOUBLE), 6) AS max_sq_err
+    FROM per_vec JOIN embeddings USING (vec_id)
+    GROUP BY label ORDER BY label"""
+)
+
+QUERIES["pq_reconstruction_error"] = pq_reconstruction_error
+
+
+def pq_code_usage(spark: SparkSession, sf: str) -> DataFrame:
+    """Codebook utilization per subspace: codes actually used, the
+    biggest code's share, and the usage entropy in bits — a balanced
+    codebook (entropy near log2 PQ_K) compresses best; a skewed one
+    wastes code space. Entropy terms round to 9 decimals before
+    DECIMAL accumulation (the reid_risk_entropy libm convention)."""
+    assigned, _ = _pq_train(_pq_subvectors(spark, sf))
+    counts = assigned.groupBy("sub_id", "cid").agg(F.count("*").alias("k"))
+    totals = counts.groupBy("sub_id").agg(F.sum("k").alias("n"))
+    j = counts.join(totals, "sub_id")
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    term = F.round(-(p * F.log2(p)), 9).cast("decimal(20,9)")
+    return (
+        j.groupBy("sub_id")
+        .agg(
+            F.count("*").alias("n_codes_used"),
+            F.round(
+                F.max("k").cast("double") / F.max("n").cast("double"), 6
+            ).alias("top_share"),
+            F.round(F.sum(term).cast("double"), 6).alias("usage_entropy_bits"),
+        )
+        .orderBy("sub_id")
+    )
+
+
+ORACLE["pq_code_usage"] = (
+    "WITH " + _pq_sql_ctes() + f""",
+    counts AS (
+        SELECT sub_id, cid, COUNT(*) AS k FROM a{PQ_ITERS}
+        GROUP BY sub_id, cid
+    ),
+    totals AS (SELECT sub_id, SUM(k) AS n FROM counts GROUP BY sub_id)
+    SELECT sub_id, COUNT(*) AS n_codes_used,
+           ROUND(CAST(MAX(k) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
+               AS top_share,
+           ROUND(CAST(SUM(CAST(ROUND(
+                    -(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    * LOG2(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE), 6) AS usage_entropy_bits
+    FROM counts JOIN totals USING (sub_id)
+    GROUP BY sub_id ORDER BY sub_id"""
+)
+
+QUERIES["pq_code_usage"] = pq_code_usage
+
+
+def pq_adc_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric-distance search quality: for each query vector
+    (vec_id < N_QUERIES), the ADC top-10 (sum of per-subspace
+    query-to-code lookup distances — the query never meets a raw
+    vector) vs the exact L2 top-10; recall@10 is the overlap. The
+    metric that decides whether this codebook can serve retrieval.
+
+    Scale shape: ADC scoring joins the CODE table (PQ_M small ints per
+    vector) to a broadcast (query x centroid) lookup of
+    N_QUERIES*PQ_M*PQ_K rows; per-vector ADC sums 4 lookup values
+    (9-decimal rounded, DECIMAL-accumulated). Only the exact-baseline
+    side scans raw vectors (broadcast-query pattern shared with
+    knn_brute_force)."""
+    subs = _pq_subvectors(spark, sf)
+    assigned, cent = _pq_train(subs)
+    q = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub_id", F.col("sv").alias("qv")
+    )
+    qd2 = F.aggregate(
+        F.zip_with("qv", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    lookup = q.join(cent, "sub_id").select(
+        "query_id", "sub_id", "cid", F.round(qd2, 9).alias("qd")
+    )
+    adc = (
+        assigned.join(F.broadcast(lookup), ["sub_id", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qd").cast("decimal(28,9)")).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    adc_top = adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    emb = widen_small_scan(table(spark, sf, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qfull = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ed2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    exact = (
+        F.broadcast(qfull)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ed2.alias("d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact_top = exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= TOP_K
+    )
+    return (
+        exact_top.select("query_id", "vec_id")
+        .join(
+            adc_top.select("query_id", "vec_id", F.lit(1).alias("hit")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_overlap"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / TOP_K, 4
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE["pq_adc_recall"] = (
+    "WITH " + _pq_sql_ctes() + f""",
+    q AS (
+        SELECT vec_id AS query_id, sub_id, sv AS qv FROM subs
+        WHERE vec_id < {N_QUERIES}
+    ),
+    lookup AS (
+        SELECT q.query_id, c.sub_id, c.cid,
+               ROUND(list_reduce(list_transform(
+                   generate_series(1, {PQ_SUBDIM}),
+                   i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])),
+                   (a, b) -> a + b), 9) AS qd
+        FROM q JOIN c{PQ_ITERS} c ON q.sub_id = c.sub_id
+    ),
+    adc AS (
+        SELECT l.query_id, a.vec_id,
+               SUM(CAST(l.qd AS DECIMAL(28,9))) AS adc
+        FROM a{PQ_ITERS} a
+        JOIN lookup l ON a.sub_id = l.sub_id AND a.cid = l.cid
+        WHERE a.vec_id != l.query_id
+        GROUP BY l.query_id, a.vec_id
+    ),
+    adc_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {TOP_K}
+    ),
+    emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               list_reduce(list_transform(generate_series(1, {DIM}),
+                   i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])),
+                   (a, b) -> a + b) AS d2
+        FROM emb q JOIN emb e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, vec_id) AS rn
+            FROM exact
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {TOP_K}, 4) AS recall_at_10
+    FROM exact_top e
+    LEFT JOIN adc_top a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id"""
+)
+
+QUERIES["pq_adc_recall"] = pq_adc_recall

@@ -488,6 +488,10 @@ INTENTIONAL_BNLJ = {
     "dot_vs_cosine_rank_overlap",  # 5 broadcast query vectors x corpus scan
     "ann_ndcg_eval",        # composes knn_brute_force/knn_ivf broadcast scans
     "basket_brand_pairs",   # 1-row distinct-order total crossJoined for support
+    "pq_adc_recall",        # exact-baseline side: broadcast query vectors x corpus
+    "bpe_iterative_merges",   # 1-row argmax merge broadcast per train round
+    "bpe_compression_curve",  # 1-row argmax merge broadcast per train round
+    "bpe_fertility_by_lang",  # 1-row argmax merge broadcast per train round
 }
 
 
