@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         facts,
         graph,
         multimodal,
+        preference,
         privacy,
         relational,
         similarity,
@@ -202,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dataquality.QUERIES)
     out.update(graph.QUERIES)
     out.update(sketches.QUERIES)
+    out.update(preference.QUERIES)
     return _rotate(out)
 
 
@@ -216,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         facts,
         graph,
         multimodal,
+        preference,
         privacy,
         relational,
         similarity,
@@ -239,4 +242,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dataquality.ORACLE)
     out.update(graph.ORACLE)
     out.update(sketches.ORACLE)
+    out.update(preference.ORACLE)
     return _rotate(out)

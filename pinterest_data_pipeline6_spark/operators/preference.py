@@ -1,0 +1,807 @@
+"""Preference-data operator family — the training-data modality behind
+RLHF / DPO / reward modeling, built from pairwise comparisons.
+
+No preference table ships with the harness testdata, so comparisons are
+DERIVED deterministically from the ``events`` fact table: for each
+(user, day), every pair of event types the user touched that day is a
+comparison, decided by exact integer-cent value sums (the user "spent
+more attention" on the winner).  That construction gives the family a
+real fact-table input with the right shape — many raters (users), few
+items (event types), sparse repeated comparisons — while every
+downstream operator (win matrices, Bradley-Terry fits, agreement rates,
+Condorcet audits, DPO pair accounting) is exactly what a preference
+pipeline runs on human-labeled pairs.
+
+Scale shape shared by the family: the raw fact table reduces ONCE to
+the (user, day, type, cents) aggregate (partial+final hash agg — the
+shuffle carries 4 small columns), comparisons are a self-equijoin of
+that aggregate on (user, day) with type_a < type_b (≤ C(#types, 2)
+rows per user-day, #types is small and bounded), and everything after
+runs on aggregates bounded by #types² or #users — the bounded-aggregate
+signature the statistics wave established.  No O(n²) step ever touches
+raw events.
+
+Bradley-Terry determinism follows the kmeans/unrolled-fixpoint recipe:
+3 fixed MM rounds (Hunter 2004), every data-dependent division done
+once in double then rounded to 9 decimals, every cross-term summed as
+DECIMAL so accumulation order cannot perturb the trajectory, and the
+identical unrolled CTE chain runs in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pinterest_data_pipeline6_spark.sources.readers import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+BT_ROUNDS = 3       # Bradley-Terry MM iterations (fixed, unrolled)
+BT_PSEUDO = 0.5     # pseudo-win smoothing (keeps every strength > 0)
+
+
+def _comparisons(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, day, type_a, type_b, cents_a, cents_b) with
+    type_a < type_b: one row per same-user-same-day type pair.
+    Cents are exact bigint sums of ROUND(value*100)."""
+    ev = table(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    uds = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "day", "event_type")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a = uds.select(
+        "user_id", "day",
+        F.col("event_type").alias("type_a"), F.col("cents").alias("cents_a"),
+    )
+    b = uds.select(
+        "user_id", "day",
+        F.col("event_type").alias("type_b"), F.col("cents").alias("cents_b"),
+    )
+    return a.join(b, ["user_id", "day"]).filter(
+        F.col("type_a") < F.col("type_b")
+    )
+
+
+_COMP_SQL = """
+    uds AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id, CAST(ts AS DATE), event_type
+    ),
+    comp AS (
+        SELECT a.user_id, a.day,
+               a.event_type AS type_a, b.event_type AS type_b,
+               a.cents AS cents_a, b.cents AS cents_b
+        FROM uds a JOIN uds b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+    )
+"""
+
+
+def pairwise_preference_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The win/loss/tie matrix over unordered type pairs: the first
+    artifact any preference pipeline materializes (it is the sufficient
+    statistic for Bradley-Terry, Condorcet, and agreement analysis).
+    win_rate_a is decisive-only (ties excluded); NULL when no decisive
+    comparison exists."""
+    comp = _comparisons(spark, sf)
+    return (
+        comp.groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_comparisons"),
+            F.sum((F.col("cents_a") > F.col("cents_b")).cast("bigint")).alias("wins_a"),
+            F.sum((F.col("cents_a") < F.col("cents_b")).cast("bigint")).alias("wins_b"),
+            F.sum((F.col("cents_a") == F.col("cents_b")).cast("bigint")).alias("ties"),
+        )
+        .withColumn(
+            "win_rate_a",
+            F.round(
+                F.col("wins_a").cast("double")
+                / F.when(
+                    (F.col("wins_a") + F.col("wins_b")) > 0,
+                    (F.col("wins_a") + F.col("wins_b")).cast("double"),
+                ),
+                6,
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE["pairwise_preference_matrix"] = f"""
+    WITH {_COMP_SQL}
+    SELECT type_a, type_b, COUNT(*) AS n_comparisons,
+           CAST(SUM(CASE WHEN cents_a > cents_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_a,
+           CAST(SUM(CASE WHEN cents_a < cents_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_b,
+           CAST(SUM(CASE WHEN cents_a = cents_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties,
+           ROUND(CAST(SUM(CASE WHEN cents_a > cents_b THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(CAST(SUM(CASE WHEN cents_a != cents_b
+                                        THEN 1 ELSE 0 END) AS DOUBLE), 0), 6)
+               AS win_rate_a
+    FROM comp GROUP BY type_a, type_b ORDER BY type_a, type_b
+"""
+
+QUERIES["pairwise_preference_matrix"] = pairwise_preference_matrix
+
+
+def _bt_chain(comp: DataFrame):
+    """Unrolled Bradley-Terry MM fit over decisive comparisons.
+    Returns (stats, strengths): per-type win/comparison totals and the
+    per-type strength DataFrame after BT_ROUNDS updates.
+
+    Update (Hunter 2004 MM, pseudo-win smoothed):
+        raw_i = (W_i + BT_PSEUDO) / Σ_{{j≠i}} n_ij / (p_i + p_j)
+        p_i   = raw_i / Σ_k raw_k
+    with every division rounded to 9 decimals and cross-term sums in
+    DECIMAL — order-free, hence unrollable into a DuckDB CTE twin."""
+    dec = comp.filter(F.col("cents_a") != F.col("cents_b"))
+    # directed win counts over ordered pairs (i beats j)
+    wins = (
+        dec.select(
+            F.when(F.col("cents_a") > F.col("cents_b"), F.col("type_a"))
+            .otherwise(F.col("type_b")).alias("i"),
+            F.when(F.col("cents_a") > F.col("cents_b"), F.col("type_b"))
+            .otherwise(F.col("type_a")).alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("w"))
+    )
+    # symmetric comparison counts n_ij (i != j, both directions)
+    n_ij = (
+        wins.select("i", "j", "w")
+        .unionByName(
+            wins.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("w")
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("n"))
+    )
+    stats = (
+        n_ij.groupBy("i")
+        .agg(F.sum("n").alias("n_comparisons"))
+        .join(
+            wins.groupBy("i").agg(F.sum("w").alias("n_wins")), "i", "left"
+        )
+        .select(
+            F.col("i").alias("event_type"),
+            F.coalesce("n_wins", F.lit(0)).alias("n_wins"),
+            "n_comparisons",
+        )
+    )
+    p = stats.select("event_type", F.lit(1.0).alias("p"))
+    for _ in range(BT_ROUNDS):
+        pi = p.select(F.col("event_type").alias("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("event_type").alias("j"), F.col("p").alias("p_j"))
+        denom = (
+            n_ij.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n").cast("double")
+                        / (F.col("p_i") + F.col("p_j")),
+                        9,
+                    ).cast("decimal(28,9)")
+                ).alias("denom")
+            )
+        )
+        raw = (
+            stats.select(F.col("event_type").alias("i"), "n_wins")
+            .join(denom, "i")
+            .select(
+                "i",
+                F.round(
+                    (F.col("n_wins") + F.lit(BT_PSEUDO))
+                    / F.col("denom").cast("double"),
+                    9,
+                ).alias("raw"),
+            )
+        )
+        tot = raw.agg(
+            F.sum(F.col("raw").cast("decimal(28,9)")).alias("t")
+        )
+        p = raw.crossJoin(F.broadcast(tot)).select(
+            F.col("i").alias("event_type"),
+            F.round(F.col("raw") / F.col("t").cast("double"), 9).alias("p"),
+        )
+    return stats, p
+
+
+def _bt_sql_ctes() -> str:
+    """DuckDB twin of ``_bt_chain``: CTEs wins, n_ij, stats, p0..pK."""
+    ctes = [
+        _COMP_SQL.strip().rstrip(),
+        """wins AS (
+        SELECT CASE WHEN cents_a > cents_b THEN type_a ELSE type_b END AS i,
+               CASE WHEN cents_a > cents_b THEN type_b ELSE type_a END AS j,
+               COUNT(*) AS w
+        FROM comp WHERE cents_a != cents_b GROUP BY 1, 2
+    )""",
+        """n_ij AS (
+        SELECT i, j, CAST(SUM(w) AS BIGINT) AS n FROM (
+            SELECT i, j, w FROM wins
+            UNION ALL
+            SELECT j AS i, i AS j, w FROM wins
+        ) GROUP BY i, j
+    )""",
+        """stats AS (
+        SELECT n.i AS event_type,
+               COALESCE(w.n_wins, 0) AS n_wins,
+               n.n_comparisons
+        FROM (SELECT i, CAST(SUM(n) AS BIGINT) AS n_comparisons
+              FROM n_ij GROUP BY i) n
+        LEFT JOIN (SELECT i, CAST(SUM(w) AS BIGINT) AS n_wins
+                   FROM wins GROUP BY i) w ON n.i = w.i
+    )""",
+        "p0 AS (SELECT event_type, 1.0 AS p FROM stats)",
+    ]
+    for r in range(1, BT_ROUNDS + 1):
+        ctes.append(f"""d{r} AS (
+        SELECT n.i,
+               SUM(CAST(ROUND(CAST(n.n AS DOUBLE) / (pi.p + pj.p), 9)
+                        AS DECIMAL(28,9))) AS denom
+        FROM n_ij n
+        JOIN p{r - 1} pi ON n.i = pi.event_type
+        JOIN p{r - 1} pj ON n.j = pj.event_type
+        GROUP BY n.i
+    )""")
+        ctes.append(f"""r{r} AS (
+        SELECT s.event_type AS i,
+               ROUND((s.n_wins + {BT_PSEUDO})
+                     / CAST(d.denom AS DOUBLE), 9) AS raw
+        FROM stats s JOIN d{r} d ON s.event_type = d.i
+    )""")
+        ctes.append(f"""p{r} AS (
+        SELECT i AS event_type,
+               ROUND(raw / CAST(t AS DOUBLE), 9) AS p
+        FROM r{r} CROSS JOIN
+             (SELECT SUM(CAST(raw AS DECIMAL(28,9))) AS t FROM r{r})
+    )""")
+    return ",\n".join(ctes)
+
+
+def bradley_terry_strengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Bradley-Terry strength fit over the decisive comparisons: the
+    reward-model-lite every preference pipeline runs first (BT is the
+    generative model DPO's loss is derived from).  3 unrolled MM rounds
+    with pseudo-win smoothing; strengths are normalized to sum 1, so a
+    strength is directly the model's probability of winning against a
+    random opponent drawn by comparison mass."""
+    comp = _comparisons(spark, sf)
+    stats, p = _bt_chain(comp)
+    return (
+        stats.join(p, "event_type")
+        .select(
+            "event_type",
+            "n_wins",
+            "n_comparisons",
+            F.round("p", 6).alias("strength"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["bradley_terry_strengths"] = (
+    "WITH " + _bt_sql_ctes() + f"""
+    SELECT s.event_type, s.n_wins, s.n_comparisons,
+           ROUND(p.p, 6) AS strength
+    FROM stats s JOIN p{BT_ROUNDS} p USING (event_type)
+    ORDER BY event_type"""
+)
+
+QUERIES["bradley_terry_strengths"] = bradley_terry_strengths
+
+
+def preference_agreement_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-rater agreement per type pair: each user casts ONE
+    majority vote per pair (a / b / tie over their own daily
+    comparisons, decisive-majority rule with tie-break to 'tie'), and
+    agreement is the Fleiss-style pairwise rate: of all C(n_raters, 2)
+    rater pairs, the fraction voting identically.  Exact integer
+    arithmetic end to end (Σ n_v(n_v-1) / n(n-1)); NULL with fewer
+    than two raters — the number that decides whether a pair's labels
+    are signal or noise."""
+    comp = _comparisons(spark, sf)
+    votes = (
+        comp.groupBy("user_id", "type_a", "type_b")
+        .agg(
+            F.sum((F.col("cents_a") > F.col("cents_b")).cast("bigint")).alias("wa"),
+            F.sum((F.col("cents_a") < F.col("cents_b")).cast("bigint")).alias("wb"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.when(F.col("wa") > F.col("wb"), "a")
+            .when(F.col("wb") > F.col("wa"), "b")
+            .otherwise("tie")
+            .alias("vote"),
+        )
+    )
+    per_vote = votes.groupBy("type_a", "type_b", "vote").agg(
+        F.count("*").alias("nv")
+    )
+    return (
+        per_vote.groupBy("type_a", "type_b")
+        .agg(
+            F.sum("nv").alias("n_raters"),
+            F.sum(F.col("nv") * (F.col("nv") - 1)).alias("agree_pairs2"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_raters",
+            F.round(
+                F.col("agree_pairs2").cast("double")
+                / F.when(
+                    F.col("n_raters") > 1,
+                    (F.col("n_raters") * (F.col("n_raters") - 1)).cast("double"),
+                ),
+                6,
+            ).alias("agreement_rate"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE["preference_agreement_rate"] = f"""
+    WITH {_COMP_SQL},
+    votes AS (
+        SELECT type_a, type_b,
+               CASE WHEN wa > wb THEN 'a'
+                    WHEN wb > wa THEN 'b' ELSE 'tie' END AS vote
+        FROM (
+            SELECT user_id, type_a, type_b,
+                   SUM(CASE WHEN cents_a > cents_b THEN 1 ELSE 0 END) AS wa,
+                   SUM(CASE WHEN cents_a < cents_b THEN 1 ELSE 0 END) AS wb
+            FROM comp GROUP BY user_id, type_a, type_b
+        )
+    ),
+    per_vote AS (
+        SELECT type_a, type_b, vote, COUNT(*) AS nv
+        FROM votes GROUP BY type_a, type_b, vote
+    )
+    SELECT type_a, type_b,
+           CAST(SUM(nv) AS BIGINT) AS n_raters,
+           ROUND(CAST(SUM(nv * (nv - 1)) AS DOUBLE)
+                 / NULLIF(CASE WHEN SUM(nv) > 1
+                               THEN CAST(SUM(nv) * (SUM(nv) - 1) AS DOUBLE)
+                               END, 0), 6) AS agreement_rate
+    FROM per_vote GROUP BY type_a, type_b ORDER BY type_a, type_b
+"""
+
+QUERIES["preference_agreement_rate"] = preference_agreement_rate
+
+
+def condorcet_winner_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Condorcet audit of the majority relation: per type, how many
+    head-to-head majorities it wins / loses / draws, and whether it is
+    the Condorcet winner (beats EVERY other type head-to-head).  A
+    preference dataset with no Condorcet winner cannot be consistently
+    rank-ordered by any aggregation rule — worth knowing before fitting
+    one.  The majority relation lives on the #types² matrix; every step
+    below the comparison agg is constant-size."""
+    comp = _comparisons(spark, sf)
+    m = (
+        comp.groupBy("type_a", "type_b")
+        .agg(
+            F.sum((F.col("cents_a") > F.col("cents_b")).cast("bigint")).alias("wa"),
+            F.sum((F.col("cents_a") < F.col("cents_b")).cast("bigint")).alias("wb"),
+        )
+    )
+    # per-type directed rollup: one row per (type, opponent) with result
+    directed = m.select(
+        F.col("type_a").alias("t"),
+        F.when(F.col("wa") > F.col("wb"), 1)
+        .when(F.col("wa") < F.col("wb"), -1)
+        .otherwise(0)
+        .alias("res"),
+    ).unionByName(
+        m.select(
+            F.col("type_b").alias("t"),
+            F.when(F.col("wb") > F.col("wa"), 1)
+            .when(F.col("wb") < F.col("wa"), -1)
+            .otherwise(0)
+            .alias("res"),
+        )
+    )
+    per_type = directed.groupBy("t").agg(
+        F.sum((F.col("res") == 1).cast("bigint")).alias("n_majority_wins"),
+        F.sum((F.col("res") == -1).cast("bigint")).alias("n_majority_losses"),
+        F.sum((F.col("res") == 0).cast("bigint")).alias("n_majority_draws"),
+        F.count("*").alias("n_opponents"),
+    )
+    return per_type.select(
+        F.col("t").alias("event_type"),
+        "n_majority_wins",
+        "n_majority_losses",
+        "n_majority_draws",
+        (F.col("n_majority_wins") == F.col("n_opponents")).alias(
+            "is_condorcet_winner"
+        ),
+    ).orderBy("event_type")
+
+
+ORACLE["condorcet_winner_audit"] = f"""
+    WITH {_COMP_SQL},
+    m AS (
+        SELECT type_a, type_b,
+               SUM(CASE WHEN cents_a > cents_b THEN 1 ELSE 0 END) AS wa,
+               SUM(CASE WHEN cents_a < cents_b THEN 1 ELSE 0 END) AS wb
+        FROM comp GROUP BY type_a, type_b
+    ),
+    directed AS (
+        SELECT type_a AS t,
+               CASE WHEN wa > wb THEN 1 WHEN wa < wb THEN -1 ELSE 0 END
+                   AS res
+        FROM m
+        UNION ALL
+        SELECT type_b AS t,
+               CASE WHEN wb > wa THEN 1 WHEN wb < wa THEN -1 ELSE 0 END
+                   AS res
+        FROM m
+    )
+    SELECT t AS event_type,
+           CAST(SUM(CASE WHEN res = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_majority_wins,
+           CAST(SUM(CASE WHEN res = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_majority_losses,
+           CAST(SUM(CASE WHEN res = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_majority_draws,
+           SUM(CASE WHEN res = 1 THEN 1 ELSE 0 END) = COUNT(*)
+               AS is_condorcet_winner
+    FROM directed GROUP BY t ORDER BY event_type
+"""
+
+QUERIES["condorcet_winner_audit"] = condorcet_winner_audit
+
+
+def preference_cycle_triads(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitivity audit: classify every unordered type triad by its
+    majority relation — transitive (a clean local ranking), cyclic
+    (rock-paper-scissors: the data genuinely contradicts ANY global
+    ranking there), or incomplete (some pair drawn/missing).  The
+    cyclic count is the hard ceiling on how well Bradley-Terry can fit.
+
+    The triad join runs on the #types-row type list (broadcast
+    singleton class), never on comparisons."""
+    comp = _comparisons(spark, sf)
+    m = (
+        comp.groupBy("type_a", "type_b")
+        .agg(
+            F.sum((F.col("cents_a") > F.col("cents_b")).cast("bigint")).alias("wa"),
+            F.sum((F.col("cents_a") < F.col("cents_b")).cast("bigint")).alias("wb"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.when(F.col("wa") > F.col("wb"), 1)
+            .when(F.col("wa") < F.col("wb"), -1)
+            .otherwise(0)
+            .alias("res"),
+        )
+    )
+    types = (
+        m.select(F.col("type_a").alias("t"))
+        .unionByName(m.select(F.col("type_b").alias("t")))
+        .distinct()
+    )
+    tri = (
+        types.select(F.col("t").alias("x"))
+        .crossJoin(F.broadcast(types.select(F.col("t").alias("y"))))
+        .crossJoin(F.broadcast(types.select(F.col("t").alias("z"))))
+        .filter((F.col("x") < F.col("y")) & (F.col("y") < F.col("z")))
+    )
+    mxy = m.select(
+        F.col("type_a").alias("x"), F.col("type_b").alias("y"),
+        F.col("res").alias("r_xy"),
+    )
+    mxz = m.select(
+        F.col("type_a").alias("x"), F.col("type_b").alias("z"),
+        F.col("res").alias("r_xz"),
+    )
+    myz = m.select(
+        F.col("type_a").alias("y"), F.col("type_b").alias("z"),
+        F.col("res").alias("r_yz"),
+    )
+    j = (
+        tri.join(F.broadcast(mxy), ["x", "y"], "left")
+        .join(F.broadcast(mxz), ["x", "z"], "left")
+        .join(F.broadcast(myz), ["y", "z"], "left")
+    )
+    decisive = (
+        F.col("r_xy").isNotNull() & (F.col("r_xy") != 0)
+        & F.col("r_xz").isNotNull() & (F.col("r_xz") != 0)
+        & F.col("r_yz").isNotNull() & (F.col("r_yz") != 0)
+    )
+    # cyclic iff x>y, y>z, z>x or the reverse orientation
+    cyclic = decisive & (
+        ((F.col("r_xy") == 1) & (F.col("r_yz") == 1) & (F.col("r_xz") == -1))
+        | ((F.col("r_xy") == -1) & (F.col("r_yz") == -1) & (F.col("r_xz") == 1))
+    )
+    cls = (
+        F.when(~decisive, "incomplete")
+        .when(cyclic, "cyclic")
+        .otherwise("transitive")
+    )
+    return (
+        j.select(cls.alias("triad_class"))
+        .groupBy("triad_class")
+        .agg(F.count("*").alias("n_triads"))
+        .orderBy("triad_class")
+    )
+
+
+ORACLE["preference_cycle_triads"] = f"""
+    WITH {_COMP_SQL},
+    m AS (
+        SELECT type_a, type_b,
+               CASE WHEN SUM(CASE WHEN cents_a > cents_b THEN 1 ELSE 0 END)
+                         > SUM(CASE WHEN cents_a < cents_b THEN 1 ELSE 0 END)
+                    THEN 1
+                    WHEN SUM(CASE WHEN cents_a > cents_b THEN 1 ELSE 0 END)
+                         < SUM(CASE WHEN cents_a < cents_b THEN 1 ELSE 0 END)
+                    THEN -1 ELSE 0 END AS res
+        FROM comp GROUP BY type_a, type_b
+    ),
+    types AS (
+        SELECT DISTINCT t FROM (
+            SELECT type_a AS t FROM m UNION ALL SELECT type_b FROM m
+        )
+    ),
+    tri AS (
+        SELECT a.t AS x, b.t AS y, c.t AS z
+        FROM types a, types b, types c
+        WHERE a.t < b.t AND b.t < c.t
+    ),
+    j AS (
+        SELECT tri.x, tri.y, tri.z,
+               mxy.res AS r_xy, mxz.res AS r_xz, myz.res AS r_yz
+        FROM tri
+        LEFT JOIN m mxy ON mxy.type_a = tri.x AND mxy.type_b = tri.y
+        LEFT JOIN m mxz ON mxz.type_a = tri.x AND mxz.type_b = tri.z
+        LEFT JOIN m myz ON myz.type_a = tri.y AND myz.type_b = tri.z
+    )
+    SELECT CASE
+        WHEN r_xy IS NULL OR r_xy = 0 OR r_xz IS NULL OR r_xz = 0
+             OR r_yz IS NULL OR r_yz = 0 THEN 'incomplete'
+        WHEN (r_xy = 1 AND r_yz = 1 AND r_xz = -1)
+             OR (r_xy = -1 AND r_yz = -1 AND r_xz = 1) THEN 'cyclic'
+        ELSE 'transitive' END AS triad_class,
+        COUNT(*) AS n_triads
+    FROM j GROUP BY 1 ORDER BY triad_class
+"""
+
+QUERIES["preference_cycle_triads"] = preference_cycle_triads
+
+
+def dpo_pair_sampling_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DPO/RLHF pair-extraction accounting: every decisive comparison
+    becomes a (chosen, rejected) training pair; per ordered pair type,
+    the count, corpus share, and the inverse-frequency sampling weight
+    (uniform-over-pair-types resampling: weight ∝ total/(n·K), so a
+    weighted draw picks each pair TYPE equally and the loss isn't
+    dominated by the most common matchup).  Exact integers until the
+    two output divisions."""
+    comp = _comparisons(spark, sf)
+    dec = comp.filter(F.col("cents_a") != F.col("cents_b"))
+    pairs = dec.select(
+        F.when(F.col("cents_a") > F.col("cents_b"), F.col("type_a"))
+        .otherwise(F.col("type_b")).alias("chosen"),
+        F.when(F.col("cents_a") > F.col("cents_b"), F.col("type_b"))
+        .otherwise(F.col("type_a")).alias("rejected"),
+    )
+    counts = pairs.groupBy("chosen", "rejected").agg(
+        F.count("*").alias("n_pairs")
+    )
+    tot = counts.agg(
+        F.sum("n_pairs").alias("total"), F.count("*").alias("k_types")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "chosen",
+            "rejected",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("total").cast("double")
+                / (F.col("n_pairs") * F.col("k_types")).cast("double"),
+                6,
+            ).alias("sampling_weight"),
+        )
+        .orderBy("chosen", "rejected")
+    )
+
+
+ORACLE["dpo_pair_sampling_weights"] = f"""
+    WITH {_COMP_SQL},
+    pairs AS (
+        SELECT CASE WHEN cents_a > cents_b THEN type_a ELSE type_b END
+                   AS chosen,
+               CASE WHEN cents_a > cents_b THEN type_b ELSE type_a END
+                   AS rejected
+        FROM comp WHERE cents_a != cents_b
+    ),
+    counts AS (
+        SELECT chosen, rejected, COUNT(*) AS n_pairs
+        FROM pairs GROUP BY chosen, rejected
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pairs) AS BIGINT) AS total,
+               COUNT(*) AS k_types
+        FROM counts
+    )
+    SELECT chosen, rejected, n_pairs,
+           ROUND(CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS share,
+           ROUND(CAST(total AS DOUBLE)
+                 / CAST(n_pairs * k_types AS DOUBLE), 6) AS sampling_weight
+    FROM counts CROSS JOIN tot
+    ORDER BY chosen, rejected
+"""
+
+QUERIES["dpo_pair_sampling_weights"] = dpo_pair_sampling_weights
+
+
+def preference_margin_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin distribution of the decisive pairs: preference margins
+    (winner cents − loser cents) bucketed on a log-ish CASE scale, with
+    count, rater coverage, and exact mean margin per bucket — the curve
+    a DPO β / reward-margin calibration reads (a corpus of hairline
+    margins trains a very different policy than one of blowouts)."""
+    comp = _comparisons(spark, sf)
+    dec = comp.filter(F.col("cents_a") != F.col("cents_b")).select(
+        "user_id",
+        F.abs(F.col("cents_a") - F.col("cents_b")).alias("margin"),
+    )
+    bucket = (
+        F.when(F.col("margin") <= 10, "a_hairline_le10c")
+        .when(F.col("margin") <= 100, "b_narrow_le1")
+        .when(F.col("margin") <= 1000, "c_clear_le10")
+        .otherwise("d_blowout_gt10")
+    )
+    return (
+        dec.select(bucket.alias("margin_bucket"), "user_id", "margin")
+        .groupBy("margin_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("user_id").alias("n_raters"),
+            F.round(
+                F.sum("margin").cast("double") / F.count("*").cast("double"),
+                2,
+            ).alias("avg_margin_cents"),
+        )
+        .orderBy("margin_bucket")
+    )
+
+
+ORACLE["preference_margin_calibration"] = f"""
+    WITH {_COMP_SQL}
+    SELECT CASE WHEN ABS(cents_a - cents_b) <= 10 THEN 'a_hairline_le10c'
+                WHEN ABS(cents_a - cents_b) <= 100 THEN 'b_narrow_le1'
+                WHEN ABS(cents_a - cents_b) <= 1000 THEN 'c_clear_le10'
+                ELSE 'd_blowout_gt10' END AS margin_bucket,
+           COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_raters,
+           ROUND(CAST(SUM(ABS(cents_a - cents_b)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 2) AS avg_margin_cents
+    FROM comp WHERE cents_a != cents_b
+    GROUP BY 1 ORDER BY margin_bucket
+"""
+
+QUERIES["preference_margin_calibration"] = preference_margin_calibration
+
+
+def preference_rater_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Rater self-consistency histogram: per user and type pair, did
+    the user's decisive daily comparisons ever flip direction?  A
+    user-pair is consistent when all its decisive days agree.  Rolled
+    up per user (consistency = consistent pairs / pairs with >= 2
+    decisive days), then bucketed into deciles — the label-noise
+    profile that decides per-rater weighting.  Users with no repeated
+    decisive pair land in the 'no_repeat' row."""
+    comp = _comparisons(spark, sf)
+    dec = comp.filter(F.col("cents_a") != F.col("cents_b")).select(
+        "user_id",
+        "type_a",
+        "type_b",
+        (F.col("cents_a") > F.col("cents_b")).cast("int").alias("a_won"),
+    )
+    per_pair = dec.groupBy("user_id", "type_a", "type_b").agg(
+        F.count("*").alias("n_days"),
+        F.min("a_won").alias("mn"),
+        F.max("a_won").alias("mx"),
+    )
+    per_user = (
+        per_pair.filter(F.col("n_days") >= 2)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_repeat_pairs"),
+            F.sum((F.col("mn") == F.col("mx")).cast("bigint")).alias("n_consistent"),
+        )
+    )
+    all_users = dec.select("user_id").distinct()
+    scored = all_users.join(per_user, "user_id", "left")
+    bucket = F.when(
+        F.col("n_repeat_pairs").isNull(), "no_repeat"
+    ).otherwise(
+        F.concat(
+            F.lit("d"),
+            F.least(
+                F.floor(
+                    F.col("n_consistent").cast("double")
+                    / F.col("n_repeat_pairs").cast("double")
+                    * 10
+                ),
+                F.lit(9),
+            ).cast("int").cast("string"),
+        )
+    )
+    return (
+        scored.select(bucket.alias("consistency_decile"))
+        .groupBy("consistency_decile")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("consistency_decile")
+    )
+
+
+ORACLE["preference_rater_consistency"] = f"""
+    WITH {_COMP_SQL},
+    dec AS (
+        SELECT user_id, type_a, type_b,
+               CASE WHEN cents_a > cents_b THEN 1 ELSE 0 END AS a_won
+        FROM comp WHERE cents_a != cents_b
+    ),
+    per_pair AS (
+        SELECT user_id, type_a, type_b, COUNT(*) AS n_days,
+               MIN(a_won) AS mn, MAX(a_won) AS mx
+        FROM dec GROUP BY user_id, type_a, type_b
+    ),
+    per_user AS (
+        SELECT user_id, COUNT(*) AS n_repeat_pairs,
+               SUM(CASE WHEN mn = mx THEN 1 ELSE 0 END) AS n_consistent
+        FROM per_pair WHERE n_days >= 2 GROUP BY user_id
+    ),
+    scored AS (
+        SELECT u.user_id, p.n_repeat_pairs, p.n_consistent
+        FROM (SELECT DISTINCT user_id FROM dec) u
+        LEFT JOIN per_user p USING (user_id)
+    )
+    SELECT CASE WHEN n_repeat_pairs IS NULL THEN 'no_repeat'
+                ELSE 'd' || CAST(CAST(LEAST(FLOOR(
+                     CAST(n_consistent AS DOUBLE)
+                     / CAST(n_repeat_pairs AS DOUBLE) * 10), 9) AS INT)
+                     AS VARCHAR) END AS consistency_decile,
+           COUNT(*) AS n_users
+    FROM scored GROUP BY 1 ORDER BY consistency_decile
+"""
+
+QUERIES["preference_rater_consistency"] = preference_rater_consistency

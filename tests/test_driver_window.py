@@ -55,6 +55,7 @@ def test_registry_order_is_stalest_first():
         facts,
         graph,
         multimodal,
+        preference,
         privacy,
         relational,
         similarity,
@@ -67,7 +68,7 @@ def test_registry_order_is_stalest_first():
     for mod in (
         relational, facts, events, textops, dedup, similarity,
         multimodal, collections, subqueries, privacy, curation,
-        dataquality, graph, sketches,
+        dataquality, graph, sketches, preference,
     ):
         merged.update(mod.QUERIES)
     orig = {n: i for i, n in enumerate(merged)}

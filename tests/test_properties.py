@@ -2726,3 +2726,114 @@ def test_bpe_iterative_merges_match_greedy_reference(
         vocab = new_vocab
 
     assert got[: len(want)] == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),    # user
+            st.integers(0, 1),    # day
+            st.integers(0, 3),    # type
+            st.integers(-200, 200),  # value decicents
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_bradley_terry_matches_python_reference(
+    spark, rows, tmp_path_factory
+):
+    """The 3-round unrolled Bradley-Terry MM chain must match a direct
+    Python implementation with the identical rounding discipline
+    (HALF_UP at 9 decimals on the exact binary double, DECIMAL sums) —
+    pins both the comparison construction and the fixed-point
+    trajectory."""
+    import datetime
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pinterest_data_pipeline6_spark.operators.preference import (
+        BT_PSEUDO,
+        BT_ROUNDS,
+        bradley_terry_strengths,
+    )
+
+    data = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1 + d, 9),
+            u,
+            f"t{t}",
+            v / 10.0,
+            None,
+        )
+        for i, (u, d, t, v) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("bt_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_wins"], r["n_comparisons"], r["strength"])
+        for r in bradley_terry_strengths(spark, str(out)).collect()
+    }
+
+    def r9(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
+
+    # comparison construction
+    cents: dict = defaultdict(int)
+    for u, d, t, v in rows:
+        # Spark ROUND(value*100) on the double v/10*100
+        c = float(
+            Decimal((v / 10.0) * 100).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        cents[(u, d, f"t{t}")] += int(c)
+    wins: dict = defaultdict(int)
+    seen_ud = defaultdict(set)
+    for (u, d, t), _ in cents.items():
+        seen_ud[(u, d)].add(t)
+    for (u, d), types in seen_ud.items():
+        ts_sorted = sorted(types)
+        for ii, ta in enumerate(ts_sorted):
+            for tb in ts_sorted[ii + 1:]:
+                ca, cb = cents[(u, d, ta)], cents[(u, d, tb)]
+                if ca > cb:
+                    wins[(ta, tb)] += 1
+                elif cb > ca:
+                    wins[(tb, ta)] += 1
+    if not wins:
+        assert got == {}
+        return
+    n_ij: dict = defaultdict(int)
+    for (i, j), w in wins.items():
+        n_ij[(i, j)] += w
+        n_ij[(j, i)] += w
+    types = sorted({t for pair in n_ij for t in pair})
+    W = {t: sum(w for (i, j), w in wins.items() if i == t) for t in types}
+    N = {t: sum(n for (i, j), n in n_ij.items() if i == t) for t in types}
+    p = {t: 1.0 for t in types}
+    for _ in range(BT_ROUNDS):
+        raw = {}
+        for t in types:
+            denom = sum(
+                Decimal(str(r9(n_ij[(t, j)] / (p[t] + p[j]))))
+                for j in types
+                if (t, j) in n_ij
+            )
+            raw[t] = r9((W[t] + BT_PSEUDO) / float(denom))
+        tot = float(sum(Decimal(str(raw[t])) for t in types))
+        p = {t: r9(raw[t] / tot) for t in types}
+
+    for t in types:
+        assert got[t][0] == W[t], t
+        assert got[t][1] == N[t], t
+        assert got[t][2] == pytest.approx(round(p[t], 6), abs=2e-6), t
