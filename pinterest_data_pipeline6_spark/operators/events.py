@@ -2252,3 +2252,139 @@ ORACLE["churn_hazard_by_tenure"] = """
 """
 
 QUERIES["churn_hazard_by_tenure"] = churn_hazard_by_tenure
+
+
+# ---------------------------------------------------------------------------
+# Round 8: temporal split audit.
+
+SPLIT_TRAIN_PCT = 80  # train days share of the distinct-day timeline
+
+
+def temporal_split_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Chronological train/test split audit: cut the distinct-day
+    timeline at the 80% day (exact element pick), then report — per
+    event type — event and user volumes on each side plus the USER
+    overlap across the cut. cross_split_leakage guards a hash split
+    against content duplication; this guards a time split against
+    ENTITY leakage (the same user on both sides is what inflates naive
+    forecasting/churn evals).
+
+    Shape: the cutoff comes from the distinct-day table (bounded by the
+    calendar — a #days-row aggregate, so its rank window is trivially
+    small) and broadcasts; sides are a row-local comparison; user
+    overlap reduces per (type, user) with two boolean maxes — one
+    partial+final agg on raw events, one on the (type, user) table."""
+    ev = table(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    w = Window.orderBy("day")
+    ranked = days.withColumn("rk", F.row_number().over(w))
+    n_days = days.agg(F.count("*").alias("n"))
+    cutoff = (
+        ranked.crossJoin(F.broadcast(n_days))
+        .filter(
+            F.col("rk")
+            == F.ceil(F.col("n") * SPLIT_TRAIN_PCT / 100).cast("int")
+        )
+        .select(F.col("day").alias("cutoff_day"))
+    )
+    tagged = ev.select(
+        "event_type",
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        "user_id",
+        (F.col("day") <= F.col("cutoff_day")).alias("is_train"),
+    )
+    ev_counts = tagged.groupBy("event_type").agg(
+        F.sum(F.col("is_train").cast("bigint")).alias("n_train_events"),
+        F.sum((~F.col("is_train")).cast("bigint")).alias("n_test_events"),
+    )
+    user_sides = tagged.groupBy("event_type", "user_id").agg(
+        F.max(F.col("is_train").cast("int")).alias("in_train"),
+        F.max((~F.col("is_train")).cast("int")).alias("in_test"),
+    )
+    user_counts = user_sides.groupBy("event_type").agg(
+        F.sum("in_train").cast("bigint").alias("n_train_users"),
+        F.sum("in_test").cast("bigint").alias("n_test_users"),
+        F.sum(F.col("in_train") * F.col("in_test")).cast("bigint").alias(
+            "n_overlap_users"
+        ),
+    )
+    return (
+        ev_counts.join(user_counts, "event_type")
+        .select(
+            "event_type",
+            "n_train_events",
+            "n_test_events",
+            "n_train_users",
+            "n_test_users",
+            "n_overlap_users",
+            F.round(
+                F.col("n_overlap_users").cast("double")
+                / F.when(
+                    F.col("n_test_users") > 0,
+                    F.col("n_test_users").cast("double"),
+                ),
+                6,
+            ).alias("test_user_leak_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["temporal_split_audit"] = f"""
+    WITH ev AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS day
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM ev),
+    cutoff AS (
+        SELECT day AS cutoff_day FROM (
+            SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM days
+        ) WHERE rk = CAST(CEIL(n * {SPLIT_TRAIN_PCT} / 100.0) AS INT)
+    ),
+    tagged AS (
+        SELECT event_type, user_id, day <= cutoff_day AS is_train
+        FROM ev CROSS JOIN cutoff
+    ),
+    ev_counts AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train_events,
+               CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_test_events
+        FROM tagged GROUP BY event_type
+    ),
+    user_sides AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+               MAX(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test
+        FROM tagged GROUP BY event_type, user_id
+    ),
+    user_counts AS (
+        SELECT event_type,
+               CAST(SUM(in_train) AS BIGINT) AS n_train_users,
+               CAST(SUM(in_test) AS BIGINT) AS n_test_users,
+               CAST(SUM(in_train * in_test) AS BIGINT) AS n_overlap_users
+        FROM user_sides GROUP BY event_type
+    )
+    SELECT e.event_type, n_train_events, n_test_events,
+           n_train_users, n_test_users, n_overlap_users,
+           ROUND(CAST(n_overlap_users AS DOUBLE)
+                 / NULLIF(CASE WHEN n_test_users > 0
+                               THEN CAST(n_test_users AS DOUBLE) END, 0), 6)
+               AS test_user_leak_rate
+    FROM ev_counts e JOIN user_counts USING (event_type)
+    ORDER BY event_type
+"""
+
+QUERIES["temporal_split_audit"] = temporal_split_audit

@@ -372,3 +372,127 @@ ORACLE["label_propagation_communities"] = f"""
            MIN(node) AS min_node, MAX(node) AS max_node
     FROM l2 GROUP BY lbl ORDER BY community
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: k-core peeling — the density-based pruning that complements
+# the family (PageRank ranks, triangles close, LPA clusters, CC
+# reaches): iteratively remove nodes of degree < K until the K-core
+# remains. Used in dedup/graph curation to separate template farms
+# (dense cores of near-identical docs) from organic content.
+
+KCORE_K = 3       # the core threshold
+KCORE_ROUNDS = 3  # fixed peel rounds (unrolled, one lazy plan)
+
+
+def kcore_peeling_rounds(spark: SparkSession, sf: str) -> DataFrame:
+    """K-core peeling ledger over the contracted undirected graph:
+    after each of KCORE_ROUNDS synchronous peels (drop every node whose
+    CURRENT degree < KCORE_K, keep edges with both endpoints alive),
+    report surviving nodes/edges and the round's peel count. Round 0 is
+    the unpeeled graph. A fixed round count reports the peeling
+    TRAJECTORY — the fixpoint property (round K+1 = round K) is what
+    the oracle checks at small scale, and at 100 TB the same unrolled
+    plan runs with ``localCheckpoint`` lineage cuts per round like
+    dedup_clusters' CC loop.
+
+    Per round: one degree agg keyed on the node + two semi-joins of the
+    canonical edge list — the shuffle carries (node, degree) pairs and
+    edges, never anything wider."""
+    e = _contracted_edges(spark, sf)  # canonical a < b
+    # round-0 stats need the node count over both endpoint columns
+    nodes0 = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    rows = [
+        nodes0.agg(F.count("*").alias("n_nodes")).crossJoin(
+            F.broadcast(e.agg(F.count("*").alias("n_edges")))
+        ).select(
+            F.lit(0).alias("round"), "n_nodes", "n_edges",
+            F.lit(0).cast("bigint").alias("n_peeled"),
+        )
+    ]
+    cur = e
+    prev_nodes = nodes0
+    for r in range(1, KCORE_ROUNDS + 1):
+        both = cur.select(F.col("a").alias("u")).unionAll(
+            cur.select(F.col("b").alias("u"))
+        )
+        deg = both.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select(
+            F.col("u").alias("n")
+        )
+        nxt = (
+            cur.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+        )
+        stat = (
+            keep.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(F.broadcast(nxt.agg(F.count("*").alias("n_edges"))))
+            .crossJoin(
+                F.broadcast(prev_nodes.agg(F.count("*").alias("prev_n")))
+            )
+            .select(
+                F.lit(r).alias("round"),
+                "n_nodes",
+                "n_edges",
+                (F.col("prev_n") - F.col("n_nodes")).alias("n_peeled"),
+            )
+        )
+        rows.append(stat)
+        cur, prev_nodes = nxt, keep
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionByName(rdf)
+    return out.orderBy("round")
+
+
+def _kcore_oracle_sql() -> str:
+    ctes = [
+        f"""e0 AS (
+        SELECT DISTINCT
+               LEAST(l_partkey % {TRI_K}, (l_suppkey * 7) % {TRI_K}) AS a,
+               GREATEST(l_partkey % {TRI_K}, (l_suppkey * 7) % {TRI_K}) AS b
+        FROM lineitem
+        WHERE l_partkey % {TRI_K} != (l_suppkey * 7) % {TRI_K}
+    )""",
+        """n0 AS (
+        SELECT DISTINCT u FROM (
+            SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0
+        )
+    )""",
+    ]
+    selects = [
+        "SELECT 0 AS round, (SELECT COUNT(*) FROM n0) AS n_nodes, "
+        "(SELECT COUNT(*) FROM e0) AS n_edges, CAST(0 AS BIGINT) AS n_peeled"
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""k{r} AS (
+        SELECT u FROM (
+            SELECT u, COUNT(*) AS d FROM (
+                SELECT a AS u FROM e{r - 1}
+                UNION ALL SELECT b FROM e{r - 1}
+            ) GROUP BY u
+        ) WHERE d >= {KCORE_K}
+    )""")
+        ctes.append(f"""e{r} AS (
+        SELECT a, b FROM e{r - 1}
+        WHERE a IN (SELECT u FROM k{r}) AND b IN (SELECT u FROM k{r})
+    )""")
+        prev = "n0" if r == 1 else f"k{r - 1}"
+        selects.append(
+            f"SELECT {r} AS round, (SELECT COUNT(*) FROM k{r}) AS n_nodes, "
+            f"(SELECT COUNT(*) FROM e{r}) AS n_edges, "
+            f"CAST((SELECT COUNT(*) FROM {prev}) "
+            f"- (SELECT COUNT(*) FROM k{r}) AS BIGINT) AS n_peeled"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+    )
+
+
+ORACLE["kcore_peeling_rounds"] = _kcore_oracle_sql()
+QUERIES["kcore_peeling_rounds"] = kcore_peeling_rounds

@@ -2603,3 +2603,184 @@ ORACLE["pq_adc_recall"] = (
 )
 
 QUERIES["pq_adc_recall"] = pq_adc_recall
+
+
+# ---------------------------------------------------------------------------
+# Round 8: residual quantization (RVQ) — the additive-codebook
+# counterpart of PQ (used by modern neural codecs and coarse+fine ANN):
+# stage 1 quantizes the vector with a coarse full-dimension codebook,
+# stage 2 quantizes the RESIDUAL (v − c1) with a second codebook, and
+# the reconstruction is c1 + c2.  Where PQ splits dimensions, RVQ
+# stacks refinements — the error after each stage is the curve that
+# picks the number of stages.
+
+RQ_K = 4       # centroids per stage
+RQ_ITERS = 2   # Lloyd rounds per stage (fixed, unrolled)
+
+
+def _rq_stage(vecs: DataFrame, id_col: str = "vec_id"):
+    """One RVQ stage: train an RQ_K-centroid codebook on ``vecs``
+    ((id, v) full-dimension) with RQ_ITERS Lloyd rounds (lowest-id
+    init, decimal-exact means — the kmeans determinism contract) and
+    return (assigned, cent): per-id (cid, d2) and the codebook."""
+    cent = (
+        vecs.filter(F.col(id_col) < RQ_K)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    assigned = None
+    for _ in range(RQ_ITERS):
+        scored = vecs.crossJoin(F.broadcast(cent)).select(
+            id_col, "cid", d2.alias("d2")
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(
+                id_col,
+                F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"),
+            )
+        )
+        cent = (
+            assigned.join(vecs, id_col)
+            .select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+            .select("cid", F.transform("pairs", lambda p: p["m"]).alias("c"))
+        )
+    return assigned, cent
+
+
+def rq_two_stage_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Residual-quantization error curve: per stage (1 = coarse only,
+    2 = coarse + residual codebook), the corpus mean / max squared
+    reconstruction error — read next to pq_reconstruction_error,
+    int8_quantization_error and matryoshka_truncation_error to choose
+    the compression family.  Stage-2 residuals are exact IEEE
+    subtractions of the assigned stage-1 centroid; per-vector errors
+    round to 9 decimals into DECIMAL before any corpus aggregate.
+
+    Shape: two chained codebook trainings, each the kmeans broadcast
+    pattern (corpus × RQ_K-row centroid table); residuals never
+    shuffle — the subtraction happens in the projection feeding
+    stage 2's (already shuffled) update agg."""
+    emb = widen_small_scan(table(spark, sf, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a1, c1 = _rq_stage(emb)
+    resid = (
+        a1.join(emb, "vec_id")
+        .join(F.broadcast(c1), "cid")
+        .select(
+            "vec_id",
+            F.zip_with("v", "c", lambda x, y: x - y).alias("v"),
+            F.col("d2").alias("d2_s1"),
+        )
+    )
+    a2, _ = _rq_stage(resid.select("vec_id", "v"))
+    s1 = resid.select(
+        "vec_id", F.round("d2_s1", 9).cast("decimal(28,9)").alias("err")
+    )
+    s2 = a2.select(
+        "vec_id", F.round("d2", 9).cast("decimal(28,9)").alias("err")
+    )
+    out = None
+    for stage, df in ((1, s1), (2, s2)):
+        row = df.agg(
+            F.lit(stage).alias("stage"),
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum("err").cast("double") / F.count("*"), 6
+            ).alias("avg_sq_err"),
+            F.round(F.max("err").cast("double"), 6).alias("max_sq_err"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
+
+
+def _rq_sql_stage(src: str, pfx: str) -> str:
+    """CTEs for one RVQ stage over ``src`` (id, v): {pfx}c0..cN,
+    {pfx}a1..aN."""
+    d2 = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        "i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"""{pfx}c0 AS (
+        SELECT vec_id AS cid, v AS c FROM {src} WHERE vec_id < {RQ_K}
+    )"""
+    ]
+    prev = f"{pfx}c0"
+    for r in range(1, RQ_ITERS + 1):
+        ctes.append(f"""{pfx}a{r} AS (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT s.vec_id, c.cid, {d2} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {d2}, c.cid) AS rn
+            FROM {src} s CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""{pfx}c{r} AS (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT cid, i,
+                   CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM (
+                SELECT a.cid,
+                       unnest(list_transform(generate_series(1, {DIM}),
+                           j -> {{'i': j, 'x': s.v[j]}}),
+                           recursive := true)
+                FROM {pfx}a{r} a JOIN {src} s ON a.vec_id = s.vec_id
+            )
+            GROUP BY cid, i
+        )
+        GROUP BY cid
+    )""")
+        prev = f"{pfx}c{r}"
+    return ",\n".join(ctes)
+
+
+ORACLE["rq_two_stage_error"] = f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {_rq_sql_stage("emb", "s1")},
+    resid AS (
+        SELECT a.vec_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> e.v[i] - c.c[i]) AS v,
+               a.d2 AS d2_s1
+        FROM s1a{RQ_ITERS} a
+        JOIN emb e ON a.vec_id = e.vec_id
+        JOIN s1c{RQ_ITERS} c ON a.cid = c.cid
+    ),
+    {_rq_sql_stage("resid", "s2")}
+    SELECT 1 AS stage, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(ROUND(d2_s1, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_sq_err,
+           ROUND(CAST(MAX(CAST(ROUND(d2_s1, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE), 6) AS max_sq_err
+    FROM resid
+    UNION ALL
+    SELECT 2 AS stage, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_sq_err,
+           ROUND(CAST(MAX(CAST(ROUND(d2, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE), 6) AS max_sq_err
+    FROM s2a{RQ_ITERS}
+    ORDER BY stage
+"""
+
+QUERIES["rq_two_stage_error"] = rq_two_stage_error

@@ -353,3 +353,116 @@ ORACLE["bitmap_distinct_counts"] = """
 """
 
 QUERIES["bitmap_distinct_counts"] = bitmap_distinct_counts
+
+
+# ---------------------------------------------------------------------------
+# Round 8: KMV (k-minimum-values) distinct sketch — the third mergeable
+# sketch next to Bloom and count-min, and the portable stand-in for
+# HyperLogLog: keep the k smallest hash values of a key stream; the
+# k-th smallest, as a fraction of the hash space, estimates the
+# distinct count as (k-1)/u_k (Bar-Yossef et al. 2002).  Engine-native
+# HLLs (approx_count_distinct) can never cross-check between engines;
+# KMV over the md5-based H64 hash is bit-identical in both, so the
+# sketch itself gets an external oracle.
+
+KMV_K = 32
+
+
+def kmv_distinct_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-user estimate per event type vs the exact count:
+    n_distinct, the sketch estimate, and the relative error — the
+    accuracy audit a pipeline runs before trusting sketch cardinalities
+    for capacity planning. Types with fewer than KMV_K distinct users
+    report exact (the KMV fallback: the sketch IS the full key set).
+
+    100 TB shape: one distinct on (type, user) — the same shuffle the
+    exact count needs anyway — then the k-th order statistic rides
+    ``_distributed_rank`` (range shuffle + broadcast prefix counts, no
+    one-task-per-type sort); everything after is one row per type.  In
+    a real deployment only the k minima stream to the merger; here the
+    rank formulation proves the estimator against the exact count."""
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        _distributed_rank,
+        _h64_spark,
+    )
+
+    ev = table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        _h64_spark(
+            F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))
+        ).alias("score"),
+        F.col("user_id").alias("doc_id"),
+    )
+    ranked = _distributed_rank(hashed, group_cols=["event_type"])
+    per_type = ranked.groupBy("event_type").agg(
+        F.max("_grank").alias("n_distinct"),
+        F.min(
+            F.when(F.col("_grank") == KMV_K, F.col("score"))
+        ).alias("u_k"),
+    )
+    # hash space is 60 bits (15 hex chars of md5)
+    est = F.when(
+        F.col("n_distinct") < KMV_K, F.col("n_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        * F.lit(float(1 << 60))
+        / F.col("u_k").cast("double")
+    )
+    return (
+        per_type.select(
+            "event_type",
+            "n_distinct",
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_distinct").cast("double"))
+                / F.col("n_distinct").cast("double"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["kmv_distinct_estimate"] = f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    hashed AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS h,
+               user_id
+        FROM du
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rk
+        FROM hashed
+    ),
+    per_type AS (
+        SELECT event_type, MAX(rk) AS n_distinct,
+               MIN(CASE WHEN rk = {KMV_K} THEN h END) AS u_k
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(CASE WHEN n_distinct < {KMV_K}
+                      THEN CAST(n_distinct AS DOUBLE)
+                      ELSE {float(KMV_K - 1)} * {float(1 << 60)}
+                           / CAST(u_k AS DOUBLE) END, 2) AS kmv_estimate,
+           ROUND(ABS(CASE WHEN n_distinct < {KMV_K}
+                          THEN CAST(n_distinct AS DOUBLE)
+                          ELSE {float(KMV_K - 1)} * {float(1 << 60)}
+                               / CAST(u_k AS DOUBLE) END
+                     - CAST(n_distinct AS DOUBLE))
+                 / CAST(n_distinct AS DOUBLE), 4) AS rel_error
+    FROM per_type ORDER BY event_type
+"""
+
+QUERIES["kmv_distinct_estimate"] = kmv_distinct_estimate

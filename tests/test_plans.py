@@ -492,6 +492,12 @@ INTENTIONAL_BNLJ = {
     "bpe_iterative_merges",   # 1-row argmax merge broadcast per train round
     "bpe_compression_curve",  # 1-row argmax merge broadcast per train round
     "bpe_fertility_by_lang",  # 1-row argmax merge broadcast per train round
+    "rq_two_stage_error",     # k broadcast centroids per Lloyd round (RVQ)
+    "kcore_peeling_rounds",   # 1-row node/edge count aggregates crossJoined
+    "temporal_split_audit",   # 1-row cutoff-day aggregate broadcast
+    "bradley_terry_strengths",   # 1-row strength-normalizer broadcast per MM round
+    "dpo_pair_sampling_weights",  # 1-row (total, k_types) aggregate broadcast
+    "preference_cycle_triads",    # #types-row type list self-crossed (triads)
 }
 
 
