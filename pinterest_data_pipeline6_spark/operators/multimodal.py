@@ -445,3 +445,85 @@ ORACLE["media_content_dedup"] = """
 """
 
 QUERIES["media_content_dedup"] = media_content_dedup
+
+
+def media_byte_entropy_by_kind(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-distribution health profile of BINARY payloads per media
+    kind: total bytes, distinct byte values, and the byte entropy in
+    bits — the cheapest corruption/codec screen there is (a healthy
+    compressed codec sits near 8 bits; structured text far below; a
+    stuck encoder collapses toward 0) and it needs no decoder at all,
+    so it runs on any payload the pipeline ever ingests.
+
+    Catalyst-native byte histogram — NO UDF: hex() the payload once,
+    explode byte OFFSETS (the codegen index idiom), and read each byte
+    as a 2-char substring. The shuffle carries (kind, byte) pairs that
+    partial-aggregate to <= 256 rows per kind per task; entropy terms
+    round to 9 decimals into DECIMAL (the reid_risk_entropy libm
+    convention). Linear in payload bytes — the floor for any
+    byte-level statistic."""
+    media = synthesize_media(spark, sf)
+    hx = media.select("kind", F.hex("payload").alias("hx"))
+    bytes_ = (
+        hx.select(
+            "kind",
+            "hx",
+            F.explode(
+                F.sequence(F.lit(1), (F.length("hx") / 2).cast("int"))
+            ).alias("i"),
+        )
+        .select(
+            "kind",
+            F.substring(
+                "hx", (F.col("i") * 2 - 1).cast("int"), 2
+            ).alias("b"),
+        )
+    )
+    counts = bytes_.groupBy("kind", "b").agg(F.count("*").alias("k"))
+    totals = counts.groupBy("kind").agg(F.sum("k").alias("n"))
+    j = counts.join(F.broadcast(totals), "kind")
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    term = F.round(-(p * F.log2(p)), 9).cast("decimal(20,9)")
+    return (
+        j.groupBy("kind")
+        .agg(
+            F.max("n").cast("bigint").alias("total_bytes"),
+            F.count("*").alias("n_distinct_bytes"),
+            F.round(F.sum(term).cast("double"), 6).alias("byte_entropy_bits"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE["media_byte_entropy_by_kind"] = """
+    WITH hx AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               hex(encode(text)) AS h
+        FROM documents
+    ),
+    bytes_ AS (
+        SELECT kind, substr(h, CAST(i * 2 - 1 AS INT), 2) AS b
+        FROM (
+            SELECT kind, h,
+                   unnest(generate_series(1, len(h) // 2)) AS i
+            FROM hx
+        )
+    ),
+    counts AS (
+        SELECT kind, b, COUNT(*) AS k FROM bytes_ GROUP BY kind, b
+    ),
+    totals AS (SELECT kind, SUM(k) AS n FROM counts GROUP BY kind)
+    SELECT kind,
+           CAST(MAX(n) AS BIGINT) AS total_bytes,
+           COUNT(*) AS n_distinct_bytes,
+           ROUND(CAST(SUM(CAST(ROUND(
+                    -(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    * LOG2(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE), 6) AS byte_entropy_bits
+    FROM counts JOIN totals USING (kind)
+    GROUP BY kind ORDER BY kind
+"""
+
+QUERIES["media_byte_entropy_by_kind"] = media_byte_entropy_by_kind
