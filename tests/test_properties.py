@@ -2837,3 +2837,114 @@ def test_bradley_terry_matches_python_reference(
         assert got[t][0] == W[t], t
         assert got[t][1] == N[t], t
         assert got[t][2] == pytest.approx(round(p[t], 6), abs=2e-6), t
+
+
+def test_kcore_peeling_matches_brute_force(spark):
+    """The unrolled 3-round k-core peel must match a direct Python peel
+    over the same contracted edge set at sf0.001."""
+    from pinterest_data_pipeline6_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _contracted_edges,
+        kcore_peeling_rounds,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = {
+        (r.a, r.b) for r in _contracted_edges(spark, sf).collect()
+    }
+    got = {
+        r["round"]: (r["n_nodes"], r["n_edges"], r["n_peeled"])
+        for r in kcore_peeling_rounds(spark, sf).collect()
+    }
+
+    nodes = {n for e in edges for n in e}
+    cur = set(edges)
+    prev_n = len(nodes)
+    assert got[0] == (len(nodes), len(edges), 0)
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg: dict = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        assert got[r] == (len(keep), len(cur), prev_n - len(keep)), r
+        prev_n = len(keep)
+
+
+def test_kmv_estimate_matches_hashlib_reference(spark):
+    """The KMV order statistic and estimate must match a driver-side
+    hashlib computation over the same distinct users at sf0.001."""
+    import hashlib
+    from collections import defaultdict
+
+    from pinterest_data_pipeline6_spark.operators.sketches import (
+        KMV_K,
+        kmv_distinct_estimate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", "user_id"
+    ).where("event_type is not null and user_id is not null").distinct()
+    users = defaultdict(set)
+    for r in ev.collect():
+        users[r.event_type].add(r.user_id)
+
+    got = {
+        r["event_type"]: (r["n_distinct"], r["kmv_estimate"])
+        for r in kmv_distinct_estimate(spark, sf).collect()
+    }
+    for t, us in users.items():
+        hashes = sorted(
+            int(hashlib.md5(f"kmv|{u}".encode()).hexdigest()[:15], 16)
+            for u in us
+        )
+        n = len(us)
+        if n < KMV_K:
+            est = float(n)
+        else:
+            est = (KMV_K - 1) * float(1 << 60) / hashes[KMV_K - 1]
+        assert got[t] == (n, pytest.approx(round(est, 2), abs=1e-6)), t
+
+
+def test_temporal_split_audit_matches_brute_force(spark):
+    """Cutoff pick, side volumes and user-overlap must match a direct
+    Python split at sf0.001."""
+    import math
+    from collections import defaultdict
+
+    from pinterest_data_pipeline6_spark.operators.events import (
+        SPLIT_TRAIN_PCT,
+        temporal_split_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr("event_type", "user_id", "cast(ts as date) as day")
+        .where("ts is not null and user_id is not null "
+               "and event_type is not null")
+        .collect()
+    )
+    days = sorted({r.day for r in rows})
+    cutoff = days[math.ceil(len(days) * SPLIT_TRAIN_PCT / 100) - 1]
+    agg = defaultdict(lambda: [0, 0, set(), set()])
+    for r in rows:
+        a = agg[r.event_type]
+        if r.day <= cutoff:
+            a[0] += 1
+            a[2].add(r.user_id)
+        else:
+            a[1] += 1
+            a[3].add(r.user_id)
+    got = {
+        r["event_type"]: (
+            r["n_train_events"], r["n_test_events"], r["n_train_users"],
+            r["n_test_users"], r["n_overlap_users"],
+        )
+        for r in temporal_split_audit(spark, sf).collect()
+    }
+    for t, (ntr, nte, utr, ute) in agg.items():
+        assert got[t] == (ntr, nte, len(utr), len(ute), len(utr & ute)), t
