@@ -180,6 +180,13 @@ def _bt_chain(comp: DataFrame):
         .groupBy("i", "j")
         .agg(F.sum("w").alias("n"))
     )
+    # The MM rounds below reference n_ij/stats many times each; left
+    # lazy, every reference re-derives the comparison self-join from
+    # raw events (measured 14 s at sf0.1 — ~10 redundant fact scans).
+    # Both tables are bounded by #types² rows, so materializing them
+    # with localCheckpoint costs nothing and turns each MM round into
+    # arithmetic over a tiny cached table — the ledger-twin pattern.
+    n_ij = n_ij.localCheckpoint(eager=True)
     stats = (
         n_ij.groupBy("i")
         .agg(F.sum("n").alias("n_comparisons"))
@@ -191,6 +198,7 @@ def _bt_chain(comp: DataFrame):
             F.coalesce("n_wins", F.lit(0)).alias("n_wins"),
             "n_comparisons",
         )
+        .localCheckpoint(eager=True)
     )
     p = stats.select("event_type", F.lit(1.0).alias("p"))
     for _ in range(BT_ROUNDS):
@@ -225,9 +233,16 @@ def _bt_chain(comp: DataFrame):
         tot = raw.agg(
             F.sum(F.col("raw").cast("decimal(28,9)")).alias("t")
         )
-        p = raw.crossJoin(F.broadcast(tot)).select(
-            F.col("i").alias("event_type"),
-            F.round(F.col("raw") / F.col("t").cast("double"), 9).alias("p"),
+        # each round reads p TWICE (pi, pj) — left lazy the plan tree
+        # doubles per round; checkpointing the #types-row table keeps
+        # every round a constant-size job
+        p = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("i").alias("event_type"),
+                F.round(F.col("raw") / F.col("t").cast("double"), 9).alias("p"),
+            )
+            .localCheckpoint(eager=True)
         )
     return stats, p
 
