@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pinterest_data_pipeline6_spark.sources.readers import table
 
@@ -399,24 +400,19 @@ def kcore_peeling_rounds(spark: SparkSession, sf: str) -> DataFrame:
     Per round: one degree agg keyed on the node + two semi-joins of the
     canonical edge list — the shuffle carries (node, degree) pairs and
     edges, never anything wider."""
-    e = _contracted_edges(spark, sf)  # canonical a < b
-    # round-0 stats need the node count over both endpoint columns
+    e = _contracted_edges(spark, sf).localCheckpoint(eager=True)
+    # the contracted graph is bounded (TRI_K nodes, <= TRI_K^2/2
+    # canonical edges), so ONE checkpoint materializes the whole graph
+    # and every peel round below is constant-size work on it
     nodes0 = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .distinct()
     )
-    rows = [
-        nodes0.agg(F.count("*").alias("n_nodes")).crossJoin(
-            F.broadcast(e.agg(F.count("*").alias("n_edges")))
-        ).select(
-            F.lit(0).alias("round"), "n_nodes", "n_edges",
-            F.lit(0).cast("bigint").alias("n_peeled"),
-        )
-    ]
+    node_sets = [nodes0]
+    edge_sets = [e]
     cur = e
-    prev_nodes = nodes0
-    for r in range(1, KCORE_ROUNDS + 1):
+    for _ in range(KCORE_ROUNDS):
         both = cur.select(F.col("a").alias("u")).unionAll(
             cur.select(F.col("b").alias("u"))
         )
@@ -424,29 +420,57 @@ def kcore_peeling_rounds(spark: SparkSession, sf: str) -> DataFrame:
         keep = deg.filter(F.col("d") >= KCORE_K).select(
             F.col("u").alias("n")
         )
-        nxt = (
+        # each round reads `cur` three times (degree agg + two semi
+        # joins) — checkpoint the (bounded) survivor edge set so the
+        # plan tree stays linear in rounds, the BT-MM lineage cut
+        cur = (
             cur.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
         )
-        stat = (
-            keep.agg(F.count("*").alias("n_nodes"))
-            .crossJoin(F.broadcast(nxt.agg(F.count("*").alias("n_edges"))))
-            .crossJoin(
-                F.broadcast(prev_nodes.agg(F.count("*").alias("prev_n")))
-            )
-            .select(
-                F.lit(r).alias("round"),
-                "n_nodes",
-                "n_edges",
-                (F.col("prev_n") - F.col("n_nodes")).alias("n_peeled"),
-            )
+        node_sets.append(keep)
+        edge_sets.append(cur)
+    # ONE aggregate per ledger column over round-tagged unions (instead
+    # of 3 crossJoined scalar aggs per round): all sources are
+    # checkpointed tiny tables, so the whole ledger is a single job
+    tag = lambda dfs, col: [
+        df.select(F.lit(r).alias("round"), F.col(col))
+        for r, df in enumerate(dfs)
+    ]
+    nodes_tagged = tag(node_sets, "n")[0]
+    for d in tag(node_sets, "n")[1:]:
+        nodes_tagged = nodes_tagged.unionByName(d)
+    edges_tagged = tag(edge_sets, "a")[0]
+    for d in tag(edge_sets, "a")[1:]:
+        edges_tagged = edges_tagged.unionByName(d)
+    n_counts = nodes_tagged.groupBy("round").agg(
+        F.count("*").alias("n_nodes")
+    )
+    e_counts = edges_tagged.groupBy("round").agg(
+        F.count("*").alias("n_edges")
+    )
+    # literal rounds spine: a round whose survivor set is EMPTY has no
+    # group above, but the ledger (like the oracle) must still list it
+    # with zeros — e.g. a graph fully peeled in round 1
+    spine = spark.range(KCORE_ROUNDS + 1).select(
+        F.col("id").cast("int").alias("round")
+    )
+    w = Window.orderBy("round")
+    return (
+        spine.join(n_counts, "round", "left")
+        .join(e_counts, "round", "left")
+        .select(
+            "round",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce(
+                F.lag(F.coalesce("n_nodes", F.lit(0))).over(w)
+                - F.coalesce("n_nodes", F.lit(0)),
+                F.lit(0),
+            ).cast("bigint").alias("n_peeled"),
         )
-        rows.append(stat)
-        cur, prev_nodes = nxt, keep
-    out = rows[0]
-    for rdf in rows[1:]:
-        out = out.unionByName(rdf)
-    return out.orderBy("round")
+        .orderBy("round")
+    )
 
 
 def _kcore_oracle_sql() -> str:
