@@ -309,8 +309,13 @@ def bradley_terry_strengths(spark: SparkSession, sf: str) -> DataFrame:
     random opponent drawn by comparison mass."""
     comp = _comparisons(spark, sf)
     stats, p = _bt_chain(comp)
+    # p is a #types-row checkpointed table: broadcast it — a sort-merge
+    # exchange on the ~5-value event_type key would funnel into a
+    # handful of reducers (and trips the registry low-card-shuffle
+    # sweep, which cannot see that the checkpointed source is already
+    # an aggregate)
     return (
-        stats.join(p, "event_type")
+        stats.join(F.broadcast(p), "event_type")
         .select(
             "event_type",
             "n_wins",
@@ -820,3 +825,90 @@ ORACLE["preference_rater_consistency"] = f"""
 """
 
 QUERIES["preference_rater_consistency"] = preference_rater_consistency
+
+
+WILSON_Z = 1.96  # 95% normal quantile, driver-side literal
+
+
+def pairwise_wilson_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilson 95% score intervals on each pair's decisive win rate —
+    the uncertainty the raw win_rate_a hides: a 2/3 and a 200/300 both
+    say 0.667, but only one of them supports a ranking decision. Pairs
+    whose interval straddles 0.5 are statistically undecided; count
+    them before trusting any order the matrix implies.
+
+    Determinism note: beyond +/*/÷, the only math function here is
+    sqrt, which IEEE 754 REQUIRES to be correctly rounded — both
+    engines produce the identical double, so no rounding-margin
+    convention is needed (unlike log2/pow entries). z = 1.96 is a
+    driver literal."""
+    comp = _comparisons(spark, sf)
+    m = (
+        comp.filter(F.col("cents_a") != F.col("cents_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("cents_a") > F.col("cents_b")).cast("bigint")).alias("wa"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("wa").cast("double") / n
+    z2 = F.lit(WILSON_Z * WILSON_Z)
+    center = (p + z2 / (2 * n)) / (1 + z2 / n)
+    half = (
+        F.lit(WILSON_Z)
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / (1 + z2 / n)
+    )
+    lo, hi = center - half, center + half
+    return (
+        m.select(
+            "type_a",
+            "type_b",
+            F.col("n").alias("n_decisive"),
+            F.round(p, 6).alias("win_rate_a"),
+            F.round(lo, 6).alias("wilson_lo"),
+            F.round(hi, 6).alias("wilson_hi"),
+            ((lo < 0.5) & (hi > 0.5)).alias("undecided"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE["pairwise_wilson_intervals"] = f"""
+    WITH {_COMP_SQL},
+    m AS (
+        SELECT type_a, type_b, COUNT(*) AS n,
+               SUM(CASE WHEN cents_a > cents_b THEN 1 ELSE 0 END) AS wa
+        FROM comp WHERE cents_a != cents_b
+        GROUP BY type_a, type_b
+    ),
+    c AS (
+        SELECT type_a, type_b, n,
+               CAST(wa AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+               CAST(n AS DOUBLE) AS nd
+        FROM m
+    ),
+    w AS (
+        SELECT type_a, type_b, n, p,
+               (p + {WILSON_Z * WILSON_Z} / (2 * nd))
+                   / (1 + {WILSON_Z * WILSON_Z} / nd)
+                 - {WILSON_Z} * sqrt(p * (1 - p) / nd
+                       + {WILSON_Z * WILSON_Z} / (4 * nd * nd))
+                   / (1 + {WILSON_Z * WILSON_Z} / nd) AS lo,
+               (p + {WILSON_Z * WILSON_Z} / (2 * nd))
+                   / (1 + {WILSON_Z * WILSON_Z} / nd)
+                 + {WILSON_Z} * sqrt(p * (1 - p) / nd
+                       + {WILSON_Z * WILSON_Z} / (4 * nd * nd))
+                   / (1 + {WILSON_Z * WILSON_Z} / nd) AS hi
+        FROM c
+    )
+    SELECT type_a, type_b, n AS n_decisive,
+           ROUND(p, 6) AS win_rate_a,
+           ROUND(lo, 6) AS wilson_lo,
+           ROUND(hi, 6) AS wilson_hi,
+           lo < 0.5 AND hi > 0.5 AS undecided
+    FROM w ORDER BY type_a, type_b
+"""
+
+QUERIES["pairwise_wilson_intervals"] = pairwise_wilson_intervals

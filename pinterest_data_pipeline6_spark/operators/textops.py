@@ -2915,3 +2915,79 @@ ORACLE["bpe_fertility_by_lang"] = (
 )
 
 QUERIES["bpe_fertility_by_lang"] = bpe_fertility_by_lang
+
+
+def lang_confidence_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Confidence profile of the heuristic language-ID: per TRUE label,
+    the distribution of the classifier's decision margin (best marker
+    count minus second best — integers, so exactly portable). The
+    confusion matrix says WHERE it errs; the margin histogram says how
+    often it decides on a knife edge (margin 0 = coin toss between two
+    languages), which is what calibrates an abstain threshold.
+
+    Row-local scoring identical to lang_id_confusion; the margin is
+    a sort over the fixed 5-score array per row (no shuffle), then one
+    aggregate per (lang, margin-bucket)."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = _tokens()
+    scores = F.array(
+        *[
+            F.size(F.filter(toks, lambda t: t.isin(*markers)))
+            for _, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    sorted_scores = F.array_sort(scores)  # ascending
+    best = F.element_at(sorted_scores, -1)
+    second = F.element_at(sorted_scores, -2)
+    margin = best - second
+    bucket = (
+        F.when(margin == 0, "m0_tie")
+        .when(margin <= 2, "m1_narrow")
+        .when(margin <= 5, "m2_clear")
+        .otherwise("m3_strong")
+    )
+    return (
+        docs.select("lang", bucket.alias("margin_bucket"), margin.alias("m"))
+        .groupBy("lang", "margin_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("m").cast("double") / F.count("*").cast("double"), 4
+            ).alias("avg_margin"),
+        )
+        .orderBy("lang", "margin_bucket")
+    )
+
+
+def _lang_margin_oracle() -> str:
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            "len(list_filter(string_split(text, ' '), "
+            f"t -> t IN ({inlist})))"
+        )
+    arr = "[" + ", ".join(score_exprs) + "]"
+    return f"""
+    WITH scored AS (
+        SELECT lang,
+               list_sort({arr}) AS ss
+        FROM documents
+    ),
+    m AS (
+        SELECT lang, ss[-1] - ss[-2] AS margin FROM scored
+    )
+    SELECT lang,
+           CASE WHEN margin = 0 THEN 'm0_tie'
+                WHEN margin <= 2 THEN 'm1_narrow'
+                WHEN margin <= 5 THEN 'm2_clear'
+                ELSE 'm3_strong' END AS margin_bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(margin) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS avg_margin
+    FROM m GROUP BY 1, 2 ORDER BY lang, margin_bucket
+"""
+
+
+ORACLE["lang_confidence_margin"] = _lang_margin_oracle()
+QUERIES["lang_confidence_margin"] = lang_confidence_margin

@@ -2948,3 +2948,183 @@ def test_temporal_split_audit_matches_brute_force(spark):
     }
     for t, (ntr, nte, utr, ute) in agg.items():
         assert got[t] == (ntr, nte, len(utr), len(ute), len(utr & ute)), t
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user
+            st.integers(0, 1),      # day
+            st.integers(0, 2),      # type
+            st.integers(-50, 50),   # value decicents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_preference_family_matches_brute_force(spark, rows, tmp_path_factory):
+    """pairwise_preference_matrix, dpo_pair_sampling_weights and
+    preference_agreement_rate must match one shared Python brute force
+    over the same derived comparisons (win/tie counting, chosen/
+    rejected extraction, per-user majority votes)."""
+    import datetime
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pinterest_data_pipeline6_spark.operators.preference import (
+        dpo_pair_sampling_weights,
+        pairwise_preference_matrix,
+        preference_agreement_rate,
+    )
+
+    data = [
+        (i, datetime.datetime(2024, 1, 1 + d, 9), u, f"t{t}", v / 10.0, None)
+        for i, (u, d, t, v) in enumerate(rows)
+    ]
+    out = tmp_path_factory.mktemp("pref_fam")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    # shared comparison construction
+    cents: dict = defaultdict(int)
+    for u, d, t, v in rows:
+        c = int(
+            Decimal((v / 10.0) * 100).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        cents[(u, d, f"t{t}")] += c
+    ud_types = defaultdict(set)
+    for (u, d, t) in cents:
+        ud_types[(u, d)].add(t)
+    comps = []  # (user, type_a, type_b, ca, cb)
+    for (u, d), types in ud_types.items():
+        ts_sorted = sorted(types)
+        for i, a in enumerate(ts_sorted):
+            for b in ts_sorted[i + 1:]:
+                comps.append((u, a, b, cents[(u, d, a)], cents[(u, d, b)]))
+
+    # 1. matrix
+    got_m = {
+        (r["type_a"], r["type_b"]): (
+            r["n_comparisons"], r["wins_a"], r["wins_b"], r["ties"]
+        )
+        for r in pairwise_preference_matrix(spark, str(out)).collect()
+    }
+    want_m: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for _, a, b, ca, cb in comps:
+        w = want_m[(a, b)]
+        w[0] += 1
+        w[1] += ca > cb
+        w[2] += ca < cb
+        w[3] += ca == cb
+    assert got_m == {k: tuple(v) for k, v in want_m.items()}
+
+    # 2. dpo pairs
+    got_d = {
+        (r["chosen"], r["rejected"]): r["n_pairs"]
+        for r in dpo_pair_sampling_weights(spark, str(out)).collect()
+    }
+    want_d: dict = defaultdict(int)
+    for _, a, b, ca, cb in comps:
+        if ca != cb:
+            want_d[(a, b) if ca > cb else (b, a)] += 1
+    assert got_d == dict(want_d)
+
+    # 3. agreement
+    got_a = {
+        (r["type_a"], r["type_b"]): (r["n_raters"], r["agreement_rate"])
+        for r in preference_agreement_rate(spark, str(out)).collect()
+    }
+    votes: dict = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for u, a, b, ca, cb in comps:
+        v = votes[(a, b)][u]
+        v[0] += ca > cb
+        v[1] += ca < cb
+    for pair, users in votes.items():
+        tally: dict = defaultdict(int)
+        for u, (wa, wb) in users.items():
+            tally["a" if wa > wb else "b" if wb > wa else "tie"] += 1
+        n = sum(tally.values())
+        agree = (
+            round(
+                sum(c * (c - 1) for c in tally.values()) / (n * (n - 1)), 6
+            )
+            if n > 1
+            else None
+        )
+        got_n, got_rate = got_a[pair]
+        assert got_n == n, pair
+        if agree is None:
+            assert got_rate is None, pair
+        else:
+            assert got_rate == pytest.approx(agree, abs=1e-9), pair
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # source
+            st.lists(st.integers(0, 2), min_size=1, max_size=30),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_source_boilerplate_removal_matches_brute_force(
+    spark, docs, tmp_path_factory
+):
+    """boilerplate_para_removal_by_source must match a direct Python
+    within-source df>=threshold removal over the same 12-token
+    chunks."""
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        PARA_BOILER_MIN_DOCS,
+        PARA_TOKENS,
+        boilerplate_para_removal_by_source,
+    )
+
+    rows = [
+        (i, " ".join(f"w{t}" for t in toks), "en", f"s{s}", 0)
+        for i, (s, toks) in enumerate(docs)
+    ]
+    out = tmp_path_factory.mktemp("boiler_prop")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_paras"], r["n_removed"],
+                      r["tokens_removed"], r["tokens_kept"])
+        for r in boilerplate_para_removal_by_source(
+            spark, str(out)
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    occs = defaultdict(list)   # source -> [(doc_id, chunk, p_tok)]
+    df = defaultdict(set)      # (source, chunk) -> doc ids
+    for doc_id, text, _, src, _ in rows:
+        toks = text.split(" ")
+        n_chunks = (len(toks) - 1) // PARA_TOKENS + 1
+        for i in range(n_chunks):
+            chunk = " ".join(toks[i * PARA_TOKENS:(i + 1) * PARA_TOKENS])
+            occs[src].append((doc_id, chunk, len(chunk.split(" "))))
+            df[(src, chunk)].add(doc_id)
+    for src, lst in occs.items():
+        n_docs = len({d for d, _, _ in lst})
+        n_paras = len(lst)
+        rm = kept = n_removed = 0
+        for d, chunk, p_tok in lst:
+            if len(df[(src, chunk)]) >= PARA_BOILER_MIN_DOCS:
+                n_removed += 1
+                rm += p_tok
+            else:
+                kept += p_tok
+        assert got[src] == (n_docs, n_paras, n_removed, rm, kept), src
