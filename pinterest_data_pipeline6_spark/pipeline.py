@@ -69,7 +69,14 @@ def run_batch(
 
     if persist_tables:
         # S5 sinks (BATCH:108-109,190): queries then read the persisted
-        # parquet (scan-time pruning/pushdown) instead of re-cleaning
+        # parquet (scan-time pruning/pushdown) instead of re-cleaning.
+        # Drop any same-named TEMP views first: a leftover
+        # register_cleaned_views session would otherwise SHADOW the
+        # managed tables for both the reads below and ANALYZE (which
+        # refuses uncached temp views outright).
+        for tbl in ("pin_table", "geo_table", "user_table",
+                    "followers_table"):
+            spark.catalog.dropTempView(tbl)
         save_table(pin, "pin_table")
         save_table(geo, "geo_table")
         save_table(user, "user_table")
