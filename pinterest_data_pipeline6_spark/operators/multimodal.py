@@ -464,8 +464,13 @@ def media_byte_entropy_by_kind(spark: SparkSession, sf: str) -> DataFrame:
     byte-level statistic."""
     media = synthesize_media(spark, sf)
     hx = media.select("kind", F.hex("payload").alias("hx"))
+    # Guard empty payloads BEFORE the explode: Spark's sequence(1, 0)
+    # returns the DESCENDING [1, 0] (two spurious rows) while DuckDB's
+    # generate_series(1, 0) is empty — the same gotcha _bpe_pair_counts
+    # guards with its size filter.
     bytes_ = (
-        hx.select(
+        hx.filter(F.length("hx") > 0)
+        .select(
             "kind",
             "hx",
             F.explode(

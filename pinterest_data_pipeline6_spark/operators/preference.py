@@ -420,11 +420,15 @@ QUERIES["preference_agreement_rate"] = preference_agreement_rate
 def condorcet_winner_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Condorcet audit of the majority relation: per type, how many
     head-to-head majorities it wins / loses / draws, and whether it is
-    the Condorcet winner (beats EVERY other type head-to-head).  A
-    preference dataset with no Condorcet winner cannot be consistently
-    rank-ordered by any aggregation rule — worth knowing before fitting
-    one.  The majority relation lives on the #types² matrix; every step
-    below the comparison agg is constant-size."""
+    the Condorcet winner — beats EVERY other observed type, i.e.
+    n_majority_wins == (total distinct types - 1), NOT merely every
+    opponent it happens to have comparisons with (a type missing a
+    pairing cannot be the winner).  A preference dataset with no
+    Condorcet winner cannot be consistently rank-ordered by any
+    aggregation rule — worth knowing before fitting one.  The majority
+    relation lives on the #types² matrix; every step below the
+    comparison agg is constant-size (the type count joins back as a
+    broadcast singleton)."""
     comp = _comparisons(spark, sf)
     m = (
         comp.groupBy("type_a", "type_b")
@@ -453,17 +457,23 @@ def condorcet_winner_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((F.col("res") == 1).cast("bigint")).alias("n_majority_wins"),
         F.sum((F.col("res") == -1).cast("bigint")).alias("n_majority_losses"),
         F.sum((F.col("res") == 0).cast("bigint")).alias("n_majority_draws"),
-        F.count("*").alias("n_opponents"),
     )
-    return per_type.select(
-        F.col("t").alias("event_type"),
-        "n_majority_wins",
-        "n_majority_losses",
-        "n_majority_draws",
-        (F.col("n_majority_wins") == F.col("n_opponents")).alias(
-            "is_condorcet_winner"
-        ),
-    ).orderBy("event_type")
+    n_types = directed.select("t").distinct().agg(
+        F.count("*").alias("n_types")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(n_types))
+        .select(
+            F.col("t").alias("event_type"),
+            "n_majority_wins",
+            "n_majority_losses",
+            "n_majority_draws",
+            (F.col("n_majority_wins") == F.col("n_types") - 1).alias(
+                "is_condorcet_winner"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 ORACLE["condorcet_winner_audit"] = f"""
@@ -492,7 +502,8 @@ ORACLE["condorcet_winner_audit"] = f"""
                AS n_majority_losses,
            CAST(SUM(CASE WHEN res = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_majority_draws,
-           SUM(CASE WHEN res = 1 THEN 1 ELSE 0 END) = COUNT(*)
+           SUM(CASE WHEN res = 1 THEN 1 ELSE 0 END)
+               = (SELECT COUNT(DISTINCT t) FROM directed) - 1
                AS is_condorcet_winner
     FROM directed GROUP BY t ORDER BY event_type
 """

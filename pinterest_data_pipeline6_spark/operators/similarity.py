@@ -2237,36 +2237,49 @@ def _pq_subvectors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pq_train(subs: DataFrame):
-    """Returns (assigned, cent): the final per-(vec_id, sub_id) code
-    assignment with its squared distance, and the trained codebook.
-    Init = the PQ_K lowest vec_ids' subvectors (cid = vec_id), then
-    PQ_ITERS assign/update rounds with DECIMAL(28,12)-exact means —
-    the kmeans_embeddings determinism contract, per subspace."""
-    cent = (
-        subs.filter(F.col("vec_id") < PQ_K)
-        .select("sub_id", F.col("vec_id").alias("cid"), F.col("sv").alias("c"))
-    )
+def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Argmin-code assignment of every (vec_id, sub_id) subvector
+    against a codebook: broadcast join vs the <= PQ_M*PQ_K-row
+    codebook, min-struct tie-break on cid."""
     d2 = F.aggregate(
         F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda a, b: a + b,
     )
+    scored = subs.join(F.broadcast(cent), "sub_id").select(
+        "vec_id", "sub_id", "cid", d2.alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+def _pq_train(subs: DataFrame):
+    """Returns (assigned, cent): the final per-(vec_id, sub_id) code
+    assignment with its squared distance, and the trained codebook.
+    Init = the PQ_K lowest vec_ids' subvectors (cid = vec_id), then
+    PQ_ITERS assign/update rounds with DECIMAL(28,12)-exact means —
+    the kmeans_embeddings determinism contract, per subspace.
+
+    Note: ``assigned`` is the round-PQ_ITERS assignment, computed
+    against the round-(PQ_ITERS-1) codebook — ``cent`` is half a Lloyd
+    step newer (that IS the k-means trajectory).  Callers that need
+    codes consistent with the FINAL codebook (ADC) must re-assign via
+    ``_pq_assign(subs, cent)``."""
+    cent = (
+        subs.filter(F.col("vec_id") < PQ_K)
+        .select("sub_id", F.col("vec_id").alias("cid"), F.col("sv").alias("c"))
+    )
     assigned = None
     for _ in range(PQ_ITERS):
-        scored = subs.join(F.broadcast(cent), "sub_id").select(
-            "vec_id", "sub_id", "cid", d2.alias("d2")
-        )
-        assigned = (
-            scored.groupBy("vec_id", "sub_id")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select(
-                "vec_id",
-                "sub_id",
-                F.col("m.cid").alias("cid"),
-                F.col("m.d2").alias("d2"),
-            )
-        )
+        assigned = _pq_assign(subs, cent)
         cent = (
             assigned.join(subs, ["vec_id", "sub_id"])
             .select("sub_id", "cid", F.posexplode("sv").alias("i", "x"))
@@ -2288,9 +2301,12 @@ def _pq_train(subs: DataFrame):
     return assigned, cent
 
 
-def _pq_sql_ctes() -> str:
+def _pq_sql_ctes(final_assign: bool = False) -> str:
     """DuckDB twin of ``_pq_subvectors`` + ``_pq_train``: CTEs subs,
-    c0..c{PQ_ITERS} and a1..a{PQ_ITERS} (assignments)."""
+    c0..c{PQ_ITERS} and a1..a{PQ_ITERS} (assignments).  With
+    ``final_assign`` adds CTE ``af``: codes re-assigned against the
+    FINAL codebook c{PQ_ITERS} (the ``_pq_assign(subs, cent)`` twin,
+    for ADC consistency)."""
     d2 = (
         f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}), "
         "i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i])), (a, b) -> a + b)"
@@ -2341,6 +2357,16 @@ def _pq_sql_ctes() -> str:
         GROUP BY sub_id, cid
     )""")
         prev = f"c{r}"
+    if final_assign:
+        ctes.append(f"""af AS (
+        SELECT vec_id, sub_id, cid, d2 FROM (
+            SELECT s.vec_id, s.sub_id, c.cid, {d2} AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.sub_id
+                       ORDER BY {d2}, c.cid) AS rn
+            FROM subs s JOIN c{PQ_ITERS} c ON s.sub_id = c.sub_id
+        ) WHERE rn = 1
+    )""")
     return ",\n".join(ctes)
 
 
@@ -2480,9 +2506,16 @@ def pq_adc_recall(spark: SparkSession, sf: str) -> DataFrame:
     N_QUERIES*PQ_M*PQ_K rows; per-vector ADC sums 4 lookup values
     (9-decimal rounded, DECIMAL-accumulated). Only the exact-baseline
     side scans raw vectors (broadcast-query pattern shared with
-    knn_brute_force)."""
+    knn_brute_force).
+
+    Codes are RE-ASSIGNED against the final trained codebook before
+    ADC scoring (one extra broadcast-join pass over the subvectors):
+    ``_pq_train``'s last assignment was computed against the
+    one-update-older codebook, and scoring those codes with the final
+    codebook's lookup table would measure a mixed-generation ADC."""
     subs = _pq_subvectors(spark, sf)
-    assigned, cent = _pq_train(subs)
+    _, cent = _pq_train(subs)
+    assigned = _pq_assign(subs, cent)
     q = subs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "sub_id", F.col("sv").alias("qv")
     )
@@ -2543,7 +2576,7 @@ def pq_adc_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE["pq_adc_recall"] = (
-    "WITH " + _pq_sql_ctes() + f""",
+    "WITH " + _pq_sql_ctes(final_assign=True) + f""",
     q AS (
         SELECT vec_id AS query_id, sub_id, sv AS qv FROM subs
         WHERE vec_id < {N_QUERIES}
@@ -2559,7 +2592,7 @@ ORACLE["pq_adc_recall"] = (
     adc AS (
         SELECT l.query_id, a.vec_id,
                SUM(CAST(l.qd AS DECIMAL(28,9))) AS adc
-        FROM a{PQ_ITERS} a
+        FROM af a
         JOIN lookup l ON a.sub_id = l.sub_id AND a.cid = l.cid
         WHERE a.vec_id != l.query_id
         GROUP BY l.query_id, a.vec_id

@@ -2637,16 +2637,21 @@ QUERIES["weighted_length_quantiles"] = weighted_length_quantiles
 # argmax merge -> APPLY it to the vocabulary -> recount), the same
 # fixed-round lazy-plan shape as kmeans_embeddings / label propagation.
 #
-# Representation: each vocabulary word's symbol sequence is a
-# delimiter-framed string "|c|a|t|".  Applying merge (l, r) is then a
-# LITERAL string replace of "|l|r|" with "|lr|" run TWICE — replace
-# scans left-to-right over non-overlapping occurrences, so consecutive
-# pair sites share a frame delimiter and every second site survives
-# pass one; pass two catches exactly those (two leftover sites can
-# never share a delimiter, or pass one would have taken the first).
-# Double-replace therefore equals the tokenizer's greedy left-to-right
-# merge application exactly — in BOTH engines, with no UDF and no
-# per-symbol explode in the apply step.
+# Representation: each vocabulary word's symbol sequence is a string
+# where EVERY symbol carries its own frame: "|c||a||t|" (adjacent
+# symbols therefore meet at a double delimiter "||").  Applying merge
+# (l, r) is then ONE literal string replace of "|l||r|" with "|lr|":
+# a match consumes both symbols' complete frames, so the scan resumes
+# exactly at the next symbol's own left frame and non-overlapping
+# left-to-right replace IS the tokenizer's greedy left-to-right merge
+# application — including self-pair runs ("aaaaa" with merge (a,a)
+# becomes [aa, aa, a]).  The earlier shared-delimiter form
+# ("|c|a|t|" + double replace) mis-phased self-pair runs >= 5
+# (it produced [aa, a, aa]); the per-symbol frame removes the shared
+# delimiter that caused the phase slip.  Exact in BOTH engines, with
+# no UDF and no per-symbol explode in the apply step; pinned against
+# a Python greedy reference by
+# tests/test_properties.py::test_bpe_iterative_merges_match_greedy_reference.
 #
 # Scale shape (the classic BPE-training trick): the corpus collapses to
 # its WORD-FREQUENCY table first (one shuffle, vocabulary << corpus);
@@ -2659,8 +2664,10 @@ BPE_MERGE_ROUNDS = 3
 
 
 def _bpe_word_vocab(docs: DataFrame) -> DataFrame:
-    """(w, freq, s): word-frequency vocabulary with the delimiter-framed
-    character-symbol string s = '|c|a|t|'."""
+    """(w, freq, s): word-frequency vocabulary with the per-symbol
+    framed string s = '|c||a||t|' (each symbol wrapped in its own
+    '|...|'; see the module comment for why this framing makes single
+    replace exactly greedy)."""
     return (
         docs.select(F.explode(_tokens()).alias("w"))
         .groupBy("w")
@@ -2668,27 +2675,31 @@ def _bpe_word_vocab(docs: DataFrame) -> DataFrame:
         .select(
             "w",
             "freq",
-            F.concat(
-                F.regexp_replace("w", "(.)", r"|$1"), F.lit("|")
-            ).alias("s"),
+            F.regexp_replace("w", "(.)", r"|$1|").alias("s"),
         )
     )
 
 
 def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
-    """Weighted adjacent-symbol pair counts over the framed vocab."""
+    """Weighted adjacent-symbol pair counts over the framed vocab.
+
+    Splitting '|c||a||t|' on '|' yields ['', c, '', a, '', t, ''] —
+    size 2n+1 with the n symbols at even 1-based positions 2..2n, so
+    adjacent pairs sit at (i, i+2) for i = 2, 4, .., 2n-2."""
     syms = F.split("s", "\\|")
     return (
         vocab.select("freq", syms.alias("sy"))
-        .filter(F.size("sy") >= 4)  # at least two symbols
+        .filter(F.size("sy") >= 5)  # at least two symbols
         .select(
             "freq",
             "sy",
-            F.explode(F.sequence(F.lit(2), F.size("sy") - 2)).alias("i"),
+            F.explode(
+                F.sequence(F.lit(2), F.size("sy") - 3, F.lit(2))
+            ).alias("i"),
         )
         .select(
             F.element_at("sy", F.col("i").cast("int")).alias("left_sym"),
-            F.element_at("sy", F.col("i").cast("int") + 1).alias("right_sym"),
+            F.element_at("sy", F.col("i").cast("int") + 2).alias("right_sym"),
             "freq",
         )
         .groupBy("left_sym", "right_sym")
@@ -2715,12 +2726,15 @@ def _bpe_top1(pairs: DataFrame) -> DataFrame:
 
 
 def _bpe_apply(vocab: DataFrame, top1: DataFrame) -> DataFrame:
-    """Apply the merge to every vocab word: literal double-replace of
-    '|l|r|' -> '|lr|' (see module comment for why twice is exact)."""
-    pat = F.concat(F.lit("|"), "left_sym", F.lit("|"), "right_sym", F.lit("|"))
+    """Apply the merge to every vocab word: ONE literal replace of
+    '|l||r|' -> '|lr|' (exactly greedy under the per-symbol framing;
+    see module comment)."""
+    pat = F.concat(
+        F.lit("|"), "left_sym", F.lit("||"), "right_sym", F.lit("|")
+    )
     rep = F.concat(F.lit("|"), "left_sym", "right_sym", F.lit("|"))
     return vocab.crossJoin(F.broadcast(top1)).select(
-        "w", "freq", F.replace(F.replace("s", pat, rep), pat, rep).alias("s")
+        "w", "freq", F.replace("s", pat, rep).alias("s")
     )
 
 
@@ -2743,7 +2757,7 @@ def _bpe_sql_ctes(src: str = "documents") -> str:
     ctes = [
         f"""v0 AS (
             SELECT w, COUNT(*) AS freq,
-                   regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS s
+                   regexp_replace(w, '(.)', '|\\1|', 'g') AS s
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {src})
             GROUP BY w
         )"""
@@ -2751,14 +2765,14 @@ def _bpe_sql_ctes(src: str = "documents") -> str:
     for k in range(1, BPE_MERGE_ROUNDS + 1):
         ctes.append(
             f"""p{k} AS (
-            SELECT sy[i] AS left_sym, sy[i + 1] AS right_sym,
+            SELECT sy[i] AS left_sym, sy[i + 2] AS right_sym,
                    CAST(SUM(freq) AS BIGINT) AS pair_count
             FROM (
                 SELECT freq, sy,
-                       unnest(generate_series(2, len(sy) - 2)) AS i
+                       unnest(generate_series(2, len(sy) - 3, 2)) AS i
                 FROM (SELECT freq, string_split(s, '|') AS sy
                       FROM v{k - 1})
-                WHERE len(sy) >= 4
+                WHERE len(sy) >= 5
             )
             GROUP BY 1, 2
         )"""
@@ -2772,10 +2786,8 @@ def _bpe_sql_ctes(src: str = "documents") -> str:
         ctes.append(
             f"""v{k} AS (
             SELECT w, freq,
-                   replace(replace(s,
-                       '|' || left_sym || '|' || right_sym || '|',
-                       '|' || left_sym || right_sym || '|'),
-                       '|' || left_sym || '|' || right_sym || '|',
+                   replace(s,
+                       '|' || left_sym || '||' || right_sym || '|',
                        '|' || left_sym || right_sym || '|') AS s
             FROM v{k - 1} CROSS JOIN t{k}
         )"""
@@ -2823,7 +2835,8 @@ def bpe_compression_curve(spark: SparkSession, sf: str) -> DataFrame:
     the one final double division."""
     docs = widen_small_scan(table(spark, sf, "documents"))
     _, vocabs = _bpe_chain(docs)
-    n_sym = F.size(F.split("s", "\\|")) - 2
+    # '|c||a||t|' splits on '|' into 2n+1 elements for n symbols.
+    n_sym = ((F.size(F.split("s", "\\|")) - 1) / 2).cast("long")
     out = None
     for k, v in enumerate(vocabs):
         row = v.agg(
@@ -2844,9 +2857,9 @@ ORACLE["bpe_compression_curve"] = (
     "WITH " + _bpe_sql_ctes() + "\n"
     + "\nUNION ALL\n".join(
         f"""SELECT {k} AS round, CAST(SUM(freq) AS BIGINT) AS n_words,
-               CAST(SUM(freq * (len(string_split(s, '|')) - 2)) AS BIGINT)
-                   AS total_symbols,
-               ROUND(CAST(SUM(freq * (len(string_split(s, '|')) - 2))
+               CAST(SUM(freq * ((len(string_split(s, '|')) - 1) // 2))
+                   AS BIGINT) AS total_symbols,
+               ROUND(CAST(SUM(freq * ((len(string_split(s, '|')) - 1) // 2))
                           AS DOUBLE) / CAST(SUM(freq) AS DOUBLE), 6)
                    AS symbols_per_token
         FROM v{k}"""
@@ -2871,7 +2884,8 @@ def bpe_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     docs = widen_small_scan(table(spark, sf, "documents"))
     _, vocabs = _bpe_chain(docs)
     final = vocabs[-1].select(
-        "w", (F.size(F.split("s", "\\|")) - 2).alias("n_sym")
+        "w",
+        ((F.size(F.split("s", "\\|")) - 1) / 2).cast("long").alias("n_sym"),
     )
     lang_words = (
         docs.select("lang", F.explode(_tokens()).alias("w"))
@@ -2897,7 +2911,7 @@ def bpe_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["bpe_fertility_by_lang"] = (
     "WITH " + _bpe_sql_ctes() + f""",
     final AS (
-        SELECT w, len(string_split(s, '|')) - 2 AS n_sym
+        SELECT w, (len(string_split(s, '|')) - 1) // 2 AS n_sym
         FROM v{BPE_MERGE_ROUNDS}
     ),
     lang_words AS (

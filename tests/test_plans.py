@@ -498,6 +498,7 @@ INTENTIONAL_BNLJ = {
     "bradley_terry_strengths",   # 1-row strength-normalizer broadcast per MM round
     "dpo_pair_sampling_weights",  # 1-row (total, k_types) aggregate broadcast
     "preference_cycle_triads",    # #types-row type list self-crossed (triads)
+    "condorcet_winner_audit",     # 1-row distinct-type count broadcast
 }
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 
 hypothesis = pytest.importorskip("hypothesis")
-from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis import example, given, settings, strategies as st  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -2657,7 +2657,7 @@ def test_ccnet_paragraph_dedup_matches_brute_force(
 @given(
     docs=st.lists(
         st.lists(
-            st.text(alphabet="ab", min_size=1, max_size=5),
+            st.text(alphabet="ab", min_size=1, max_size=7),
             min_size=1,
             max_size=12,
         ),
@@ -2665,15 +2665,20 @@ def test_ccnet_paragraph_dedup_matches_brute_force(
         max_size=10,
     )
 )
+# Self-pair runs >= 5 are the corner where the old shared-delimiter
+# double-replace mis-phased greedy application ([aa, a, aa] instead of
+# [aa, aa, a]) — pin them deterministically, odd and even lengths.
+@example(docs=[["aaaaa", "aaaaaa", "aaaaaaa", "ab"]])
+@example(docs=[["aaaa", "aa", "a"], ["abab", "aabb"]])
 def test_bpe_iterative_merges_match_greedy_reference(
     spark, docs, tmp_path_factory
 ):
-    """The 3-round unrolled BPE chain (delimited-string double-replace
+    """The 3-round unrolled BPE chain (per-symbol-framed single-replace
     apply) must match a direct Python greedy implementation: weighted
     pair counts, argmax with (count desc, pair asc) tie-break, greedy
     left-to-right single-scan merge application, recount.  A 2-letter
-    alphabet maximizes overlapping pair sites ('aaaa'), the exact corner
-    the double-replace trick must handle."""
+    alphabet maximizes overlapping self-pair sites ('aaaaa'), the exact
+    corner the per-symbol framing must keep phase-aligned."""
     from pinterest_data_pipeline6_spark.operators.textops import (
         BPE_MERGE_ROUNDS,
         bpe_iterative_merges,
