@@ -2679,9 +2679,18 @@ QUERIES["neardup_suppression_ledger"] = neardup_suppression_ledger
 
 PARA_TOKENS = 12  # pseudo-paragraph width (disjoint chunks)
 PARA_BOILER_MIN_DOCS = 3  # within-source boilerplate threshold
-# composite first-occurrence key: doc_id * 2^20 + chunk_idx (chunk idx
-# is bounded by tokens/PARA_TOKENS << 2^20 at any realistic doc size)
-_PARA_KEY_SHIFT = 1 << 20
+
+# First-occurrence composite key: struct(doc_id, i), compared
+# lexicographically by field order in BOTH engines — unbounded, unlike
+# the earlier doc_id * 2^20 + i integer packing, which would alias a
+# document with >= 2^20 paragraphs into the next doc_id's key space
+# and could mis-pick the canonical survivor.
+_PARA_KEY = "{'d': doc_id, 'i': i}"  # DuckDB struct literal twin
+
+
+def _para_key_col():
+    """struct(doc_id, i) — the Spark side of the composite key."""
+    return F.struct(F.col("doc_id").alias("d"), F.col("i").alias("i"))
 
 
 def _paragraph_occurrences(docs: DataFrame, *keep: str) -> DataFrame:
@@ -2744,8 +2753,9 @@ def ccnet_paragraph_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     the removal ledger: occurrences, removed occurrences, token mass
     removed/kept, removal rate, and how many docs were touched.
 
-    Determinism: the survivor is the exact min of an integer composite
-    key (doc_id * 2^20 + idx) — no arbitrary-row semantics; all masses
+    Determinism: the survivor is the exact lexicographic min of the
+    struct(doc_id, chunk_idx) composite key — no arbitrary-row
+    semantics, no packing bound on paragraphs per document; all masses
     are exact integer sums with one final double division.
 
     100 TB shape: ONE min-agg keyed on the 60-bit hash (shuffle carries
@@ -2753,7 +2763,7 @@ def ccnet_paragraph_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     digests (empty/template paragraphs) like any skewed agg key."""
     docs = widen_small_scan(table(spark, sf, "documents"))
     occ = _paragraph_occurrences(docs, "lang").withColumn(
-        "k", F.col("doc_id") * _PARA_KEY_SHIFT + F.col("i")
+        "k", _para_key_col()
     )
     first = occ.groupBy("h").agg(F.min("k").alias("first_k"))
     j = occ.join(first, "h").withColumn(
@@ -2782,7 +2792,7 @@ def ccnet_paragraph_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["ccnet_paragraph_dedup_stats"] = f"""
     WITH occ AS (
         SELECT lang, doc_id, i, p_tok, h,
-               doc_id * {_PARA_KEY_SHIFT} + i AS k
+               {_PARA_KEY} AS k
         FROM ({_para_sql("lang")})
     ),
     first AS (SELECT h, MIN(k) AS first_k FROM occ GROUP BY h)
@@ -2883,7 +2893,7 @@ def doc_shrinkage_after_para_dedup(spark: SparkSession, sf: str) -> DataFrame:
     in both engines; bucket 10 (kept_frac == 1.0) folds into 9."""
     docs = widen_small_scan(table(spark, sf, "documents"))
     occ = _paragraph_occurrences(docs).withColumn(
-        "k", F.col("doc_id") * _PARA_KEY_SHIFT + F.col("i")
+        "k", _para_key_col()
     )
     first = occ.groupBy("h").agg(F.min("k").alias("first_k"))
     per_doc = (
@@ -2918,7 +2928,7 @@ def doc_shrinkage_after_para_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE["doc_shrinkage_after_para_dedup"] = f"""
     WITH occ AS (
-        SELECT doc_id, i, p_tok, h, doc_id * {_PARA_KEY_SHIFT} + i AS k
+        SELECT doc_id, i, p_tok, h, {_PARA_KEY} AS k
         FROM ({_para_sql("")})
     ),
     first AS (SELECT h, MIN(k) AS first_k FROM occ GROUP BY h),
@@ -3068,7 +3078,7 @@ def para_canonical_source_share(spark: SparkSession, sf: str) -> DataFrame:
     tables."""
     docs = widen_small_scan(table(spark, sf, "documents"))
     occ = _paragraph_occurrences(docs, "source").withColumn(
-        "k", F.col("doc_id") * _PARA_KEY_SHIFT + F.col("i")
+        "k", _para_key_col()
     )
     first = occ.groupBy("h").agg(
         F.min("k").alias("first_k"), F.count_distinct("doc_id").alias("nd")
@@ -3113,7 +3123,7 @@ def para_canonical_source_share(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE["para_canonical_source_share"] = f"""
     WITH occ AS (
-        SELECT source, doc_id, i, h, doc_id * {_PARA_KEY_SHIFT} + i AS k
+        SELECT source, doc_id, i, h, {_PARA_KEY} AS k
         FROM ({_para_sql("source")})
     ),
     first AS (

@@ -2653,6 +2653,40 @@ def test_ccnet_paragraph_dedup_matches_brute_force(
         ), lang
 
 
+def test_para_composite_key_no_aliasing_past_2_20(spark):
+    """The paragraph first-occurrence key is struct(doc_id, i), ordered
+    lexicographically — a document with >= 2^20 paragraphs must still
+    lose to ANY later doc_id (the retired doc_id * 2^20 + i packing
+    aliased (0, 2^20) into doc 1's key space and would have picked the
+    wrong canonical survivor).  Pins Spark's struct-min against
+    DuckDB's struct-min on the exact corner, plus ties and plain rows."""
+    import duckdb
+
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        _PARA_KEY,
+        _para_key_col,
+    )
+
+    rows = [
+        # (doc_id, i): doc 0 at/over the old 2^20 packing bound — the
+        # old integer key 0 * 2^20 + (2^20 + 5) > 1 * 2^20 + 0 flipped
+        # the survivor; the struct key must keep doc 0 first.
+        (0, (1 << 20) + 5),
+        (0, 1 << 20),
+        (1, 0),
+        (1, 7),
+        (2, 3),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, i int")
+    got = sdf.agg(F.min(_para_key_col()).alias("m")).collect()[0]["m"]
+    want = duckdb.sql(
+        "SELECT MIN(" + _PARA_KEY + ") FROM (VALUES "
+        + ", ".join(f"({d}, {i})" for d, i in rows)
+        + ") AS t(doc_id, i)"
+    ).fetchone()[0]
+    assert (got["d"], got["i"]) == (want["d"], want["i"]) == (0, 1 << 20)
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     docs=st.lists(
