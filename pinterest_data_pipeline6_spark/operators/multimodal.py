@@ -532,3 +532,738 @@ ORACLE["media_byte_entropy_by_kind"] = """
 """
 
 QUERIES["media_byte_entropy_by_kind"] = media_byte_entropy_by_kind
+
+
+# ---------------------------------------------------------------------------
+# Round 9: perceptual image near-duplicate detection — aHash / dHash
+# over the deterministic payload byte matrices, pure Catalyst bit math
+# (NO decoder needed: the hashes read strided byte samples, exactly
+# what they would read from a decoded 8x8 grayscale thumbnail; a real
+# deployment swaps the sampling source for decoded pixels without
+# touching the banding/verification plumbing below).
+#
+# aHash (average hash): sample PHASH_CELLS bytes at strided offsets
+# covering the whole payload, bit j = cell_j > mean(cells) — identical
+# integer form cell_j * PHASH_CELLS > sum(cells).  dHash (difference
+# hash): sample a 4x9 grid, bit = left-neighbor > right-neighbor
+# within each row (32 comparison bits).  Both are 32-bit fingerprints
+# packed into bigint, matching the repo's 32-bit SimHash convention,
+# and both engines compute them from the same hex-substring byte
+# reads (verified bit-for-bit in tests).
+#
+# Pairing reuses the simhash_hamming_pairs machinery: 4 bands x 8
+# bits, pigeonhole guarantees any pair within Hamming distance 3
+# agrees on >= 1 band, candidates verified with one bit_count(xor)
+# per pair.  100 TB shape: the hash is a row-local projection (no
+# shuffle); the band join is bucket-confined exactly like MinHash/
+# SimHash banding — never all-pairs.
+
+PHASH_CELLS = 32        # strided byte samples -> 32-bit aHash
+DHASH_GRID = 36         # 4 rows x 9 cols -> 32 within-row comparisons
+PHASH_BANDS = 4         # 4 bands x 8 bits
+PHASH_HAMMING_MAX = 3   # pigeonhole-complete for <= 3 bit flips
+
+# dHash packing weights for the 35 adjacent-cell comparisons of the
+# 4x9 grid: comparisons crossing a row boundary (i % 9 == 8) weigh 0,
+# the 32 within-row comparisons get consecutive powers of two.
+_DHASH_WEIGHTS: list[int] = []
+_k = 0
+for _i in range(DHASH_GRID - 1):
+    if _i % 9 == 8:
+        _DHASH_WEIGHTS.append(0)
+    else:
+        _DHASH_WEIGHTS.append(1 << _k)
+        _k += 1
+
+
+def _media_hex(spark: SparkSession, sf: str) -> DataFrame:
+    """(media_id, kind, hx, n): hex-encoded payload + byte length,
+    empty payloads excluded (the byte-entropy guard)."""
+    media = synthesize_media(spark, sf)
+    return media.select(
+        "media_id",
+        "kind",
+        F.hex("payload").alias("hx"),
+        F.length("payload").cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+
+
+def _byte_cells(n_cells: int):
+    """Array column of ``n_cells`` strided byte samples: cell j reads
+    the byte at offset floor(j * n / n_cells) — the same coverage a
+    thumbnail resize gives a real perceptual hash."""
+
+    def cell(j: int):
+        pos = (2 * F.floor(F.lit(j) * F.col("n") / n_cells) + 1).cast("int")
+        return F.conv(F.substring(F.col("hx"), pos, F.lit(2)), 16, 10).cast(
+            "int"
+        )
+
+    return F.array(*[cell(j) for j in range(n_cells)])
+
+
+def _perceptual_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    """(media_id, kind, ahash, dhash) — both 32-bit, packed bigint."""
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(PHASH_CELLS)])
+    ca = _byte_cells(PHASH_CELLS)
+    total = F.aggregate(ca, F.lit(0), lambda a, b: a + b)
+    ahash = F.aggregate(
+        F.zip_with(
+            ca,
+            pow2,
+            lambda c, p: F.when(c * PHASH_CELLS > total, p).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    warr = F.array(*[F.lit(w).cast("long") for w in _DHASH_WEIGHTS])
+    cd = _byte_cells(DHASH_GRID)
+    bits = F.zip_with(
+        F.slice(cd, 1, DHASH_GRID - 1),
+        F.slice(cd, 2, DHASH_GRID - 1),
+        lambda a, b: (a > b).cast("long"),
+    )
+    dhash = F.aggregate(
+        F.zip_with(bits, warr, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return _media_hex(spark, sf).select(
+        "media_id", "kind", ahash.alias("ahash"), dhash.alias("dhash")
+    )
+
+
+_MEDIA_HX_SQL = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+"""
+
+
+def _cells_sql(n_cells: int) -> str:
+    return (
+        "["
+        + ", ".join(
+            f"CAST(('0x' || substr(h, CAST(2*(({j}*n)//{n_cells})+1 AS INT),"
+            " 2)) AS INT)"
+            for j in range(n_cells)
+        )
+        + "]"
+    )
+
+
+_POW2_SQL = "[" + ", ".join(str(1 << j) for j in range(PHASH_CELLS)) + "]"
+_DHW_SQL = "[" + ", ".join(str(w) for w in _DHASH_WEIGHTS) + "]"
+
+_PHASH_SQL = f"""
+        SELECT media_id, kind,
+               CAST(list_sum(list_transform(
+                   generate_series(1, {PHASH_CELLS}),
+                   j -> CASE WHEN ca[j] * {PHASH_CELLS} > list_sum(ca)
+                             THEN {_POW2_SQL}[j] ELSE 0 END)) AS BIGINT)
+                   AS ahash,
+               CAST(list_sum(list_transform(
+                   generate_series(1, {DHASH_GRID - 1}),
+                   i -> CASE WHEN cd[i] > cd[i + 1]
+                             THEN {_DHW_SQL}[i] ELSE 0 END)) AS BIGINT)
+                   AS dhash
+        FROM (
+            SELECT media_id, kind, {_cells_sql(PHASH_CELLS)} AS ca,
+                   {_cells_sql(DHASH_GRID)} AS cd
+            FROM ({_MEDIA_HX_SQL})
+        )
+"""
+
+
+def perceptual_ahash_inventory(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash collision inventory per media kind: distinct
+    aHash values, exact-collision groups (the byte-identical OR
+    perceptually-identical assets), largest group, and the fraction of
+    assets sitting in a multi-member group — the quick census that
+    says whether perceptual dedup is worth a banding pass at all.
+
+    Two shrinking hash aggregates over a row-local projection; the
+    shuffle carries (kind, 32-bit hash)."""
+    ph = _perceptual_hashes(spark, sf)
+    groups = ph.groupBy("kind", "ahash").agg(F.count("*").alias("sz"))
+    return (
+        groups.groupBy("kind")
+        .agg(
+            F.sum("sz").alias("n_media"),
+            F.count("*").alias("n_distinct_ahash"),
+            F.sum((F.col("sz") > 1).cast("bigint")).alias("n_dup_groups"),
+            F.max("sz").alias("max_group_size"),
+            F.round(
+                F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("sz").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE["perceptual_ahash_inventory"] = f"""
+    WITH ph AS ({_PHASH_SQL}),
+    groups AS (
+        SELECT kind, ahash, COUNT(*) AS sz FROM ph GROUP BY kind, ahash
+    )
+    SELECT kind,
+           CAST(SUM(sz) AS BIGINT) AS n_media,
+           COUNT(*) AS n_distinct_ahash,
+           CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(MAX(sz) AS BIGINT) AS max_group_size,
+           ROUND(CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(sz) AS DOUBLE), 6) AS dup_frac
+    FROM groups GROUP BY kind ORDER BY kind
+"""
+
+QUERIES["perceptual_ahash_inventory"] = perceptual_ahash_inventory
+
+
+def perceptual_hash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup candidate funnel: aHash banded into 4x8-bit
+    bands, candidates = image pairs agreeing on >= 1 band, verified
+    with bit_count(xor).  Pigeonhole: any pair within Hamming distance
+    PHASH_HAMMING_MAX (3) differs in <= 3 of the 4 bands, so banding
+    has perfect recall there — the simhash_hamming_pairs guarantee
+    applied to pixels-stand-in bytes (dedup.py:253).
+
+    100 TB shape: band-bucket equi-join only (never all-pairs); one
+    integer op per candidate to verify."""
+    img = _perceptual_hashes(spark, sf).filter(F.col("kind") == "image")
+    bands = img.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band_idx"),
+    ).select(
+        "media_id",
+        "ahash",
+        "band_idx",
+        F.expr("(ahash >> (band_idx * 8)) & 255").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("m_a"),
+            F.col("b.media_id").alias("m_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select(hamming.alias("hamming")).agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("hamming") <= PHASH_HAMMING_MAX).cast("bigint")).alias(
+            "n_close"
+        ),
+        F.min("hamming").alias("min_hamming"),
+        F.round(F.avg("hamming"), 4).alias("avg_hamming"),
+    )
+
+
+ORACLE["perceptual_hash_band_pairs"] = f"""
+    WITH ph AS ({_PHASH_SQL}),
+    img AS (SELECT media_id, ahash FROM ph WHERE kind = 'image'),
+    bands AS (
+        SELECT media_id, ahash, b AS band_idx,
+               (ahash >> (b * 8)) & 255 AS band_val
+        FROM img, (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.media_id AS m_a, b.media_id AS m_b,
+               a.ahash AS h_a, b.ahash AS h_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.media_id < b.media_id
+    )
+    SELECT COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN bit_count(xor(h_a, h_b)) <= {PHASH_HAMMING_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(MIN(bit_count(xor(h_a, h_b))) AS INT) AS min_hamming,
+           ROUND(AVG(bit_count(xor(h_a, h_b))), 4) AS avg_hamming
+    FROM pairs
+"""
+
+QUERIES["perceptual_hash_band_pairs"] = perceptual_hash_band_pairs
+
+
+def perceptual_dual_hash_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Dual-hash verification audit on the aHash band candidates: how
+    often the two independent perceptual hashes agree that a candidate
+    pair is close (both within Hamming 3), vs aHash-only, dHash-only,
+    or neither — the precision knob for perceptual dedup (requiring
+    both hashes is the standard cheap way to cut aHash's flat-image
+    false positives).  Constant-size output over the banded candidate
+    set; both hashes ride the same row, so verification adds one more
+    integer op per pair."""
+    img = _perceptual_hashes(spark, sf).filter(F.col("kind") == "image")
+    bands = img.select(
+        "media_id",
+        "ahash",
+        "dhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band_idx"),
+    ).select(
+        "media_id",
+        "ahash",
+        "dhash",
+        "band_idx",
+        F.expr("(ahash >> (band_idx * 8)) & 255").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("m_a"),
+            F.col("b.media_id").alias("m_b"),
+            F.col("a.ahash").alias("ha_a"),
+            F.col("b.ahash").alias("ha_b"),
+            F.col("a.dhash").alias("hd_a"),
+            F.col("b.dhash").alias("hd_b"),
+        )
+        .distinct()
+    )
+    close_a = (
+        F.bit_count(F.col("ha_a").bitwiseXOR(F.col("ha_b")))
+        <= PHASH_HAMMING_MAX
+    )
+    close_d = (
+        F.bit_count(F.col("hd_a").bitwiseXOR(F.col("hd_b")))
+        <= PHASH_HAMMING_MAX
+    )
+    cls = (
+        F.when(close_a & close_d, "both_close")
+        .when(close_a, "ahash_only")
+        .when(close_d, "dhash_only")
+        .otherwise("neither")
+    )
+    return (
+        pairs.select(cls.alias("agreement"))
+        .groupBy("agreement")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("agreement")
+    )
+
+
+ORACLE["perceptual_dual_hash_agreement"] = f"""
+    WITH ph AS ({_PHASH_SQL}),
+    img AS (SELECT media_id, ahash, dhash FROM ph WHERE kind = 'image'),
+    bands AS (
+        SELECT media_id, ahash, dhash, b AS band_idx,
+               (ahash >> (b * 8)) & 255 AS band_val
+        FROM img, (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.media_id AS m_a, b.media_id AS m_b,
+               a.ahash AS ha_a, b.ahash AS ha_b,
+               a.dhash AS hd_a, b.dhash AS hd_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.media_id < b.media_id
+    )
+    SELECT CASE
+             WHEN bit_count(xor(ha_a, ha_b)) <= {PHASH_HAMMING_MAX}
+              AND bit_count(xor(hd_a, hd_b)) <= {PHASH_HAMMING_MAX}
+                 THEN 'both_close'
+             WHEN bit_count(xor(ha_a, ha_b)) <= {PHASH_HAMMING_MAX}
+                 THEN 'ahash_only'
+             WHEN bit_count(xor(hd_a, hd_b)) <= {PHASH_HAMMING_MAX}
+                 THEN 'dhash_only'
+             ELSE 'neither' END AS agreement,
+           COUNT(*) AS n_pairs
+    FROM pairs GROUP BY 1 ORDER BY agreement
+"""
+
+QUERIES["perceptual_dual_hash_agreement"] = perceptual_dual_hash_agreement
+
+
+def perceptual_hash_bit_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-bit bias audit of the image aHash: the fraction of images
+    with each of the 32 bits set.  A healthy perceptual hash sits near
+    0.5 per bit; a bit pinned at 0 or 1 carries no discriminative
+    information and silently halves the effective band width — the
+    audit that tunes the sampling grid, exactly as lsh_tuning_sweep
+    tunes MinHash bands.  Bounded output (32 rows); one explode of a
+    32-element literal over the hash projection."""
+    img = _perceptual_hashes(spark, sf).filter(F.col("kind") == "image")
+    bits = img.select(
+        F.explode(
+            F.array(*[F.lit(j) for j in range(PHASH_CELLS)])
+        ).alias("bit_idx"),
+        "ahash",
+    ).select(
+        "bit_idx", F.expr("(ahash >> bit_idx) & 1").alias("bit")
+    )
+    return (
+        bits.groupBy("bit_idx")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("bit").alias("n_set"),
+            F.round(
+                F.sum("bit").cast("double") / F.count("*").cast("double"), 6
+            ).alias("set_frac"),
+        )
+        .orderBy("bit_idx")
+    )
+
+
+ORACLE["perceptual_hash_bit_stability"] = f"""
+    WITH ph AS ({_PHASH_SQL}),
+    img AS (SELECT ahash FROM ph WHERE kind = 'image'),
+    bits AS (
+        SELECT CAST(j AS INT) AS bit_idx, (ahash >> j) & 1 AS bit
+        FROM img, (SELECT unnest(generate_series(0, {PHASH_CELLS - 1})) AS j)
+    )
+    SELECT bit_idx, COUNT(*) AS n_images,
+           CAST(SUM(bit) AS BIGINT) AS n_set,
+           ROUND(CAST(SUM(bit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS set_frac
+    FROM bits GROUP BY bit_idx ORDER BY bit_idx
+"""
+
+QUERIES["perceptual_hash_bit_stability"] = perceptual_hash_bit_stability
+
+
+# ---------------------------------------------------------------------------
+# Round 9: audio-class fingerprinting on byte windows — the binary
+# twin of text winnowing (Schleimer et al. 2003, as used by audio
+# landmark fingerprinters): hash every FP_GRAM_BYTES-byte gram, take
+# the MIN gram-hash per disjoint FP_WINDOW-gram window as that
+# window's fingerprint, then pair payloads through an inverted index
+# on the fingerprint value.  Fingerprints with document frequency
+# above FP_MAX_DF are dropped before pairing (stop-fingerprints:
+# common byte runs carry no identity signal and would quadratically
+# blow up their bucket — the PPJoin-style frequency cut that keeps
+# bucket sizes bounded at any corpus scale).
+
+FP_GRAM_BYTES = 4     # gram width (8 hex chars)
+FP_WINDOW = 8         # disjoint grams per fingerprint window
+FP_MAX_DF = 16        # drop fingerprints seen in more payloads
+FP_STRONG_SHARED = 3  # pairs sharing >= this many fingerprints
+
+
+def _media_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """(media_id, kind, w, fp): one MIN-gram-hash fingerprint per
+    disjoint FP_WINDOW-gram window of each payload.  The gram hash is
+    the portable 60-bit md5 hash so the min picks the same gram in
+    both engines."""
+    from pinterest_data_pipeline6_spark.operators.textops import _h64_spark
+
+    mh = _media_hex(spark, sf).filter(F.col("n") >= FP_GRAM_BYTES)
+    grams = mh.select(
+        "media_id",
+        "kind",
+        "hx",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - FP_GRAM_BYTES)
+        ).alias("g"),
+    ).select(
+        "media_id",
+        "kind",
+        F.floor(F.col("g") / FP_WINDOW).cast("int").alias("w"),
+        _h64_spark(
+            F.substring(
+                "hx", (F.col("g") * 2 + 1).cast("int"), F.lit(2 * FP_GRAM_BYTES)
+            )
+        ).alias("gh"),
+    )
+    return grams.groupBy("media_id", "kind", "w").agg(
+        F.min("gh").alias("fp")
+    )
+
+
+def _fp_sql() -> str:
+    """DuckDB twin of ``_media_fingerprints``."""
+    from pinterest_data_pipeline6_spark.operators.textops import H64_SQL
+
+    gram = f"substr(h, CAST(g * 2 + 1 AS INT), {2 * FP_GRAM_BYTES})"
+    return f"""
+        SELECT media_id, kind, CAST(g // {FP_WINDOW} AS INT) AS w,
+               MIN({H64_SQL.format(expr=gram)}) AS fp
+        FROM (
+            SELECT media_id, kind, h,
+                   unnest(generate_series(0, n - {FP_GRAM_BYTES})) AS g
+            FROM ({_MEDIA_HX_SQL.replace("octet_length(encode(text)) > 0",
+                                         f"octet_length(encode(text)) >= {FP_GRAM_BYTES}")})
+        )
+        GROUP BY media_id, kind, g // {FP_WINDOW}
+    """
+
+
+def media_fingerprint_minima(spark: SparkSession, sf: str) -> DataFrame:
+    """Fingerprint census per media kind: payloads fingerprinted,
+    total windows, distinct fingerprint values, and fingerprints per
+    payload — the density knob (window width) is tuned off this table
+    the way paragraph_df_histogram tunes the boilerplate threshold.
+
+    Linear explode (grams) into a partial-aggregating min per window;
+    the shuffle carries (media_id, window, 60-bit hash) only."""
+    fps = _media_fingerprints(spark, sf)
+    return (
+        fps.groupBy("kind")
+        .agg(
+            F.count_distinct("media_id").alias("n_payloads"),
+            F.count("*").alias("n_fingerprints"),
+            F.count_distinct("fp").alias("n_distinct_fp"),
+            F.round(
+                F.count("*").cast("double")
+                / F.count_distinct("media_id").cast("double"),
+                4,
+            ).alias("avg_fp_per_payload"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE["media_fingerprint_minima"] = f"""
+    WITH fps AS ({_fp_sql()})
+    SELECT kind,
+           CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_payloads,
+           COUNT(*) AS n_fingerprints,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT media_id) AS DOUBLE), 4)
+               AS avg_fp_per_payload
+    FROM fps GROUP BY kind ORDER BY kind
+"""
+
+QUERIES["media_fingerprint_minima"] = media_fingerprint_minima
+
+
+def _audio_fp_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """(m_a, m_b, n_shared): audio payload pairs sharing >= 1 rare
+    fingerprint, with the count of DISTINCT shared fingerprint values.
+    The df cut runs BEFORE the self-join so every bucket is <=
+    FP_MAX_DF wide."""
+    fps = (
+        _media_fingerprints(spark, sf)
+        .filter(F.col("kind") == "audio")
+        .select("media_id", "fp")
+        .distinct()
+    )
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= FP_MAX_DF)
+        .select("fp")
+    )
+    rare = fps.join(df_ok, "fp")
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("m_a"),
+            F.col("b.media_id").alias("m_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+_AUDIO_FP_PAIRS_SQL = f"""
+    fps AS (
+        SELECT DISTINCT media_id, fp FROM ({_fp_sql()})
+        WHERE kind = 'audio'
+    ),
+    df_ok AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {FP_MAX_DF}
+    ),
+    rare AS (SELECT media_id, fp FROM fps JOIN df_ok USING (fp)),
+    pairs AS (
+        SELECT a.media_id AS m_a, b.media_id AS m_b,
+               COUNT(*) AS n_shared
+        FROM rare a JOIN rare b
+          ON a.fp = b.fp AND a.media_id < b.media_id
+        GROUP BY a.media_id, b.media_id
+    )
+"""
+
+
+def media_fingerprint_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup candidate funnel through the fingerprint
+    inverted index: candidate pairs (>= 1 shared rare fingerprint),
+    strong pairs (>= FP_STRONG_SHARED shared), and the shared-count
+    profile.  100 TB shape: the join key is the fingerprint value with
+    buckets pre-capped at FP_MAX_DF, so candidate generation is
+    bounded per bucket — never all-pairs, same guarantee as MinHash
+    banding."""
+    pairs = _audio_fp_pairs(spark, sf)
+    return pairs.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(
+            (F.col("n_shared") >= FP_STRONG_SHARED).cast("bigint")
+        ).alias("n_strong_pairs"),
+        F.max("n_shared").alias("max_shared"),
+        F.round(F.avg("n_shared"), 4).alias("avg_shared"),
+    )
+
+
+ORACLE["media_fingerprint_band_pairs"] = f"""
+    WITH {_AUDIO_FP_PAIRS_SQL}
+    SELECT COUNT(*) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN n_shared >= {FP_STRONG_SHARED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_strong_pairs,
+           CAST(MAX(n_shared) AS BIGINT) AS max_shared,
+           ROUND(AVG(n_shared), 4) AS avg_shared
+    FROM pairs
+"""
+
+QUERIES["media_fingerprint_band_pairs"] = media_fingerprint_band_pairs
+
+
+def media_fingerprint_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment histogram for the audio fingerprint candidates:
+    shared / min(|fp_a|, |fp_b|) over rare fingerprints, banded into
+    quarters with EXACT integer comparisons (4*s vs m boundaries — no
+    float thresholds to diverge between engines).  High containment +
+    low Jaccard is the clip-inside-a-longer-recording signature, which
+    is why containment (not Jaccard) is the audio-dedup verdict."""
+    pairs = _audio_fp_pairs(spark, sf)
+    fps = (
+        _media_fingerprints(spark, sf)
+        .filter(F.col("kind") == "audio")
+        .select("media_id", "fp")
+        .distinct()
+    )
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= FP_MAX_DF)
+        .select("fp")
+    )
+    sizes = (
+        fps.join(df_ok, "fp")
+        .groupBy("media_id")
+        .agg(F.count("*").alias("nfp"))
+    )
+    j = (
+        pairs.join(sizes.select(F.col("media_id").alias("m_a"),
+                                F.col("nfp").alias("nfp_a")), "m_a")
+        .join(sizes.select(F.col("media_id").alias("m_b"),
+                           F.col("nfp").alias("nfp_b")), "m_b")
+        .select(
+            "n_shared",
+            F.least("nfp_a", "nfp_b").alias("m"),
+        )
+    )
+    s, m = F.col("n_shared"), F.col("m")
+    bucket = (
+        F.when(4 * s < m, "c0_lt25")
+        .when(2 * s < m, "c1_lt50")
+        .when(4 * s < 3 * m, "c2_lt75")
+        .otherwise("c3_ge75")
+    )
+    return (
+        j.select(bucket.alias("containment_band"))
+        .groupBy("containment_band")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("containment_band")
+    )
+
+
+ORACLE["media_fingerprint_containment"] = f"""
+    WITH {_AUDIO_FP_PAIRS_SQL},
+    sizes AS (
+        SELECT media_id, COUNT(*) AS nfp
+        FROM rare GROUP BY media_id
+    ),
+    j AS (
+        SELECT n_shared, LEAST(sa.nfp, sb.nfp) AS m
+        FROM pairs
+        JOIN sizes sa ON pairs.m_a = sa.media_id
+        JOIN sizes sb ON pairs.m_b = sb.media_id
+    )
+    SELECT CASE WHEN 4 * n_shared < m THEN 'c0_lt25'
+                WHEN 2 * n_shared < m THEN 'c1_lt50'
+                WHEN 4 * n_shared < 3 * m THEN 'c2_lt75'
+                ELSE 'c3_ge75' END AS containment_band,
+           COUNT(*) AS n_pairs
+    FROM j GROUP BY 1 ORDER BY containment_band
+"""
+
+QUERIES["media_fingerprint_containment"] = media_fingerprint_containment
+
+
+def media_meta_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-vs-payload validation per media kind: zero-dimension
+    assets, metadata/payload contract violations (duration_ms must be
+    10x the payload byte count for this generator; real pipelines pin
+    the analogous codec-header-vs-bytes contract), and the
+    portrait/landscape split — the multimodal twin of dq_expectations.
+    One pass, row-local predicates, bounded output."""
+    media = synthesize_media(spark, sf)
+    n = F.length("payload").cast("long")
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum((F.col("meta.width") == 0).cast("bigint")).alias(
+                "n_zero_width"
+            ),
+            F.sum((F.col("meta.height") == 0).cast("bigint")).alias(
+                "n_zero_height"
+            ),
+            F.sum(
+                (F.col("meta.duration_ms") != n * 10).cast("bigint")
+            ).alias("n_duration_mismatch"),
+            F.sum(
+                (F.col("meta.height") > F.col("meta.width")).cast("bigint")
+            ).alias("n_portrait"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE["media_meta_consistency"] = """
+    WITH media AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(n_chars % 640 AS INT) AS width,
+               CAST(n_chars % 480 AS INT) AS height,
+               CAST(n_chars * 10 AS INT) AS duration_ms,
+               octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT kind, COUNT(*) AS n_media,
+           CAST(SUM(CASE WHEN width = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_width,
+           CAST(SUM(CASE WHEN height = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_height,
+           CAST(SUM(CASE WHEN duration_ms != n * 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_duration_mismatch,
+           CAST(SUM(CASE WHEN height > width THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_portrait
+    FROM media GROUP BY kind ORDER BY kind
+"""
+
+QUERIES["media_meta_consistency"] = media_meta_consistency
