@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         preference,
         privacy,
         relational,
+        scoring,
         similarity,
         sketches,
         subqueries,
@@ -204,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(graph.QUERIES)
     out.update(sketches.QUERIES)
     out.update(preference.QUERIES)
+    out.update(scoring.QUERIES)
     return _rotate(out)
 
 
@@ -221,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         preference,
         privacy,
         relational,
+        scoring,
         similarity,
         sketches,
         subqueries,
@@ -243,4 +246,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(graph.ORACLE)
     out.update(sketches.ORACLE)
     out.update(preference.ORACLE)
+    out.update(scoring.ORACLE)
     return _rotate(out)

@@ -603,10 +603,29 @@ def _byte_cells(n_cells: int):
 
 
 def _perceptual_hashes(spark: SparkSession, sf: str) -> DataFrame:
-    """(media_id, kind, ahash, dhash) — both 32-bit, packed bigint."""
+    """(media_id, kind, ahash, dhash) — both 32-bit, packed bigint.
+
+    Evaluation-order contract (the winnowing_fingerprints lesson,
+    textops.py:2190): the cell arrays are materialized as their own
+    projected columns — each is consumed many times downstream, so the
+    projection survives CollapseProject and every lambda reads a plain
+    attribute.  The cell total is written as PHASH_CELLS element_at
+    reads on that attribute, NOT an aggregate() fold, so no lambda
+    body ever contains an array producer (the nested-HOF plan sweep
+    rejects the fold form: inlined into the zip_with lambda it would
+    re-fold the whole array once per element)."""
+    base = _media_hex(spark, sf).select(
+        "media_id",
+        "kind",
+        _byte_cells(PHASH_CELLS).alias("ca"),
+        _byte_cells(DHASH_GRID).alias("cd"),
+    )
+    ca, cd = F.col("ca"), F.col("cd")
+    total = sum(
+        [F.element_at(ca, k + 1) for k in range(1, PHASH_CELLS)],
+        start=F.element_at(ca, 1),
+    )
     pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(PHASH_CELLS)])
-    ca = _byte_cells(PHASH_CELLS)
-    total = F.aggregate(ca, F.lit(0), lambda a, b: a + b)
     ahash = F.aggregate(
         F.zip_with(
             ca,
@@ -619,7 +638,6 @@ def _perceptual_hashes(spark: SparkSession, sf: str) -> DataFrame:
         lambda a, b: a + b,
     )
     warr = F.array(*[F.lit(w).cast("long") for w in _DHASH_WEIGHTS])
-    cd = _byte_cells(DHASH_GRID)
     bits = F.zip_with(
         F.slice(cd, 1, DHASH_GRID - 1),
         F.slice(cd, 2, DHASH_GRID - 1),
@@ -630,7 +648,7 @@ def _perceptual_hashes(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
-    return _media_hex(spark, sf).select(
+    return base.select(
         "media_id", "kind", ahash.alias("ahash"), dhash.alias("dhash")
     )
 

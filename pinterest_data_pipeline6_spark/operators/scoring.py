@@ -1,0 +1,300 @@
+"""Model-scored quality filtering: a hashed-feature linear classifier
+(the fastText-class architecture of Joulin et al. 2016, as used for
+quality filtering in GPT-3/CCNet-style pipelines) expressed entirely
+in Catalyst.
+
+The model: every token hashes into one of ``QC_BUCKETS`` feature
+buckets (the hashing trick); the document score is the mean bucket
+weight over its tokens.  Weights here are a deterministic fixture
+(integer milli-units derived from a Knuth multiplicative hash of the
+bucket index) standing in for trained parameters — a real deployment
+swaps the literal array for trained weights without touching any
+plumbing, exactly as ``multimodal._decode_image`` documents for
+codecs.
+
+Scale shape (the reason this architecture is THE standard for
+100 TB-scale filtering): inference is a row-local projection — token
+explode, modulo, literal-array lookup — with NO join against any
+weight table and no Python; the only shuffles are the per-document
+partial-aggregating sum (map-side combine on doc_id) and the bounded
+per-lang/source rollups.  Integer weight sums keep every aggregate
+exact; the single double division per document happens last.
+
+Beyond-reference scope sanctioned by SURVEY.md §2 (LLM-pipeline
+operators); no counterpart exists in the reference notebooks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline6_spark.operators.textops import (
+    H64_SQL,
+    _h64_spark,
+    _tokens,
+)
+from pinterest_data_pipeline6_spark.sources.readers import (
+    table,
+    widen_small_scan,
+)
+
+QC_BUCKETS = 64
+
+# Deterministic fixture weights, integer milli-units in [-1000, 1000]:
+# w_b = (b * 2654435761) mod 2001 - 1000 (Knuth's multiplicative
+# constant spreads consecutive buckets).  Embedded as the SAME literal
+# array in the Spark plan and the DuckDB oracle.
+QC_WEIGHTS_MILLI: list[int] = [
+    ((b * 2654435761) % 2001) - 1000 for b in range(QC_BUCKETS)
+]
+
+_QCW_SQL = "[" + ", ".join(str(w) for w in QC_WEIGHTS_MILLI) + "]"
+
+ORACLE: dict[str, str] = {}
+QUERIES: dict = {}
+
+
+def _doc_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, lang, source, n_chars, n_tok, total_milli): exact
+    integer classifier state per document.  total_milli = sum over
+    token OCCURRENCES of the hashed bucket's milli-weight."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    warr = F.array(*[F.lit(w) for w in QC_WEIGHTS_MILLI])
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.explode(_tokens()).alias("tok"),
+    )
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.element_at(
+            warr, (_h64_spark(F.col("tok")) % QC_BUCKETS).cast("int") + 1
+        ).alias("w"),
+    )
+    return scored.groupBy("doc_id", "lang", "source", "n_chars").agg(
+        F.count("*").alias("n_tok"),
+        F.sum("w").cast("bigint").alias("total_milli"),
+    )
+
+
+_DOC_SCORES_SQL = f"""
+        SELECT doc_id, lang, source, n_chars,
+               COUNT(*) AS n_tok,
+               CAST(SUM({_QCW_SQL}[
+                   CAST({H64_SQL.format(expr="tok")} % {QC_BUCKETS} AS INT) + 1
+               ]) AS BIGINT) AS total_milli
+        FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+        GROUP BY doc_id, lang, source, n_chars
+"""
+
+
+def quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier score profile per language: documents, pass rate at
+    the zero threshold (total weight > 0 — threshold comparisons stay
+    on the exact integer sum), and the mean per-document score in
+    milli-units (each document's one double division rounded to 9
+    decimals into DECIMAL before averaging — the reid_risk_entropy
+    accumulation convention)."""
+    ds = _doc_scores(spark, sf)
+    per_doc = F.round(
+        F.col("total_milli").cast("double") / F.col("n_tok").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        ds.select("lang", "total_milli", per_doc.alias("score_milli"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("total_milli") > 0).cast("bigint")).alias("n_pass"),
+            F.round(
+                F.sum((F.col("total_milli") > 0).cast("bigint")).cast(
+                    "double"
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("pass_rate"),
+            F.round(
+                F.sum("score_milli").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("avg_score_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["quality_classifier_scores"] = f"""
+    WITH ds AS ({_DOC_SCORES_SQL})
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN total_milli > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           ROUND(CAST(SUM(CASE WHEN total_milli > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(total_milli AS DOUBLE)
+                                     / CAST(n_tok AS DOUBLE), 9)
+                          AS DECIMAL(28,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_score_milli
+    FROM ds GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["quality_classifier_scores"] = quality_classifier_scores
+
+
+def quality_classifier_gate_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based filtering ledger per source: documents and token
+    mass kept vs removed at the zero-score gate — the accounting a
+    curation team signs off before a classifier gate ships (the
+    model-scored twin of the heuristic dq_gate_ledger).  Exact integer
+    masses; one final division for the kept fraction."""
+    ds = _doc_scores(spark, sf)
+    kept = (F.col("total_milli") > 0).cast("bigint")
+    return (
+        ds.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(F.col("n_tok") * kept).alias("tokens_kept"),
+            F.round(
+                F.sum(F.col("n_tok") * kept).cast("double")
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("kept_token_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["quality_classifier_gate_ledger"] = f"""
+    WITH ds AS ({_DOC_SCORES_SQL})
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN total_milli > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN total_milli > 0 THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           ROUND(CAST(SUM(CASE WHEN total_milli > 0 THEN n_tok ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE), 6)
+               AS kept_token_frac
+    FROM ds GROUP BY source ORDER BY source
+"""
+
+QUERIES["quality_classifier_gate_ledger"] = quality_classifier_gate_ledger
+
+
+def quality_classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Score-band calibration against a cheap weak label (document
+    length > 300 chars): per score band, how often the weak label
+    agrees — the sanity curve read before trusting a filter model
+    (monotone long-doc fraction across bands = the score orders
+    quality; flat = the model learned noise).  Band edges are +-100
+    milli on the PER-TOKEN mean, tested as exact integer
+    cross-multiplications (total vs +-100 * n_tok) — no float
+    thresholds."""
+    ds = _doc_scores(spark, sf)
+    t, n = F.col("total_milli"), F.col("n_tok")
+    band = (
+        F.when(t < -100 * n, "b0_strong_neg")
+        .when(t < 0, "b1_weak_neg")
+        .when(t < 100 * n, "b2_weak_pos")
+        .otherwise("b3_strong_pos")
+    )
+    return (
+        ds.select(
+            band.alias("score_band"),
+            (F.col("n_chars") > 300).cast("bigint").alias("is_long"),
+        )
+        .groupBy("score_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_long").alias("n_long"),
+            F.round(
+                F.sum("is_long").cast("double") / F.count("*").cast("double"),
+                6,
+            ).alias("long_frac"),
+        )
+        .orderBy("score_band")
+    )
+
+
+ORACLE["quality_classifier_calibration"] = f"""
+    WITH ds AS ({_DOC_SCORES_SQL})
+    SELECT CASE WHEN total_milli < -100 * n_tok THEN 'b0_strong_neg'
+                WHEN total_milli < 0 THEN 'b1_weak_neg'
+                WHEN total_milli < 100 * n_tok THEN 'b2_weak_pos'
+                ELSE 'b3_strong_pos' END AS score_band,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_long,
+           ROUND(CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS long_frac
+    FROM ds GROUP BY 1 ORDER BY score_band
+"""
+
+QUERIES["quality_classifier_calibration"] = quality_classifier_calibration
+
+
+def hashed_feature_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick collision audit: per feature bucket, the distinct
+    vocabulary colliding into it, its token mass, and its net signed
+    contribution to corpus score — the table that decides whether
+    QC_BUCKETS is big enough (heavy multi-token buckets with large
+    |weight| are where hash collisions actually distort scores).
+    Bounded output (QC_BUCKETS rows); one aggregate keyed on the
+    bucket id."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    warr = F.array(*[F.lit(w) for w in QC_WEIGHTS_MILLI])
+    toks = docs.select(F.explode(_tokens()).alias("tok")).select(
+        "tok",
+        (_h64_spark(F.col("tok")) % QC_BUCKETS).cast("int").alias("bucket"),
+    )
+    return (
+        toks.groupBy("bucket")
+        .agg(
+            F.count_distinct("tok").alias("n_distinct_tokens"),
+            F.count("*").alias("token_mass"),
+        )
+        .select(
+            "bucket",
+            F.element_at(warr, F.col("bucket") + 1).alias("weight_milli"),
+            "n_distinct_tokens",
+            "token_mass",
+            (
+                F.element_at(warr, F.col("bucket") + 1) * F.col("token_mass")
+            ).alias("contribution_milli"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["hashed_feature_buckets"] = f"""
+    WITH toks AS (
+        SELECT tok,
+               CAST({H64_SQL.format(expr="tok")} % {QC_BUCKETS} AS INT)
+                   AS bucket
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    agg AS (
+        SELECT bucket, COUNT(DISTINCT tok) AS n_distinct_tokens,
+               COUNT(*) AS token_mass
+        FROM toks GROUP BY bucket
+    )
+    SELECT bucket, {_QCW_SQL}[bucket + 1] AS weight_milli,
+           CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+           token_mass,
+           CAST({_QCW_SQL}[bucket + 1] * token_mass AS BIGINT)
+               AS contribution_milli
+    FROM agg ORDER BY bucket
+"""
+
+QUERIES["hashed_feature_buckets"] = hashed_feature_buckets

@@ -39,10 +39,21 @@ OUT = os.path.join(ROOT, "tests", "data", "registry_steady_sf001.json")
 #                    localCheckpoint compounds lineage and multiplies
 #                    the per-document cost; pin = us per INPUT doc
 #                    (test_ledger_twin_unit_cost_per_doc)
+#   iterative-trainer — fixed-round unrolled training loop (Lloyd /
+#                    BPE merge / MM / k-core peel); a lost
+#                    localCheckpoint or a new second read of the
+#                    previous round's state compounds the plan per
+#                    round; pin = us per input row of the training
+#                    table (test_trainer_unit_cost_per_input_row)
 BUDGET_CLASSES = {
     "jaccard_prefix_filter_pairs": "output-bound",
     "neardup_suppression_ledger": "state-bounded-recurrence",
     "curation_funnel_batch_ledger": "state-bounded-recurrence",
+    "pq_codebook_train": "iterative-trainer",
+    "rq_two_stage_error": "iterative-trainer",
+    "bpe_iterative_merges": "iterative-trainer",
+    "bradley_terry_strengths": "iterative-trainer",
+    "kcore_peeling_rounds": "iterative-trainer",
 }
 
 

@@ -556,3 +556,87 @@ def test_ledger_twin_unit_cost_per_doc(spark):
             f"speed {speed:.2f}x, {n_docs} docs, best {best:.3f}s) — "
             "state-bounded recurrence became lineage-compounding"
         )
+
+
+# --- round 9: fixed-round iterative-trainer class ----------------------------
+#
+# pq_codebook_train / rq_two_stage_error (Lloyd rounds),
+# bpe_iterative_merges (merge rounds over the word vocabulary),
+# bradley_terry_strengths (MM rounds on the #types^2 matrix) and
+# kcore_peeling_rounds (peel rounds on the surviving edge set) are all
+# fixed-round unrolled recurrences.  Round 8 hit the same regression
+# twice: a round that reads the previous state MORE THAN ONCE without
+# a localCheckpoint lineage cut multiplies the lazy plan per round
+# (bradley_terry measured 14 s instead of 1.7 s at sf0.1 — ~10
+# redundant fact scans).  A generous wall budget would hide that, so
+# each trainer pins the UNIT cost per input row of the table it
+# trains on: a corpus growth scales the denominator too; a compounding
+# lineage regression only scales the numerator.  Steadies measured on
+# the idle calibration box at sf0.1 (r9, post greedy-BPE fix).
+
+TRAINER_UNIT_STEADY_US = {
+    # name: (input parquet table, us per input row at sf0.1)
+    "pq_codebook_train": ("embeddings", 1036.0),
+    "rq_two_stage_error": ("embeddings", 1873.0),
+    "bpe_iterative_merges": ("documents", 332.0),
+    "bradley_terry_strengths": ("events", 21.5),
+    "kcore_peeling_rounds": ("events", 8.1),
+}
+
+
+@pytest.mark.sweep
+def test_trainer_unit_cost_per_input_row(spark):
+    """us-per-input-row budget for the five fixed-round iterative
+    trainers at sf0.1: unit cost (best-of-3 wall / training-table row
+    count) must stay within 2x its committed steady after host-speed
+    normalization — the same calibration protocol as the jaccard and
+    ledger pins.  Guards the r8 regression class: a lost
+    localCheckpoint (or a new second read of the previous round's
+    state) compounds the plan per round and multiplies the unit cost
+    while the input is unchanged."""
+    import statistics
+    import time
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf001, sf01 = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    ratios = []
+    for name in JACCARD_CAL_QUERIES:
+        qs[name](spark, sf001).count()
+        b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf001).count()
+            b = min(b, time.perf_counter() - t0)
+        ratios.append(b / HEADLINE_STEADY_SF001[name])
+    speed = max(1.0, statistics.median(ratios))
+
+    n_rows = {
+        t: spark.read.parquet(f"{sf01}/{t}.parquet").count()
+        for t in {t for t, _ in TRAINER_UNIT_STEADY_US.values()}
+    }
+    failures = []
+    for name, (tbl, steady_us) in TRAINER_UNIT_STEADY_US.items():
+        q = qs[name]
+        q(spark, sf01).count()  # warm rep
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q(spark, sf01).count()
+            best = min(best, time.perf_counter() - t0)
+        unit_us = best / n_rows[tbl] * 1e6
+        if unit_us > 2.0 * steady_us * speed:
+            failures.append(
+                f"{name}: {unit_us:.1f} us/row over budget "
+                f"{2.0 * steady_us * speed:.1f} (steady {steady_us}, "
+                f"host speed {speed:.2f}x, {n_rows[tbl]} {tbl} rows, "
+                f"best {best:.3f}s)"
+            )
+    assert not failures, (
+        "iterative trainer became lineage-compounding:\n" + "\n".join(failures)
+    )

@@ -58,6 +58,7 @@ def test_registry_order_is_stalest_first():
         preference,
         privacy,
         relational,
+        scoring,
         similarity,
         sketches,
         subqueries,
@@ -68,7 +69,7 @@ def test_registry_order_is_stalest_first():
     for mod in (
         relational, facts, events, textops, dedup, similarity,
         multimodal, collections, subqueries, privacy, curation,
-        dataquality, graph, sketches, preference,
+        dataquality, graph, sketches, preference, scoring,
     ):
         merged.update(mod.QUERIES)
     orig = {n: i for i, n in enumerate(merged)}
