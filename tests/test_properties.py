@@ -2767,6 +2767,39 @@ def test_bpe_iterative_merges_match_greedy_reference(
     assert got[: len(want)] == want
 
 
+def test_condorcet_winner_requires_full_field(spark, tmp_path_factory):
+    """A type that wins every pairing it HAS but was never compared
+    against some other observed type must NOT be flagged Condorcet
+    winner (the r8 ADVICE finding: the old n_wins == n_opponents test
+    passed it).  t0 beats t1; t1 beats t2; t0 and t2 never co-occur —
+    nobody beats all (n_types - 1) = 2 opponents, so no winner."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.preference import (
+        condorcet_winner_audit,
+    )
+
+    day = datetime.datetime(2024, 1, 1, 9)
+    data = [
+        (0, day, 1, "t0", 2.0, None),
+        (1, day, 1, "t1", 1.0, None),
+        (2, day, 2, "t1", 2.0, None),
+        (3, day, 2, "t2", 1.0, None),
+    ]
+    out = tmp_path_factory.mktemp("condorcet_field")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_majority_wins"], r["is_condorcet_winner"])
+        for r in condorcet_winner_audit(spark, str(out)).collect()
+    }
+    assert got == {"t0": (1, False), "t1": (1, False), "t2": (0, False)}
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     rows=st.lists(
