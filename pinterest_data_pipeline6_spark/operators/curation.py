@@ -1182,3 +1182,199 @@ ORACLE["token_lorenz_points"] = """
 """
 
 QUERIES["token_lorenz_points"] = token_lorenz_points
+
+
+# ---------------------------------------------------------------------------
+# Round 9: epoch-wise shuffle + span-corruption accounting — the two
+# data-ORDERING stages between a curated corpus and a training run.
+
+N_EPOCHS = 3
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-reshuffle balance audit: the training loader re-shards
+    the corpus each epoch with a deterministic per-(epoch, doc) hash —
+    the standard seeded-shuffle recipe (same data, different order
+    every epoch, reproducible from the seed).  Per (epoch, shard):
+    document and token mass, plus each shard's share of the epoch —
+    the table that catches a broken reshuffle (identical shards across
+    epochs, or a skewed shard that serializes every step of one
+    epoch).
+
+    Map-only tagging (two hashes per doc) into one bounded
+    (N_EPOCHS x EPOCH_SHARDS)-row aggregate; the share divides by the
+    epoch total via a window over the bounded aggregate."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    n_tok = F.size(F.split("text", " "))
+    tagged = None
+    for ep in range(N_EPOCHS):
+        shard = (
+            _h64_spark(
+                F.concat(
+                    F.lit(f"ep{ep}|"), F.col("doc_id").cast("string")
+                )
+            )
+            % EPOCH_SHARDS
+        ).cast("int")
+        t = docs.select(
+            F.lit(ep).alias("epoch"),
+            shard.alias("shard"),
+            n_tok.alias("n_tok"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    agg = tagged.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    w = Window.partitionBy("epoch")
+    return (
+        agg.select(
+            "epoch",
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+def _epoch_shard_sql(ep: int) -> str:
+    h = H64_SQL.format(expr=f"'ep{ep}|' || CAST(doc_id AS VARCHAR)")
+    return f"CAST({h} % {EPOCH_SHARDS} AS INT)"
+
+
+ORACLE["epoch_shuffle_audit"] = (
+    "WITH tagged AS (\n"
+    + "\nUNION ALL\n".join(
+        f"""        SELECT {ep} AS epoch, {_epoch_shard_sql(ep)} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents"""
+        for ep in range(N_EPOCHS)
+    )
+    + """
+    ),
+    agg AS (
+        SELECT epoch, shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM tagged GROUP BY epoch, shard
+    )
+    SELECT epoch, shard, n_docs, n_tokens,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY epoch) AS DOUBLE), 6)
+               AS doc_share
+    FROM agg ORDER BY epoch, shard
+"""
+)
+
+QUERIES["epoch_shuffle_audit"] = epoch_shuffle_audit
+
+
+SPAN_MASK_PCT = 15  # per-token corruption rate (T5 uses 0.15)
+
+
+def span_corruption_masks(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-corruption (T5 denoising) accounting: every token is
+    independently masked with probability SPAN_MASK_PCT% by a
+    deterministic (doc, position) hash; consecutive masked tokens
+    collapse into one sentinel span.  Per language: token mass, masked
+    mass, realized mask rate, span count, and mean span length — the
+    numbers that set the denoising objective's sentinel budget and
+    verify the masking plan is reproducible from the seed.
+
+    Span starts need NO window function: a span starts where position
+    i is masked and position i-1 is not, and both flags are the same
+    row-local hash evaluated at i and i-1 — two hashes per token,
+    zero shuffles until the bounded per-lang aggregate."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    toks = F.split("text", " ")
+    pos = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size(toks) - 1)).alias("i"),
+    )
+
+    def masked(idx):
+        return (
+            _h64_spark(
+                F.concat(
+                    F.lit("mask|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    idx.cast("string"),
+                )
+            )
+            % 100
+            < SPAN_MASK_PCT
+        )
+
+    m_i = masked(F.col("i"))
+    m_prev = (F.col("i") > 0) & masked(F.col("i") - 1)
+    flagged = pos.select(
+        "lang",
+        m_i.cast("bigint").alias("is_masked"),
+        (m_i & ~m_prev).cast("bigint").alias("is_span_start"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("is_masked").alias("n_masked"),
+            F.round(
+                F.sum("is_masked").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mask_rate"),
+            F.sum("is_span_start").alias("n_spans"),
+            F.round(
+                F.sum("is_masked").cast("double")
+                / F.nullif(F.sum("is_span_start"), F.lit(0)).cast("double"),
+                4,
+            ).alias("avg_span_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SPAN_H = H64_SQL.format(
+    expr="'mask|' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+)
+_SPAN_H_PREV = H64_SQL.format(
+    expr="'mask|' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)"
+)
+
+ORACLE["span_corruption_masks"] = f"""
+    WITH pos AS (
+        SELECT lang, doc_id,
+               unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+                   AS i
+        FROM documents
+    ),
+    flagged AS (
+        SELECT lang,
+               CASE WHEN {_SPAN_H} % 100 < {SPAN_MASK_PCT}
+                    THEN 1 ELSE 0 END AS is_masked,
+               CASE WHEN {_SPAN_H} % 100 < {SPAN_MASK_PCT}
+                     AND NOT (i > 0
+                              AND {_SPAN_H_PREV} % 100 < {SPAN_MASK_PCT})
+                    THEN 1 ELSE 0 END AS is_span_start
+        FROM pos
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+           ROUND(CAST(SUM(is_masked) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mask_rate,
+           CAST(SUM(is_span_start) AS BIGINT) AS n_spans,
+           ROUND(CAST(SUM(is_masked) AS DOUBLE)
+                 / CAST(NULLIF(SUM(is_span_start), 0) AS DOUBLE), 4)
+               AS avg_span_len
+    FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["span_corruption_masks"] = span_corruption_masks

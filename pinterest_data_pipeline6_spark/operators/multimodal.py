@@ -1285,3 +1285,61 @@ ORACLE["media_meta_consistency"] = """
 """
 
 QUERIES["media_meta_consistency"] = media_meta_consistency
+
+
+def perceptual_dup_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    """Storage-reclaim accounting for perceptually-identical assets:
+    within each exact-aHash group the canonical survivor is the lowest
+    media_id; every other member's payload bytes are reclaimable — the
+    perceptual twin of media_content_dedup (which needs byte-identical
+    payloads; aHash groups also capture re-encoded/resampled copies
+    whose bytes differ but whose sampled matrix does not).
+
+    Two shrinking aggregates keyed on (kind, ahash); the min-survivor
+    pick is an exact integer min inside the same agg — no second
+    pass."""
+    ph = _perceptual_hashes(spark, sf)
+    sized = ph.join(
+        _media_hex(spark, sf).select("media_id", "n"), "media_id"
+    )
+    groups = sized.groupBy("kind", "ahash").agg(
+        F.count("*").alias("sz"),
+        F.sum("n").alias("bytes_total"),
+        F.min(F.struct("media_id", "n")).alias("survivor"),
+    )
+    return (
+        groups.groupBy("kind")
+        .agg(
+            F.sum("sz").alias("n_media"),
+            F.sum((F.col("sz") - 1)).alias("n_removable"),
+            F.sum("bytes_total").alias("bytes_total"),
+            F.sum(
+                F.col("bytes_total") - F.col("survivor.n")
+            ).alias("bytes_reclaimable"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE["perceptual_dup_survivorship"] = f"""
+    WITH ph AS ({_PHASH_SQL}),
+    sized AS (
+        SELECT ph.media_id, ph.kind, ph.ahash, hx.n
+        FROM ph JOIN ({_MEDIA_HX_SQL}) hx ON ph.media_id = hx.media_id
+    ),
+    groups AS (
+        SELECT kind, ahash, COUNT(*) AS sz,
+               CAST(SUM(n) AS BIGINT) AS bytes_total,
+               MIN({{'media_id': media_id, 'n': n}}) AS survivor
+        FROM sized GROUP BY kind, ahash
+    )
+    SELECT kind,
+           CAST(SUM(sz) AS BIGINT) AS n_media,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+           CAST(SUM(bytes_total) AS BIGINT) AS bytes_total,
+           CAST(SUM(bytes_total - survivor.n) AS BIGINT)
+               AS bytes_reclaimable
+    FROM groups GROUP BY kind ORDER BY kind
+"""
+
+QUERIES["perceptual_dup_survivorship"] = perceptual_dup_survivorship

@@ -298,3 +298,76 @@ ORACLE["hashed_feature_buckets"] = f"""
 """
 
 QUERIES["hashed_feature_buckets"] = hashed_feature_buckets
+
+
+def quality_classifier_lang_bias(spark: SparkSession, sf: str) -> DataFrame:
+    """Disparate-impact audit of the classifier gate: per language,
+    its pass rate against the corpus pass rate and the bias ratio
+    (the four-fifths-rule number — a filter model trained on the
+    dominant language silently strips minority languages, and this is
+    the table that catches it before the gate ships; the model-scored
+    twin of bpe_fertility_by_lang's tokenizer-fairness audit).
+
+    The bias ratio is computed from exact integer cross-products
+    (n_pass * corpus_docs) / (n_docs * corpus_pass) with ONE final
+    double division; the corpus totals join back as a broadcast
+    singleton."""
+    ds = _doc_scores(spark, sf)
+    flagged = ds.select(
+        "lang", (F.col("total_milli") > 0).cast("bigint").alias("p")
+    )
+    corpus = flagged.agg(
+        F.count("*").alias("c_docs"), F.sum("p").alias("c_pass")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("p").alias("n_pass"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "lang",
+            "n_docs",
+            "n_pass",
+            F.round(
+                F.col("n_pass").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("pass_rate"),
+            F.round(
+                F.col("c_pass").cast("double") / F.col("c_docs").cast("double"),
+                6,
+            ).alias("corpus_pass_rate"),
+            F.round(
+                (F.col("n_pass") * F.col("c_docs")).cast("double")
+                / (F.col("n_docs") * F.col("c_pass")).cast("double"),
+                6,
+            ).alias("bias_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["quality_classifier_lang_bias"] = f"""
+    WITH ds AS ({_DOC_SCORES_SQL}),
+    flagged AS (
+        SELECT lang, CASE WHEN total_milli > 0 THEN 1 ELSE 0 END AS p
+        FROM ds
+    ),
+    corpus AS (
+        SELECT COUNT(*) AS c_docs, CAST(SUM(p) AS BIGINT) AS c_pass
+        FROM flagged
+    ),
+    per_lang AS (
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(p) AS BIGINT) AS n_pass
+        FROM flagged GROUP BY lang
+    )
+    SELECT lang, n_docs, n_pass,
+           ROUND(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS pass_rate,
+           ROUND(CAST(c_pass AS DOUBLE) / CAST(c_docs AS DOUBLE), 6)
+               AS corpus_pass_rate,
+           ROUND(CAST(n_pass * c_docs AS DOUBLE)
+                 / CAST(n_docs * c_pass AS DOUBLE), 6) AS bias_ratio
+    FROM per_lang CROSS JOIN corpus
+    ORDER BY lang
+"""
+
+QUERIES["quality_classifier_lang_bias"] = quality_classifier_lang_bias

@@ -2817,3 +2817,182 @@ ORACLE["rq_two_stage_error"] = f"""
 """
 
 QUERIES["rq_two_stage_error"] = rq_two_stage_error
+
+
+def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF+PQ composed search (the FAISS IVFADC architecture, Jegou et
+    al. 2011): the coarse IVF cell restricts each query to its own
+    inverted list, and PQ asymmetric distance ranks ONLY those
+    cell-mates — the memory/scan shape every billion-vector deployment
+    actually serves.  Emits, per query, the cell candidate count, the
+    overlap of the IVF-ADC top-10 with the exact L2 top-10, and
+    recall@10 — so both compression loss (PQ) and probe loss (IVF)
+    land in one auditable number.
+
+    100 TB shape: candidates come from ONE cell (at scale: one
+    partition read — the corpus is stored partitioned by cell); ADC
+    scores the candidates' CODE rows (PQ_M small ints each) against a
+    broadcast (query x centroid) lookup; only the ground-truth side
+    ever scans raw vectors.  Codes are re-assigned against the final
+    codebook (the pq_adc_recall consistency contract)."""
+    cells = _cell_assignment(spark, sf).select("vec_id", "cell")
+    subs = _pq_subvectors(spark, sf)
+    _, cent = _pq_train(subs)
+    codes = _pq_assign(subs, cent)
+    q = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub_id", F.col("sv").alias("qv")
+    )
+    qd2 = F.aggregate(
+        F.zip_with("qv", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    lookup = q.join(cent, "sub_id").select(
+        "query_id", "sub_id", "cid", F.round(qd2, 9).alias("qd")
+    )
+    qcells = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    cand = cells.join(
+        F.broadcast(qcells),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    n_cand = cand.groupBy("query_id").agg(
+        F.count("*").alias("n_cell_candidates")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lookup), ["query_id", "sub_id", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qd").cast("decimal(28,9)")).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    adc_top = adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    emb = widen_small_scan(table(spark, sf, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qfull = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ed2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    exact = (
+        F.broadcast(qfull)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ed2.alias("d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact_top = exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= TOP_K
+    )
+    return (
+        exact_top.select("query_id", "vec_id")
+        .join(
+            adc_top.select("query_id", "vec_id", F.lit(1).alias("hit")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / TOP_K, 4
+            ).alias("recall_at_10"),
+        )
+        .join(F.broadcast(n_cand), "query_id")
+        .select("query_id", "n_cell_candidates", "n_overlap", "recall_at_10")
+        .orderBy("query_id")
+    )
+
+
+ORACLE["ivf_pq_search"] = (
+    "WITH assigned AS (" + _ASSIGN_SQL + "),\n" +
+    _pq_sql_ctes(final_assign=True) + f""",
+    q AS (
+        SELECT vec_id AS query_id, sub_id, sv AS qv FROM subs
+        WHERE vec_id < {N_QUERIES}
+    ),
+    lookup AS (
+        SELECT q.query_id, c.sub_id, c.cid,
+               ROUND(list_reduce(list_transform(
+                   generate_series(1, {PQ_SUBDIM}),
+                   i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])),
+                   (a, b) -> a + b), 9) AS qd
+        FROM q JOIN c{PQ_ITERS} c ON q.sub_id = c.sub_id
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, cell AS qcell FROM assigned
+        WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT qc.query_id, a.vec_id
+        FROM assigned a JOIN qcells qc
+          ON a.cell = qc.qcell AND a.vec_id != qc.query_id
+    ),
+    n_cand AS (
+        SELECT query_id, COUNT(*) AS n_cell_candidates
+        FROM cand GROUP BY query_id
+    ),
+    adc AS (
+        SELECT cand.query_id, cand.vec_id,
+               SUM(CAST(l.qd AS DECIMAL(28,9))) AS adc
+        FROM cand
+        JOIN af a ON cand.vec_id = a.vec_id
+        JOIN lookup l ON l.query_id = cand.query_id
+         AND l.sub_id = a.sub_id AND l.cid = a.cid
+        GROUP BY cand.query_id, cand.vec_id
+    ),
+    adc_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {TOP_K}
+    ),
+    emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               list_reduce(list_transform(generate_series(1, {DIM}),
+                   i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])),
+                   (a, b) -> a + b) AS d2
+        FROM emb q JOIN emb e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, vec_id) AS rn
+            FROM exact
+        ) WHERE rn <= {TOP_K}
+    ),
+    rec AS (
+        SELECT e.query_id,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap,
+               ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / {TOP_K}, 4) AS recall_at_10
+        FROM exact_top e
+        LEFT JOIN adc_top a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT rec.query_id, n_cand.n_cell_candidates, rec.n_overlap,
+           rec.recall_at_10
+    FROM rec JOIN n_cand ON rec.query_id = n_cand.query_id
+    ORDER BY rec.query_id"""
+)
+
+QUERIES["ivf_pq_search"] = ivf_pq_search

@@ -466,3 +466,148 @@ ORACLE["kmv_distinct_estimate"] = f"""
 """
 
 QUERIES["kmv_distinct_estimate"] = kmv_distinct_estimate
+
+
+# ---------------------------------------------------------------------------
+# Round 9: HyperLogLog register sketch (Flajolet et al. 2007) — the
+# OTHER mergeable distinct-count sketch, complementing KMV: where KMV
+# keeps the k smallest hashes (k * 8 bytes, estimate from the k-th
+# order statistic), HLL keeps HLL_M max-leading-zero registers (one
+# byte each) and estimates from their harmonic mean — the sketch
+# behind approx_count_distinct itself, materialized here as auditable
+# data with a cross-engine oracle.
+#
+# Determinism contract: rho (leading-zero rank) is derived from the
+# BINARY-STRING length of the hash remainder — length(bin(w)) — pure
+# integer/string ops, no log2 on data; the harmonic sum is the EXACT
+# integer  sum(2^(55 - M_j))  (every term <= 2^55, 64 terms fit
+# bigint), so the one floating-point step is the final literal/S
+# division.  The raw estimator is reported without the small/large
+# range corrections (n_zero_registers is emitted so a consumer can
+# apply linear counting); the audit column is rel_error vs the exact
+# count anyway.
+
+HLL_M = 64  # registers (bucket = hash % 64; 6 bucket bits)
+_HLL_WBITS = 54  # 60-bit hash minus 6 bucket bits
+# alpha_m * m^2 * 2^55 — the full estimator numerator as one Python
+# literal so both engines divide the identical double by S.
+_HLL_NUMERATOR = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * (
+    1 << (_HLL_WBITS + 1)
+)
+
+
+def hll_register_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimate vs the exact
+    count: registers used, zero registers, the raw HLL estimate, and
+    its relative error — the audit that decides whether one byte per
+    register is enough before replacing exact COUNT DISTINCT in a
+    100 TB rollup.
+
+    Scale shape: the register table is the partial+final MAX agg on
+    (type, bucket) — at most #types x HLL_M rows survive the map side
+    regardless of input (the mergeable-sketch property, same as CMS);
+    duplicates never inflate anything because MAX absorbs them."""
+    from pinterest_data_pipeline6_spark.operators.textops import _h64_spark
+
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    h = _h64_spark(
+        F.concat(F.lit("hll|"), F.col("user_id").cast("string"))
+    )
+    hashed = ev.select(
+        "event_type",
+        (h % HLL_M).cast("int").alias("b"),
+        F.floor(h / HLL_M).cast("long").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    regs = hashed.select("event_type", "b", rho.alias("rho")).groupBy(
+        "event_type", "b"
+    ).agg(F.max("rho").alias("m_j"))
+    per_type = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_registers_used"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {_HLL_WBITS + 1} - cast(m_j as int))")
+        ).cast("bigint").alias("s_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_distinct")
+    )
+    s_total = F.col("s_present") + (HLL_M - F.col("n_registers_used")) * F.lit(
+        1 << (_HLL_WBITS + 1)
+    )
+    est = F.lit(_HLL_NUMERATOR) / s_total.cast("double")
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_distinct",
+            "n_registers_used",
+            (F.lit(HLL_M) - F.col("n_registers_used")).cast("bigint").alias(
+                "n_zero_registers"
+            ),
+            F.round(est, 2).alias("hll_estimate"),
+            F.round(
+                F.abs(est - F.col("n_distinct").cast("double"))
+                / F.col("n_distinct").cast("double"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+from pinterest_data_pipeline6_spark.operators.textops import H64_SQL  # noqa: E402
+
+ORACLE["hll_register_estimate"] = f"""
+    WITH hashed AS (
+        SELECT event_type,
+               CAST(h % {HLL_M} AS INT) AS b,
+               h // {HLL_M} AS w
+        FROM (
+            SELECT event_type,
+                   {H64_SQL.format(expr="'hll|' || CAST(user_id AS VARCHAR)")}
+                       AS h
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        )
+    ),
+    regs AS (
+        SELECT event_type, b,
+               MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                        ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS m_j
+        FROM hashed GROUP BY event_type, b
+    ),
+    per_type AS (
+        SELECT event_type,
+               COUNT(*) AS n_registers_used,
+               CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - m_j)) AS BIGINT)
+                   AS s_present
+        FROM regs GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT per_type.event_type,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           n_registers_used,
+           CAST({HLL_M} - n_registers_used AS BIGINT) AS n_zero_registers,
+           ROUND({_HLL_NUMERATOR!r}
+                 / CAST(s_present + ({HLL_M} - n_registers_used)
+                        * (1::BIGINT << {_HLL_WBITS + 1}) AS DOUBLE), 2)
+               AS hll_estimate,
+           ROUND(ABS({_HLL_NUMERATOR!r}
+                     / CAST(s_present + ({HLL_M} - n_registers_used)
+                            * (1::BIGINT << {_HLL_WBITS + 1}) AS DOUBLE)
+                     - CAST(n_distinct AS DOUBLE))
+                 / CAST(n_distinct AS DOUBLE), 4) AS rel_error
+    FROM per_type JOIN exact ON per_type.event_type = exact.event_type
+    ORDER BY per_type.event_type
+"""
+
+QUERIES["hll_register_estimate"] = hll_register_estimate

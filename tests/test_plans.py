@@ -499,6 +499,8 @@ INTENTIONAL_BNLJ = {
     "dpo_pair_sampling_weights",  # 1-row (total, k_types) aggregate broadcast
     "preference_cycle_triads",    # #types-row type list self-crossed (triads)
     "condorcet_winner_audit",     # 1-row distinct-type count broadcast
+    "ivf_pq_search",              # exact-baseline side: broadcast queries x corpus
+    "quality_classifier_lang_bias",  # 1-row corpus pass-rate broadcast
 }
 
 
