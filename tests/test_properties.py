@@ -3200,3 +3200,266 @@ def test_source_boilerplate_removal_matches_brute_force(
             else:
                 kept += p_tok
         assert got[src] == (n_docs, n_paras, n_removed, rm, kept), src
+
+
+# ---------------------------------------------------------------------------
+# Round 9: property tests for the perceptual-hash / fingerprint /
+# classifier / HLL / masking families — each pinned against a direct
+# Python reference over hypothesis-generated corpora.
+
+
+def _doc_parquet(spark, tmp_path_factory, texts, tag):
+    rows = [
+        (i, t, f"l{i % 2}", f"s{i % 3}", len(t)) for i, t in enumerate(texts)
+    ]
+    out = tmp_path_factory.mktemp(tag)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    return str(out), rows
+
+
+def _ahash_py(payload: bytes) -> int:
+    cells = [payload[(j * len(payload)) // 32] for j in range(32)]
+    total = sum(cells)
+    return sum(1 << j for j, c in enumerate(cells) if c * 32 > total)
+
+
+def _dhash_py(payload: bytes) -> int:
+    cells = [payload[(j * len(payload)) // 36] for j in range(36)]
+    bits, k = 0, 0
+    for i in range(35):
+        if i % 9 == 8:
+            continue
+        if cells[i] > cells[i + 1]:
+            bits |= 1 << k
+        k += 1
+    return bits
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@example(texts=["a", "zz", "the same text", "the same text"])
+def test_perceptual_hashes_match_python_reference(
+    spark, texts, tmp_path_factory
+):
+    """aHash (strided 32-cell mean threshold) and dHash (4x9 grid
+    within-row comparisons) must equal a byte-level Python reference
+    for every payload — pins the hex-substring cell reads, the integer
+    mean comparison, and the bit packing."""
+    from pinterest_data_pipeline6_spark.operators.multimodal import (
+        _perceptual_hashes,
+    )
+
+    out, rows = _doc_parquet(spark, tmp_path_factory, texts, "phash_prop")
+    got = {
+        r["media_id"]: (r["ahash"], r["dhash"])
+        for r in _perceptual_hashes(spark, out).collect()
+    }
+    for doc_id, t, *_ in rows:
+        payload = t.encode()
+        assert got[doc_id] == (_ahash_py(payload), _dhash_py(payload)), t
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@example(texts=["abc", "abcdefgh" * 8, "abcdefgh" * 8])
+def test_media_fingerprints_match_python_reference(
+    spark, texts, tmp_path_factory
+):
+    """Byte-window min-gram-hash fingerprints must equal a Python
+    reference: gram hash = portable 60-bit md5 of the UPPERCASE hex of
+    4 payload bytes, window = disjoint 8-gram blocks, fingerprint =
+    window min (payloads under 4 bytes produce none)."""
+    from pinterest_data_pipeline6_spark.operators.multimodal import (
+        FP_GRAM_BYTES,
+        FP_WINDOW,
+        _media_fingerprints,
+    )
+
+    out, rows = _doc_parquet(spark, tmp_path_factory, texts, "fp_prop")
+    got = {}
+    for r in _media_fingerprints(spark, out).collect():
+        got.setdefault(r["media_id"], {})[r["w"]] = r["fp"]
+
+    for doc_id, t, *_ in rows:
+        p = t.encode()
+        want: dict[int, int] = {}
+        if len(p) >= FP_GRAM_BYTES:
+            hx = p.hex().upper()
+            for g in range(len(p) - FP_GRAM_BYTES + 1):
+                gh = _h64_py(hx[g * 2 : g * 2 + 2 * FP_GRAM_BYTES])
+                w = g // FP_WINDOW
+                want[w] = min(want.get(w, gh), gh)
+        assert got.get(doc_id, {}) == want, t
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=6),
+            min_size=1,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quality_classifier_matches_python_reference(
+    spark, texts, tmp_path_factory
+):
+    """The hashed-feature classifier's per-document integer state
+    (token count, milli-weight sum) must equal a direct Python
+    hash-and-sum — pins the bucket hash, the literal weight array, and
+    the exactness of the aggregate."""
+    from pinterest_data_pipeline6_spark.operators.scoring import (
+        QC_BUCKETS,
+        QC_WEIGHTS_MILLI,
+        _doc_scores,
+    )
+
+    out, rows = _doc_parquet(spark, tmp_path_factory, texts, "qc_prop")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["total_milli"])
+        for r in _doc_scores(spark, out).collect()
+    }
+    for doc_id, t, *_ in rows:
+        toks = t.split(" ")
+        total = sum(
+            QC_WEIGHTS_MILLI[_h64_py(tok) % QC_BUCKETS] for tok in toks
+        )
+        assert got[doc_id] == (len(toks), total), t
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (type, user)
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_hll_registers_match_python_reference(
+    spark, events, tmp_path_factory
+):
+    """HLL register table and estimate must match a Python reference:
+    bucket = h % 64, rho = 55 - bitlength(h // 64) (55 when the
+    remainder is 0), registers = per-bucket max, estimate =
+    numerator / exact integer harmonic sum.  Duplicates must be
+    absorbed by the register max."""
+    import datetime
+
+    from pinterest_data_pipeline6_spark.operators.sketches import (
+        HLL_M,
+        _HLL_NUMERATOR,
+        _HLL_WBITS,
+        hll_register_estimate,
+    )
+
+    data = [
+        (i, datetime.datetime(2024, 1, 1, 9), u, f"t{ty}", 1.0, None)
+        for i, (ty, u) in enumerate(events)
+    ]
+    out = tmp_path_factory.mktemp("hll_prop")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["event_type"]: (
+            r["n_distinct"],
+            r["n_registers_used"],
+            r["n_zero_registers"],
+            r["hll_estimate"],
+        )
+        for r in hll_register_estimate(spark, str(out)).collect()
+    }
+
+    per_type: dict[str, dict[int, int]] = {}
+    truth: dict[str, set] = {}
+    for ty, u in events:
+        t = f"t{ty}"
+        h = _h64_py(f"hll|{u}")
+        b, w = h % HLL_M, h // HLL_M
+        rho = (_HLL_WBITS + 1) - (w.bit_length() if w else 0)
+        regs = per_type.setdefault(t, {})
+        regs[b] = max(regs.get(b, 0), rho)
+        truth.setdefault(t, set()).add(u)
+    for t, regs in per_type.items():
+        s = sum(1 << (_HLL_WBITS + 1 - m) for m in regs.values())
+        s += (HLL_M - len(regs)) * (1 << (_HLL_WBITS + 1))
+        est = _HLL_NUMERATOR / s
+        nd, used, zeros, got_est = got[t]
+        assert (nd, used, zeros) == (
+            len(truth[t]),
+            len(regs),
+            HLL_M - len(regs),
+        ), t
+        assert abs(got_est - est) < 0.02, (t, got_est, est)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="mn", min_size=1, max_size=3),
+            min_size=1,
+            max_size=30,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_span_corruption_matches_python_reference(
+    spark, texts, tmp_path_factory
+):
+    """Span-corruption accounting must equal a Python scan: token i
+    masked iff h64('mask|doc:i') % 100 < 15, spans = maximal masked
+    runs — pins the windowless two-hash span-start trick."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        SPAN_MASK_PCT,
+        span_corruption_masks,
+    )
+
+    out, rows = _doc_parquet(spark, tmp_path_factory, texts, "span_prop")
+    got = {
+        r["lang"]: (r["n_tokens"], r["n_masked"], r["n_spans"])
+        for r in span_corruption_masks(spark, out).collect()
+    }
+    want: dict[str, list] = {}
+    for doc_id, t, *_ in rows:
+        lang = f"l{doc_id % 2}"
+        w = want.setdefault(lang, [0, 0, 0])
+        prev = False
+        for i in range(len(t.split(" "))):
+            m = _h64_py(f"mask|{doc_id}:{i}") % 100 < SPAN_MASK_PCT
+            w[0] += 1
+            w[1] += m
+            w[2] += m and not prev
+            prev = m
+    for lang, (nt, nm, ns) in want.items():
+        assert got[lang] == (nt, nm, ns), lang
