@@ -1343,3 +1343,96 @@ ORACLE["perceptual_dup_survivorship"] = f"""
 """
 
 QUERIES["perceptual_dup_survivorship"] = perceptual_dup_survivorship
+
+
+def fingerprint_df_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """Fingerprint document-frequency spectrum: for each df (number of
+    distinct payloads sharing a fingerprint), how many distinct
+    fingerprints sit there and their occurrence mass — the table that
+    tunes FP_MAX_DF, exactly as paragraph_df_histogram tunes the
+    boilerplate threshold: the stop cut should sit past the knee where
+    identity signal ends and common-byte-run mass begins.
+
+    Two strictly shrinking aggregates (fingerprints -> per-value df ->
+    per-df rollup); output bounded by the df range."""
+    fps = _media_fingerprints(spark, sf).select("media_id", "fp").distinct()
+    per_fp = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    return (
+        per_fp.groupBy("df")
+        .agg(F.count("*").alias("n_fingerprints"))
+        .select(
+            "df",
+            "n_fingerprints",
+            (F.col("df") * F.col("n_fingerprints")).alias("occurrence_mass"),
+        )
+        .orderBy("df")
+    )
+
+
+ORACLE["fingerprint_df_spectrum"] = f"""
+    WITH fps AS (
+        SELECT DISTINCT media_id, fp FROM ({_fp_sql()})
+    ),
+    per_fp AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
+    SELECT df, COUNT(*) AS n_fingerprints,
+           CAST(df * COUNT(*) AS BIGINT) AS occurrence_mass
+    FROM per_fp GROUP BY df ORDER BY df
+"""
+
+QUERIES["fingerprint_df_spectrum"] = fingerprint_df_spectrum
+
+
+def perceptual_band_selectivity(spark: SparkSession, sf: str) -> DataFrame:
+    """Banding-cost planner for the perceptual hash join: per band
+    index, the buckets in use, the largest bucket, and the exact
+    candidate-pair mass each band would generate (sum of sz*(sz-1)/2
+    over its buckets) — the number that prices the band join BEFORE
+    running it, exactly as lsh_bucket_histogram prices MinHash bands.
+    A band whose pair mass explodes (too few effective bits — see
+    perceptual_hash_bit_stability) is the one to re-sample or widen.
+
+    Bounded output (PHASH_BANDS rows); two shrinking aggregates."""
+    img = _perceptual_hashes(spark, sf).filter(F.col("kind") == "image")
+    bands = img.select(
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band_idx"),
+        "ahash",
+    ).select(
+        "band_idx", F.expr("(ahash >> (band_idx * 8)) & 255").alias("band_val")
+    )
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets_used"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(
+                (F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint")
+            ).alias("candidate_pairs"),
+        )
+        .orderBy("band_idx")
+    )
+
+
+ORACLE["perceptual_band_selectivity"] = f"""
+    WITH ph AS ({_PHASH_SQL}),
+    bands AS (
+        SELECT CAST(b AS INT) AS band_idx,
+               (ahash >> (b * 8)) & 255 AS band_val
+        FROM (SELECT ahash FROM ph WHERE kind = 'image'),
+             (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS b)
+    ),
+    buckets AS (
+        SELECT band_idx, band_val, COUNT(*) AS sz
+        FROM bands GROUP BY band_idx, band_val
+    )
+    SELECT band_idx, COUNT(*) AS n_buckets_used,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band_idx ORDER BY band_idx
+"""
+
+QUERIES["perceptual_band_selectivity"] = perceptual_band_selectivity

@@ -371,3 +371,95 @@ ORACLE["quality_classifier_lang_bias"] = f"""
 """
 
 QUERIES["quality_classifier_lang_bias"] = quality_classifier_lang_bias
+
+
+QC_ROC_THRESHOLDS_MILLI = (-200, -100, 0, 100, 200)
+
+
+def quality_classifier_roc_points(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC operating points for the classifier gate against the weak
+    label (document length > 300 chars): at each candidate threshold
+    (per-token mean score in milli-units), the exact confusion counts
+    and TPR / FPR / precision — the table that picks the shipping
+    threshold (quality_classifier_calibration shows monotonicity; this
+    prices each cut).
+
+    Threshold comparisons are integer cross-multiplications
+    (total_milli >= tau * n_tok) — no float thresholds; the bounded
+    (#thresholds x confusion) aggregate follows one map-only tag."""
+    ds = _doc_scores(spark, sf)
+    t, n = F.col("total_milli"), F.col("n_tok")
+    is_long = (F.col("n_chars") > 300).cast("bigint")
+    out = None
+    for tau in QC_ROC_THRESHOLDS_MILLI:
+        pred = (t >= tau * n).cast("bigint")
+        row = ds.select(
+            F.lit(tau).alias("threshold_milli"),
+            pred.alias("pred"),
+            is_long.alias("label"),
+        ).agg(
+            F.lit(tau).alias("threshold_milli"),
+            F.sum(F.col("pred") * F.col("label")).alias("tp"),
+            F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+            F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+            F.sum((1 - F.col("pred")) * (1 - F.col("label"))).alias("tn"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "threshold_milli",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)).cast("double"),
+            6,
+        ).alias("tpr"),
+        F.round(
+            F.col("fp").cast("double")
+            / F.nullif(F.col("fp") + F.col("tn"), F.lit(0)).cast("double"),
+            6,
+        ).alias("fpr"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)).cast("double"),
+            6,
+        ).alias("precision"),
+    ).orderBy("threshold_milli")
+
+
+ORACLE["quality_classifier_roc_points"] = (
+    f"WITH ds AS ({_DOC_SCORES_SQL}),\n"
+    + "pts AS (\n"
+    + "\nUNION ALL\n".join(
+        f"""        SELECT {tau} AS threshold_milli,
+               CAST(SUM(CASE WHEN total_milli >= {tau} * n_tok
+                              AND n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp,
+               CAST(SUM(CASE WHEN total_milli >= {tau} * n_tok
+                              AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fp,
+               CAST(SUM(CASE WHEN total_milli < {tau} * n_tok
+                              AND n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fn,
+               CAST(SUM(CASE WHEN total_milli < {tau} * n_tok
+                              AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tn
+        FROM ds"""
+        for tau in QC_ROC_THRESHOLDS_MILLI
+    )
+    + """
+    )
+    SELECT threshold_milli, tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE)
+                 / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6) AS tpr,
+           ROUND(CAST(fp AS DOUBLE)
+                 / CAST(NULLIF(fp + tn, 0) AS DOUBLE), 6) AS fpr,
+           ROUND(CAST(tp AS DOUBLE)
+                 / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6) AS precision
+    FROM pts ORDER BY threshold_milli
+"""
+)
+
+QUERIES["quality_classifier_roc_points"] = quality_classifier_roc_points
