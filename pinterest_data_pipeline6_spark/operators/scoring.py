@@ -385,26 +385,36 @@ def quality_classifier_roc_points(spark: SparkSession, sf: str) -> DataFrame:
     prices each cut).
 
     Threshold comparisons are integer cross-multiplications
-    (total_milli >= tau * n_tok) — no float thresholds; the bounded
-    (#thresholds x confusion) aggregate follows one map-only tag."""
+    (total_milli >= tau * n_tok) — no float thresholds.  ONE corpus
+    scan: each scored document explodes into #thresholds tagged rows
+    (a bounded literal array, not a second pass over the data) feeding
+    one (#thresholds)-keyed aggregate — a per-threshold union would
+    re-scan and re-score the corpus once per operating point."""
     ds = _doc_scores(spark, sf)
     t, n = F.col("total_milli"), F.col("n_tok")
     is_long = (F.col("n_chars") > 300).cast("bigint")
-    out = None
-    for tau in QC_ROC_THRESHOLDS_MILLI:
-        pred = (t >= tau * n).cast("bigint")
-        row = ds.select(
-            F.lit(tau).alias("threshold_milli"),
-            pred.alias("pred"),
-            is_long.alias("label"),
-        ).agg(
-            F.lit(tau).alias("threshold_milli"),
+    tagged = ds.select(
+        t.alias("total_milli"),
+        n.alias("n_tok"),
+        is_long.alias("label"),
+        F.explode(
+            F.array(*[F.lit(tau) for tau in QC_ROC_THRESHOLDS_MILLI])
+        ).alias("threshold_milli"),
+    )
+    pred = (
+        F.col("total_milli")
+        >= F.col("threshold_milli") * F.col("n_tok")
+    ).cast("bigint")
+    out = (
+        tagged.select("threshold_milli", pred.alias("pred"), "label")
+        .groupBy("threshold_milli")
+        .agg(
             F.sum(F.col("pred") * F.col("label")).alias("tp"),
             F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
             F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
             F.sum((1 - F.col("pred")) * (1 - F.col("label"))).alias("tn"),
         )
-        out = row if out is None else out.unionByName(row)
+    )
     return out.select(
         "threshold_milli",
         "tp",
