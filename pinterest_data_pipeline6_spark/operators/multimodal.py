@@ -1436,3 +1436,74 @@ ORACLE["perceptual_band_selectivity"] = f"""
 """
 
 QUERIES["perceptual_band_selectivity"] = perceptual_band_selectivity
+
+
+def video_frame_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-level dedup accounting over the video frame-sampler's
+    output: distinct frame payloads vs total sampled frames, frames
+    appearing in more than one video, and the byte mass a frame-store
+    would reclaim — title cards, black frames, and shared intros are
+    exactly this shape in a real corpus.  Because the sampler is the
+    deterministic 32-byte/every-4th chop (frame_sample_accounting's
+    contract), the DuckDB oracle reproduces every sampled frame as a
+    text substring and verifies the WHOLE fan-out + dedup pipeline —
+    the strongest oracle a mapInPandas fan-out can get.
+
+    Scale shape: frames group on their md5 digest (16 bytes per frame
+    through the shuffle, payload bytes stay in the scan-side Arrow
+    batches); two shrinking aggregates."""
+    frames = sample_frames(synthesize_media(spark, sf))
+    groups = (
+        frames.select(
+            F.md5(F.col("frame").cast("string")).alias("digest"),
+            F.length("frame").alias("nbytes"),
+            "media_id",
+        )
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max("nbytes").alias("nbytes"),
+            F.count_distinct("media_id").alias("nvid"),
+        )
+    )
+    return groups.agg(
+        F.sum("cnt").alias("n_frames"),
+        F.count("*").alias("n_distinct_frames"),
+        F.sum((F.col("nvid") > 1).cast("bigint")).alias("n_cross_video"),
+        F.sum((F.col("cnt") - 1) * F.col("nbytes")).alias(
+            "bytes_reclaimable"
+        ),
+    )
+
+
+ORACLE["video_frame_dedup_stats"] = """
+    WITH vids AS (
+        SELECT doc_id, text, strlen(text) AS len,
+               CAST(CEIL(strlen(text) / 32.0) AS BIGINT) AS nf
+        FROM documents
+        WHERE doc_id % 3 = 2 AND strlen(text) > 0
+    ),
+    frames AS (
+        SELECT doc_id,
+               substr(text, CAST(i * 32 + 1 AS INT), 32) AS frame_txt
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, nf - 1, 4)) AS i
+            FROM vids
+        )
+    ),
+    groups AS (
+        SELECT md5(frame_txt) AS digest, COUNT(*) AS cnt,
+               MAX(strlen(frame_txt)) AS nbytes,
+               COUNT(DISTINCT doc_id) AS nvid
+        FROM frames GROUP BY md5(frame_txt)
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_frames,
+           COUNT(*) AS n_distinct_frames,
+           CAST(SUM(CASE WHEN nvid > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_video,
+           CAST(SUM((cnt - 1) * nbytes) AS BIGINT) AS bytes_reclaimable
+    FROM groups
+"""
+
+QUERIES["video_frame_dedup_stats"] = video_frame_dedup_stats

@@ -473,3 +473,107 @@ ORACLE["quality_classifier_roc_points"] = (
 )
 
 QUERIES["quality_classifier_roc_points"] = quality_classifier_roc_points
+
+
+def quality_gate_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-gate agreement between the classifier (integer score > 0)
+    and an independent Gopher-class heuristic gate (>= 20 tokens AND
+    mean word length in [3, 10] — both tested as exact integer
+    cross-multiplications): the 2x2 confusion, observed agreement,
+    chance agreement, and Cohen's kappa.  Two gates that agree only at
+    chance level (kappa ~ 0) are measuring different things, and a
+    curation team should not treat one as a cheap proxy for the other
+    — this is the one-row table that settles it.
+
+    One map-only tag per document into a constant-size aggregate; all
+    rates derive from the four exact cell counts."""
+    ds = _doc_scores(spark, sf)
+    t, n, c = F.col("total_milli"), F.col("n_tok"), F.col("n_chars")
+    clf = t > 0
+    # mean word length = (n_chars - (n_tok - 1) spaces) / n_tok
+    letters = c - (n - 1)
+    heur = (n >= 20) & (letters >= 3 * n) & (letters <= 10 * n)
+    cells = ds.agg(
+        F.sum((clf & heur).cast("bigint")).alias("both_pass"),
+        F.sum((clf & ~heur).cast("bigint")).alias("clf_only"),
+        F.sum((~clf & heur).cast("bigint")).alias("heur_only"),
+        F.sum((~clf & ~heur).cast("bigint")).alias("both_fail"),
+    )
+    a, b_, c_, d = (
+        F.col("both_pass"),
+        F.col("clf_only"),
+        F.col("heur_only"),
+        F.col("both_fail"),
+    )
+    nn = (a + b_ + c_ + d).cast("double")
+    po = (a + d).cast("double") / nn
+    pe = (
+        ((a + b_) * (a + c_) + (c_ + d) * (b_ + d)).cast("double") / (nn * nn)
+    )
+    return cells.select(
+        "both_pass",
+        "clf_only",
+        "heur_only",
+        "both_fail",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
+    )
+
+
+ORACLE["quality_gate_agreement"] = f"""
+    WITH ds AS ({_DOC_SCORES_SQL}),
+    cells AS (
+        SELECT
+            CAST(SUM(CASE WHEN total_milli > 0 AND n_tok >= 20
+                           AND n_chars - (n_tok - 1) >= 3 * n_tok
+                           AND n_chars - (n_tok - 1) <= 10 * n_tok
+                          THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+            CAST(SUM(CASE WHEN total_milli > 0 AND NOT (n_tok >= 20
+                           AND n_chars - (n_tok - 1) >= 3 * n_tok
+                           AND n_chars - (n_tok - 1) <= 10 * n_tok)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS clf_only,
+            CAST(SUM(CASE WHEN total_milli <= 0 AND n_tok >= 20
+                           AND n_chars - (n_tok - 1) >= 3 * n_tok
+                           AND n_chars - (n_tok - 1) <= 10 * n_tok
+                          THEN 1 ELSE 0 END) AS BIGINT) AS heur_only,
+            CAST(SUM(CASE WHEN total_milli <= 0 AND NOT (n_tok >= 20
+                           AND n_chars - (n_tok - 1) >= 3 * n_tok
+                           AND n_chars - (n_tok - 1) <= 10 * n_tok)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS both_fail
+        FROM ds
+    )
+    SELECT both_pass, clf_only, heur_only, both_fail,
+           ROUND(CAST(both_pass + both_fail AS DOUBLE)
+                 / CAST(both_pass + clf_only + heur_only + both_fail
+                        AS DOUBLE), 6) AS observed_agreement,
+           ROUND(CAST((both_pass + clf_only) * (both_pass + heur_only)
+                      + (heur_only + both_fail) * (clf_only + both_fail)
+                      AS DOUBLE)
+                 / (CAST(both_pass + clf_only + heur_only + both_fail
+                         AS DOUBLE)
+                    * CAST(both_pass + clf_only + heur_only + both_fail
+                           AS DOUBLE)), 6) AS chance_agreement,
+           ROUND((CAST(both_pass + both_fail AS DOUBLE)
+                  / CAST(both_pass + clf_only + heur_only + both_fail
+                         AS DOUBLE)
+                  - CAST((both_pass + clf_only) * (both_pass + heur_only)
+                         + (heur_only + both_fail) * (clf_only + both_fail)
+                         AS DOUBLE)
+                    / (CAST(both_pass + clf_only + heur_only + both_fail
+                            AS DOUBLE)
+                       * CAST(both_pass + clf_only + heur_only + both_fail
+                              AS DOUBLE)))
+                 / (1 - CAST((both_pass + clf_only) * (both_pass + heur_only)
+                             + (heur_only + both_fail)
+                               * (clf_only + both_fail)
+                             AS DOUBLE)
+                        / (CAST(both_pass + clf_only + heur_only + both_fail
+                                AS DOUBLE)
+                           * CAST(both_pass + clf_only + heur_only
+                                  + both_fail AS DOUBLE))), 6)
+               AS cohens_kappa
+    FROM cells
+"""
+
+QUERIES["quality_gate_agreement"] = quality_gate_agreement

@@ -2996,3 +2996,81 @@ ORACLE["ivf_pq_search"] = (
 )
 
 QUERIES["ivf_pq_search"] = ivf_pq_search
+
+
+IVF_NEW_MOD = 5  # vec_id % 5 == 0 simulates the newly-ingested batch
+
+
+def ivf_rebalance_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-maintenance audit for the IVF cells: treat every fifth
+    vector as the newly-ingested batch and report, per cell, the old
+    occupancy, the new arrivals, and the new-arrival share — the table
+    an index owner reads to decide when cell centroids must be
+    retrained (a cell absorbing a disproportionate share of new data
+    is drifting away from its centroid, and its probe latency grows
+    with it).  The per-cell new-share is compared against the global
+    new share via exact integer cross-products.
+
+    One assignment pass (broadcast centroids) + one bounded N_CELLS
+    aggregate; the global share joins back as a broadcast singleton."""
+    assigned = _cell_assignment(spark, sf).select(
+        "vec_id",
+        "cell",
+        (F.col("vec_id") % IVF_NEW_MOD == 0).cast("bigint").alias("is_new"),
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_total"),
+        F.sum("is_new").alias("n_new"),
+    )
+    glob = assigned.agg(
+        F.count("*").alias("g_total"), F.sum("is_new").alias("g_new")
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(glob))
+        .select(
+            "cell",
+            (F.col("n_total") - F.col("n_new")).alias("n_old"),
+            "n_new",
+            "n_total",
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("new_share"),
+            # cell absorbs new data faster than the corpus overall
+            (
+                F.col("n_new") * F.col("g_total")
+                > F.col("n_total") * F.col("g_new")
+            ).alias("over_absorbing"),
+        )
+        .orderBy("cell")
+    )
+
+
+ORACLE["ivf_rebalance_audit"] = f"""
+    WITH assigned AS ({_ASSIGN_SQL}),
+    tagged AS (
+        SELECT cell,
+               CASE WHEN vec_id % {IVF_NEW_MOD} = 0 THEN 1 ELSE 0 END AS is_new
+        FROM assigned
+    ),
+    per_cell AS (
+        SELECT cell, COUNT(*) AS n_total,
+               CAST(SUM(is_new) AS BIGINT) AS n_new
+        FROM tagged GROUP BY cell
+    ),
+    gl AS (
+        SELECT COUNT(*) AS g_total, CAST(SUM(is_new) AS BIGINT) AS g_new
+        FROM tagged
+    )
+    SELECT cell,
+           CAST(n_total - n_new AS BIGINT) AS n_old,
+           n_new,
+           n_total,
+           ROUND(CAST(n_new AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+               AS new_share,
+           n_new * g_total > n_total * g_new AS over_absorbing
+    FROM per_cell CROSS JOIN gl
+    ORDER BY cell
+"""
+
+QUERIES["ivf_rebalance_audit"] = ivf_rebalance_audit

@@ -611,3 +611,139 @@ ORACLE["hll_register_estimate"] = f"""
 """
 
 QUERIES["hll_register_estimate"] = hll_register_estimate
+
+
+def hll_union_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The property that makes HLL the 100 TB distinct-count sketch:
+    MERGEABILITY.  Build per-event-type register sets, merge them by
+    per-bucket MAX into one global sketch, and compare the merged
+    estimate against (a) the exact global distinct and (b) the naive
+    SUM of per-type estimates (wrong whenever users overlap types —
+    the overcount column quantifies exactly the error a non-mergeable
+    rollup would ship).  One row out.
+
+    Scale shape: the merge is an HLL_M-row MAX aggregate over the
+    (#types x HLL_M)-row register table — sketches compose without
+    ever re-touching the data, which is why partial sketches can live
+    in a Delta table and merge at query time."""
+    from pinterest_data_pipeline6_spark.operators.textops import _h64_spark
+
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    h = _h64_spark(
+        F.concat(F.lit("hll|"), F.col("user_id").cast("string"))
+    )
+    hashed = ev.select(
+        "event_type",
+        (h % HLL_M).cast("int").alias("b"),
+        F.floor(h / HLL_M).cast("long").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    per_type = hashed.select("event_type", "b", rho.alias("rho")).groupBy(
+        "event_type", "b"
+    ).agg(F.max("rho").alias("m_j"))
+    merged = per_type.groupBy("b").agg(F.max("m_j").alias("m_j"))
+    g = merged.agg(
+        F.count("*").alias("used"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {_HLL_WBITS + 1} - cast(m_j as int))")
+        ).cast("bigint").alias("s_present"),
+    )
+    s_total = F.col("s_present") + (HLL_M - F.col("used")) * F.lit(
+        1 << (_HLL_WBITS + 1)
+    )
+    merged_est = F.lit(_HLL_NUMERATOR) / s_total.cast("double")
+    # per-type estimates, naively summed (the WRONG non-mergeable rollup)
+    pt = per_type.groupBy("event_type").agg(
+        F.count("*").alias("used"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {_HLL_WBITS + 1} - cast(m_j as int))")
+        ).cast("bigint").alias("s_present"),
+    )
+    pt_est = F.lit(_HLL_NUMERATOR) / (
+        F.col("s_present")
+        + (HLL_M - F.col("used")) * F.lit(1 << (_HLL_WBITS + 1))
+    ).cast("double")
+    naive = pt.agg(
+        F.round(F.sum(F.round(pt_est, 9).cast("decimal(28,9)")).cast("double"), 2).alias(
+            "naive_sum_estimate"
+        )
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_distinct_global"))
+    return (
+        g.select(F.round(merged_est, 2).alias("merged_estimate"))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(naive))
+        .select(
+            "n_distinct_global",
+            "merged_estimate",
+            "naive_sum_estimate",
+            F.round(
+                F.col("naive_sum_estimate") - F.col("merged_estimate"), 2
+            ).alias("naive_overcount"),
+        )
+    )
+
+
+ORACLE["hll_union_merge_audit"] = f"""
+    WITH hashed AS (
+        SELECT event_type,
+               CAST(h % {HLL_M} AS INT) AS b,
+               h // {HLL_M} AS w
+        FROM (
+            SELECT event_type,
+                   {H64_SQL.format(expr="'hll|' || CAST(user_id AS VARCHAR)")}
+                       AS h
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        )
+    ),
+    per_type AS (
+        SELECT event_type, b,
+               MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                        ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS m_j
+        FROM hashed GROUP BY event_type, b
+    ),
+    merged AS (SELECT b, MAX(m_j) AS m_j FROM per_type GROUP BY b),
+    g AS (
+        SELECT COUNT(*) AS used,
+               CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - m_j)) AS BIGINT)
+                   AS s_present
+        FROM merged
+    ),
+    pt AS (
+        SELECT event_type, COUNT(*) AS used,
+               CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - m_j)) AS BIGINT)
+                   AS s_present
+        FROM per_type GROUP BY event_type
+    ),
+    naive AS (
+        SELECT ROUND(CAST(SUM(CAST(ROUND({_HLL_NUMERATOR!r}
+                   / CAST(s_present + ({HLL_M} - used)
+                          * (1::BIGINT << {_HLL_WBITS + 1}) AS DOUBLE), 9)
+               AS DECIMAL(28,9))) AS DOUBLE), 2) AS naive_sum_estimate
+        FROM pt
+    ),
+    exact AS (
+        SELECT COUNT(DISTINCT user_id) AS n_distinct_global
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT CAST(n_distinct_global AS BIGINT) AS n_distinct_global,
+           ROUND({_HLL_NUMERATOR!r}
+                 / CAST(s_present + ({HLL_M} - used)
+                        * (1::BIGINT << {_HLL_WBITS + 1}) AS DOUBLE), 2)
+               AS merged_estimate,
+           naive_sum_estimate,
+           ROUND(naive_sum_estimate
+                 - ROUND({_HLL_NUMERATOR!r}
+                     / CAST(s_present + ({HLL_M} - used)
+                            * (1::BIGINT << {_HLL_WBITS + 1}) AS DOUBLE), 2),
+                 2) AS naive_overcount
+    FROM g CROSS JOIN exact CROSS JOIN naive
+"""
+
+QUERIES["hll_union_merge_audit"] = hll_union_merge_audit

@@ -501,6 +501,8 @@ INTENTIONAL_BNLJ = {
     "condorcet_winner_audit",     # 1-row distinct-type count broadcast
     "ivf_pq_search",              # exact-baseline side: broadcast queries x corpus
     "quality_classifier_lang_bias",  # 1-row corpus pass-rate broadcast
+    "ivf_rebalance_audit",        # 1-row global new-share broadcast
+    "hll_union_merge_audit",      # 1-row exact + naive-sum broadcasts
 }
 
 
