@@ -518,7 +518,10 @@ def hll_register_estimate(spark: SparkSession, sf: str) -> DataFrame:
     hashed = ev.select(
         "event_type",
         (h % HLL_M).cast("int").alias("b"),
-        F.floor(h / HLL_M).cast("long").alias("w"),
+        # shiftright, not floor(h / 64): double division of a 60-bit
+        # hash rounds away low bits past 2^53, which could flip rho
+        # vs the oracle's exact integer h // 64.
+        F.shiftright(h, 6).cast("long").alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w")))
@@ -637,7 +640,9 @@ def hll_union_merge_audit(spark: SparkSession, sf: str) -> DataFrame:
     hashed = ev.select(
         "event_type",
         (h % HLL_M).cast("int").alias("b"),
-        F.floor(h / HLL_M).cast("long").alias("w"),
+        # exact integer h // 64 (see hll_register_estimate): shiftright
+        # keeps the low bits a double division would round away.
+        F.shiftright(h, 6).cast("long").alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w")))

@@ -3463,3 +3463,45 @@ def test_span_corruption_matches_python_reference(
             prev = m
     for lang, (nt, nm, ns) in want.items():
         assert got[lang] == (nt, nm, ns), lang
+
+
+def test_hll_w_uses_exact_integer_division(spark):
+    """Regression pin for the r9 ADVICE finding: the HLL register
+    remainder must be the exact integer h // 64, not
+    floor(h / 64.0).  For 60-bit hashes past 2^53 the double
+    division rounds away low bits — e.g. h = 2^59 - 1 has exact
+    w = 2^53 - 1 (bit_length 53) but floor(float(h)/64) = 2^53
+    (bit_length 54), flipping rho by 1 vs the DuckDB oracle's //.
+    shiftright(h, 6) must match // for every adversarial h, and
+    the old floor form must demonstrably diverge on at least one."""
+    adversarial = [
+        (1 << 59) - 1,
+        (1 << 58) - 1,
+        (1 << 57) - 1,
+        (1 << 54) + 63,
+        (1 << 53) - 1,  # below the double cliff: both forms agree
+        12345678901234567,
+    ]
+    df = spark.createDataFrame([(h,) for h in adversarial], "h long")
+    rows = df.selectExpr(
+        "h",
+        "shiftright(h, 6) AS w_shift",
+        "CAST(floor(h / 64) AS LONG) AS w_floor",
+    ).collect()
+    diverged = 0
+    for r in rows:
+        exact = r["h"] >> 6
+        assert r["w_shift"] == exact, (r["h"], r["w_shift"], exact)
+        if r["w_floor"] != exact:
+            diverged += 1
+    assert diverged >= 1, "expected floor(h/64) to diverge on >=1 case"
+
+    # and the shipped queries must use the exact form
+    import inspect
+
+    from pinterest_data_pipeline6_spark.operators import sketches
+
+    for fn in (sketches.hll_register_estimate, sketches.hll_union_merge_audit):
+        src = inspect.getsource(fn)
+        assert "shiftright(h, 6)" in src, fn.__name__
+        assert "floor(h / HLL_M)" not in src, fn.__name__
