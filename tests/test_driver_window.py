@@ -151,3 +151,37 @@ def test_queries_and_oracles_cover_same_names():
     # oracle twin — no rows-only exceptions remain
     assert set(o) <= set(q)
     assert set(q) - set(o) == set()
+
+
+def test_rotation_staleness_tail_is_bounded():
+    """Rotation health (r9 verdict task 6): the external-check staleness
+    tail must stay bounded.  Two guards, both computed live from the
+    CORRECTNESS_r*.json artifacts exactly the way ``_last_checked``
+    does, so window arithmetic degrading (additions outpacing
+    re-checks) fails CI instead of silently stretching the cycle:
+
+    1. no registry entry's age (rounds since its last green driver row)
+       may exceed 8 — the bound the r9 verdict set;
+    2. the oldest cohort (age >= max_age - 0) plus everything within
+       one round of it must fit in one 50-slot window net of plausible
+       additions, i.e. count(age >= 6) <= 50, so the tail drains in
+       the very next round rather than compounding.
+    """
+    here = pathlib.Path(entrymod.__file__).resolve().parent
+    n_rounds = len(sorted(here.glob("CORRECTNESS_r*.json")))
+    assert n_rounds >= 1
+
+    last = entrymod._last_checked()
+    names = list(entrymod.queries().keys())
+    ages = {n: n_rounds - max(last.get(n, 0), 0) for n in names}
+
+    max_age = max(ages.values())
+    assert max_age <= 8, {
+        n: a for n, a in sorted(ages.items(), key=lambda kv: -kv[1])[:10]
+    }
+
+    tail = sum(1 for a in ages.values() if a >= 6)
+    assert tail <= 50, (
+        f"{tail} entries are >=6 rounds stale — more than one driver "
+        "window; additions are outpacing re-checks"
+    )
