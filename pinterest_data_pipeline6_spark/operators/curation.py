@@ -1378,3 +1378,210 @@ ORACLE["span_corruption_masks"] = f"""
 """
 
 QUERIES["span_corruption_masks"] = span_corruption_masks
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained scaling accounting (Muennighoff et al. 2023,
+# "Scaling Data-Constrained Language Models"): when the unique-token
+# budget is exhausted, repeated epochs still help, but each repeat is
+# worth less — the paper fits an exponential value decay in the number
+# of repeats.  Here the decay schedule is quantized to INTEGER
+# MILLI-TOKENS per unique token (epoch k repeats are worth
+# round(1000 * DATA_DECAY^k) milli-tokens each), embedded as driver-
+# side literals in BOTH engines, so every effective-token figure is
+# exact integer arithmetic with one final division — the same
+# determinism contract as the HLL/unigram milli-nat convention.
+#
+# Scale shape: both audits are ONE corpus scan collapsing to a 1-row
+# aggregate (total/unique token masses), then literal-spine explodes
+# over epoch counts / quality thresholds — no joins, no windows, no
+# second pass.  At 100 TB the scan is the whole cost; the accounting
+# itself is constant-size.
+
+DATA_DECAY = 0.75     # per-repeat value retention (epoch k worth DECAY^k)
+EPOCH_CAP = 12        # decay table length; epochs clamp here
+W_MILLI = [round(1000 * DATA_DECAY**k) for k in range(EPOCH_CAP + 1)]
+# S_MILLI[k] = milli-value of k full epochs = sum of the first k weights
+S_MILLI = [sum(W_MILLI[:k]) for k in range(EPOCH_CAP + 1)]
+DECAY_CURVE_EPOCHS = 8    # rows emitted by the decay curve
+BUDGET_MULT = 4           # trade-off budget = 4x the full corpus
+
+
+def epoch_token_value_decay(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-token value curve: for 1..8 training epochs over the
+    full corpus, raw tokens seen vs effective tokens under the
+    repetition-discount schedule, the marginal value of the last
+    epoch, and the efficiency ratio — the table that says when another
+    epoch over the same data stops paying for its compute."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    s_arr = F.array(*[F.lit(s) for s in S_MILLI])
+    w_arr = F.array(*[F.lit(w) for w in W_MILLI])
+    u = docs.agg(
+        F.sum(F.size(F.split("text", " "))).alias("ut")
+    )
+    return (
+        u.select(
+            "ut",
+            F.explode(
+                F.array(
+                    *[F.lit(e) for e in range(1, DECAY_CURVE_EPOCHS + 1)]
+                )
+            ).alias("epochs"),
+        )
+        .select(
+            "epochs",
+            (F.col("ut") * F.col("epochs")).alias("raw_tokens"),
+            (
+                F.col("ut") * F.element_at(s_arr, F.col("epochs") + 1)
+                / F.lit(1000)
+            ).cast("long").alias("effective_tokens"),
+            (
+                F.col("ut") * F.element_at(w_arr, F.col("epochs"))
+                / F.lit(1000)
+            ).cast("long").alias("marginal_tokens"),
+            F.round(
+                F.element_at(s_arr, F.col("epochs") + 1).cast("double")
+                / (F.lit(1000.0) * F.col("epochs")),
+                6,
+            ).alias("efficiency"),
+        )
+        .orderBy("epochs")
+    )
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
+ORACLE["epoch_token_value_decay"] = f"""
+    WITH u AS (
+        SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ut
+        FROM documents
+    ),
+    e AS (SELECT unnest(generate_series(1, {DECAY_CURVE_EPOCHS})) AS epochs)
+    SELECT CAST(epochs AS INT) AS epochs,
+           ut * epochs AS raw_tokens,
+           CAST(ut * ({_sql_list(S_MILLI)}[epochs + 1]) // 1000 AS BIGINT)
+               AS effective_tokens,
+           CAST(ut * ({_sql_list(W_MILLI)}[epochs]) // 1000 AS BIGINT)
+               AS marginal_tokens,
+           ROUND(CAST({_sql_list(S_MILLI)}[epochs + 1] AS DOUBLE)
+                 / (1000.0 * epochs), 6) AS efficiency
+    FROM u CROSS JOIN e ORDER BY epochs
+"""
+
+QUERIES["epoch_token_value_decay"] = epoch_token_value_decay
+
+
+TRADEOFF_MIN_CHARS = [0, 150, 250, 350]
+
+
+def data_constrained_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Unique-tokens vs epochs trade-off at a fixed compute budget of
+    BUDGET_MULT x the full corpus: each row keeps only documents with
+    n_chars >= threshold (a quality proxy that needs no ranking pass),
+    spends the SAME token budget by repeating the smaller unique set
+    for more epochs, and scores the strategy in effective tokens under
+    the repetition-discount schedule — the Muennighoff question
+    ("filter harder and repeat, or keep everything for one pass?") as
+    a one-scan table.  Epochs clamp at EPOCH_CAP; the budget remainder
+    is a partial epoch valued at the next weight."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    n_tok = F.size(F.split("text", " "))
+    aggs = []
+    for t in TRADEOFF_MIN_CHARS:
+        keep = F.col("n_chars") >= t
+        aggs.append(F.sum(F.when(keep, n_tok)).alias(f"u{t}"))
+        aggs.append(F.sum(keep.cast("long")).alias(f"d{t}"))
+    row = docs.agg(*aggs)
+    s_arr = F.array(*[F.lit(s) for s in S_MILLI])
+    w_arr = F.array(*[F.lit(w) for w in W_MILLI])
+    strat = row.select(
+        (F.col(f"u{TRADEOFF_MIN_CHARS[0]}") * F.lit(BUDGET_MULT)).alias(
+            "budget"
+        ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("min_chars"),
+                        F.col(f"d{t}").alias("n_docs"),
+                        F.coalesce(F.col(f"u{t}"), F.lit(0)).alias("u"),
+                    )
+                    for t in TRADEOFF_MIN_CHARS
+                ]
+            )
+        ).alias("s"),
+    ).select("budget", "s.min_chars", "s.n_docs", "s.u")
+    # exact integer epoch count (`div`, not double `/` + cast — the
+    # HLL shiftright lesson applies to any cross-engine integer math)
+    epochs = F.least(F.expr("budget div u"), F.lit(EPOCH_CAP))
+    leftover = F.greatest(
+        F.col("budget") - epochs * F.col("u"), F.lit(0)
+    )
+    eff_milli = F.col("u") * F.element_at(
+        s_arr, (epochs + 1).cast("int")
+    ) + leftover * F.element_at(w_arr, (epochs + 1).cast("int"))
+    return (
+        strat.filter(F.col("u") > 0)
+        .select(
+            "min_chars",
+            "n_docs",
+            F.col("u").alias("unique_tokens"),
+            epochs.cast("int").alias("epochs"),
+            (eff_milli / F.lit(1000)).cast("long").alias(
+                "effective_tokens"
+            ),
+            F.round(
+                eff_milli.cast("double")
+                / (F.lit(1000.0) * F.col("budget")),
+                6,
+            ).alias("budget_efficiency"),
+        )
+        .orderBy("min_chars")
+    )
+
+
+def _tradeoff_branch_sql(t: int) -> str:
+    return f"""SELECT {t} AS min_chars, d{t} AS n_docs,
+               COALESCE(u{t}, 0) AS u, budget FROM a"""
+
+
+ORACLE["data_constrained_tradeoff"] = f"""
+    WITH a AS (
+        SELECT
+            {", ".join(
+                f"CAST(SUM(CASE WHEN n_chars >= {t} THEN len(string_split(text, ' ')) END) AS BIGINT) AS u{t}, "
+                f"CAST(SUM(CASE WHEN n_chars >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS d{t}"
+                for t in TRADEOFF_MIN_CHARS
+            )},
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                * {BUDGET_MULT} AS budget
+        FROM documents
+    ),
+    strat AS (
+        {" UNION ALL ".join(_tradeoff_branch_sql(t) for t in TRADEOFF_MIN_CHARS)}
+    ),
+    e AS (
+        SELECT min_chars, n_docs, u, budget,
+               LEAST(budget // u, {EPOCH_CAP}) AS epochs
+        FROM strat WHERE u > 0
+    ),
+    m AS (
+        SELECT *,
+               u * ({_sql_list(S_MILLI)}[CAST(epochs AS INT) + 1])
+               + GREATEST(budget - epochs * u, 0)
+                 * ({_sql_list(W_MILLI)}[CAST(epochs AS INT) + 1])
+                   AS eff_milli
+        FROM e
+    )
+    SELECT CAST(min_chars AS INT) AS min_chars, n_docs,
+           u AS unique_tokens,
+           CAST(epochs AS INT) AS epochs,
+           CAST(eff_milli // 1000 AS BIGINT) AS effective_tokens,
+           ROUND(CAST(eff_milli AS DOUBLE) / (1000.0 * budget), 6)
+               AS budget_efficiency
+    FROM m ORDER BY min_chars
+"""
+
+QUERIES["data_constrained_tradeoff"] = data_constrained_tradeoff

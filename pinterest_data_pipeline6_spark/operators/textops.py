@@ -3005,3 +3005,499 @@ def _lang_margin_oracle() -> str:
 
 ORACLE["lang_confidence_margin"] = _lang_margin_oracle()
 QUERIES["lang_confidence_margin"] = lang_confidence_margin
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-class) tokenizer: Viterbi-EM training +
+# Viterbi segmentation, fully Catalyst-native (Kudo 2018, "Subword
+# Regularization"; the hard-EM variant where the E-step keeps only the
+# Viterbi segmentation).  Beyond-reference LLM-pipeline surface — the
+# reference (a notebook ETL over ~11k-row Pinterest tables) has no
+# tokenizer; this is the second tokenizer architecture next to
+# ``bpe_iterative_merges`` above.
+#
+# Determinism contract (cross-engine, the HLL/KMV convention): piece
+# log-probabilities are quantized to INTEGER MILLI-NATS —
+# cost(piece) = round(1000*ln(total)) - round(1000*ln(cnt)), both
+# BIGINT — so every Viterbi comparison is exact integer arithmetic in
+# both engines; a divergence would need libm's ln to land within ~1
+# ulp of a 0.5e-3 rounding boundary (~4e-12 per distinct count).  Ties
+# break on the lexicographically smallest segmentation string via
+# (ns, seg) struct ordering, identical in Spark and DuckDB.
+#
+# Scale shape (the same trick as BPE training): the corpus collapses
+# to its distinct-WORD frequency table in one scan; seeding, every EM
+# round, and every Viterbi pass then run over the vocabulary only,
+# weighted by freq.  At 100 TB the word table is GBs; the piece table
+# (substrings <= 4 chars) is MBs and broadcasts into the per-word cost
+# map, so one EM round is one broadcast join + one fold projection +
+# one hash agg — no all-pairs, no driver loop.  (A production trainer
+# would also cap the seed vocabulary to the top-V substrings by count
+# — one rank window — before the first E-step; the corpora here are
+# well under any such cap, so the cap is documented, not applied.)
+# Bounded inter-round state (the piece-count tables) is
+# ``localCheckpoint``-ed between rounds per the bradley_terry
+# convention, so unrolled EM rounds never re-derive earlier rounds'
+# lineage (the r8 lazy-unroll pitfall).
+
+UNI_MAX_PIECE = 4
+UNI_EM_ROUNDS = 2
+_UNI_INV = 10**12  # "piece missing" cost; valid dp totals stay < 1e6
+
+
+def _uni_words(docs: DataFrame) -> DataFrame:
+    """(w, freq, n): distinct-word corpus frequencies + char length."""
+    return (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("n", F.length("w").cast("int"))
+    )
+
+
+def _uni_substrings(words: DataFrame) -> DataFrame:
+    """Every (piece, freq) occurrence: substrings of length 1..4 of
+    each vocabulary word, weighted by word frequency.  Also carries
+    (w, n, p, l) so ``_uni_cost_maps`` can reuse the same explode."""
+    return (
+        words.select(
+            "w", "freq", "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
+        )
+        .select(
+            "w", "freq", "n", "p",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(UNI_MAX_PIECE), F.col("n") - F.col("p") + 1),
+                )
+            ).alias("l"),
+        )
+        .withColumn("piece", F.substring("w", F.col("p"), F.col("l")))
+    )
+
+
+def _uni_seed_counts(words: DataFrame) -> DataFrame:
+    """Round-0 piece counts: weighted substring occurrences."""
+    return _uni_substrings(words).groupBy("piece").agg(
+        F.sum("freq").alias("cnt")
+    )
+
+
+def _uni_costs(counts: DataFrame) -> DataFrame:
+    """(piece, cost): integer milli-nat Viterbi cost per piece,
+    cost = round(1000*ln(sum cnt)) - round(1000*ln(cnt)).  The 1-row
+    total aggregate broadcasts (intentional BNLJ, constant probe)."""
+    tot = counts.agg(
+        F.round(F.lit(1000) * F.log(F.sum("cnt")), 0)
+        .cast("long")
+        .alias("t_milli")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        (
+            F.col("t_milli")
+            - F.round(F.lit(1000) * F.log("cnt"), 0).cast("long")
+        ).alias("cost"),
+    )
+
+
+def _uni_viterbi(words: DataFrame, costs: DataFrame) -> DataFrame:
+    """Viterbi-segment every vocabulary word under the given piece
+    costs: (w, freq, n, ns, seg, k_pieces) where seg is the optimal
+    segmentation as '|p1|p2|...' and ns its total integer cost.
+
+    The DP is ONE ``F.aggregate`` fold per word over positions 1..n,
+    carrying the last four dp states (pieces are <= 4 chars) as a
+    struct of (ns, seg) pairs; the per-position piece-cost lookups hit
+    a per-word map column built by one broadcast join + one hash agg,
+    so the fold itself is a pure projection — no join, no UDF, no
+    per-row Python.  ``array_min`` over the four candidate structs is
+    the argmax (min cost, then lexicographically smallest seg)."""
+    wmap = (
+        _uni_substrings(words)
+        .join(F.broadcast(costs), "piece")
+        .groupBy("w", "freq", "n")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("p") * 8 + F.col("l")).alias("k"),
+                        F.col("cost").alias("v"),
+                    )
+                )
+            ).alias("m")
+        )
+    )
+
+    def _d(ns, seg):
+        return F.struct(ns.cast("long").alias("ns"), seg.alias("seg"))
+
+    zero = F.struct(
+        _d(F.lit(0), F.lit("")).alias("d0"),
+        _d(F.lit(_UNI_INV), F.lit("")).alias("d1"),
+        _d(F.lit(_UNI_INV), F.lit("")).alias("d2"),
+        _d(F.lit(_UNI_INV), F.lit("")).alias("d3"),
+    )
+
+    def _step(acc, j):
+        cands = []
+        for piece_len in range(1, UNI_MAX_PIECE + 1):
+            prev = acc.getField(f"d{piece_len - 1}")
+            start = j - F.lit(piece_len) + 1
+            piece = F.substring(F.col("w"), start, F.lit(piece_len))
+            cost = F.element_at(F.col("m"), start * 8 + F.lit(piece_len))
+            cands.append(
+                F.when(
+                    j >= F.lit(piece_len),
+                    _d(
+                        prev.getField("ns")
+                        + F.coalesce(cost, F.lit(_UNI_INV)),
+                        F.concat(prev.getField("seg"), F.lit("|"), piece),
+                    ),
+                ).otherwise(_d(F.lit(4 * _UNI_INV), F.lit("")))
+            )
+        best = F.array_min(F.array(*cands))
+        return F.struct(
+            best.alias("d0"),
+            acc.getField("d0").alias("d1"),
+            acc.getField("d1").alias("d2"),
+            acc.getField("d2").alias("d3"),
+        )
+
+    return wmap.select(
+        "w", "freq", "n",
+        F.aggregate(F.sequence(F.lit(1), F.col("n")), zero, _step)
+        .getField("d0")
+        .alias("d"),
+    ).select(
+        "w", "freq", "n",
+        F.col("d.ns").alias("ns"),
+        F.col("d.seg").alias("seg"),
+        (
+            F.length("d.seg") - F.length(F.replace("d.seg", F.lit("|"), F.lit("")))
+        ).cast("long").alias("k_pieces"),
+    )
+
+
+def _uni_next_counts(vit: DataFrame, seed: DataFrame) -> DataFrame:
+    """M-step: piece counts = Viterbi usage (weighted by word freq)
+    plus add-one smoothing for every single-char seed piece, so no
+    word is ever unsegmentable in the next round; unused multi-char
+    candidates drop out (the EM pruning step)."""
+    usage = (
+        vit.select(
+            "freq",
+            F.explode(F.split("seg", "\\|")).alias("piece"),
+        )
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    singles = seed.filter(F.length("piece") == 1).select(
+        "piece", F.lit(1).cast("long").alias("cnt")
+    )
+    return (
+        usage.unionByName(singles)
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _uni_chain(docs: DataFrame, final_vit: bool = True):
+    """Unrolled Viterbi-EM chain: returns (counts, vits) with
+    counts[r] the piece table entering round r (len EM_ROUNDS+1) and
+    vits[r] the Viterbi segmentation under counts[r] (vits[-1], the
+    final tokenizer's segmentation, is built only when ``final_vit`` —
+    the train ledger needs the piece tables, not the last E-step).
+
+    Every bounded state table — the word vocabulary, the seed piece
+    table, and each round's Viterbi output — is eagerly
+    ``localCheckpoint``-ed, so the corpus is scanned exactly once
+    (into ``words``) and each Viterbi pass executes exactly once no
+    matter how many downstream branches reference it (the r8
+    lazy-unroll pitfall; consumers like the compression curve read
+    every round's vit)."""
+    words = _uni_words(docs).localCheckpoint(eager=True)
+    seed = _uni_seed_counts(words).localCheckpoint(eager=True)
+    counts, vits = [seed], []
+    for r in range(UNI_EM_ROUNDS):
+        vit = _uni_viterbi(words, _uni_costs(counts[r])).localCheckpoint(
+            eager=True
+        )
+        vits.append(vit)
+        counts.append(_uni_next_counts(vit, seed))
+    if final_vit:
+        vits.append(
+            _uni_viterbi(words, _uni_costs(counts[-1])).localCheckpoint(
+                eager=True
+            )
+        )
+    return counts, vits
+
+
+def unigram_lm_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM tokenizer training ledger: per EM round, the piece
+    inventory entering the round — candidate count, multi-char count,
+    total weighted count, and the argmax piece (ties to the
+    lexicographically smallest).  Round 0 is the seeded candidate
+    vocabulary (all substrings <= 4 chars); rounds 1..2 are after each
+    Viterbi E-step + add-one-smoothed M-step, so the shrinking
+    n_multi_pieces column IS the EM pruning at work."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    counts, _ = _uni_chain(docs, final_vit=False)
+    out = None
+    for r, c in enumerate(counts):
+        row = c.agg(
+            F.count("*").alias("n_pieces"),
+            F.sum((F.length("piece") > 1).cast("long")).alias(
+                "n_multi_pieces"
+            ),
+            F.sum("cnt").alias("total_count"),
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("piece").alias("p")
+                )
+            ).alias("m"),
+        ).select(
+            F.lit(r).alias("round"),
+            "n_pieces",
+            "n_multi_pieces",
+            "total_count",
+            F.col("m.p").alias("top_piece"),
+            (-F.col("m.nc")).alias("top_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+def unigram_viterbi_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language fertility of the TRAINED unigram tokenizer (the
+    round-2 piece table): words, Viterbi pieces per word, chars per
+    piece.  The corpus-wide tokenizer is applied to each language's
+    own word frequencies — the standard multilingual-fertility audit
+    (languages whose words the shared vocab covers poorly show higher
+    pieces_per_word)."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    _, vits = _uni_chain(docs)
+    by_lang = (
+        docs.select("lang", F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq_l"))
+    )
+    return (
+        by_lang.join(vits[-1].select("w", "n", "k_pieces"), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq_l").alias("n_words"),
+            F.sum(F.col("freq_l") * F.col("k_pieces")).alias("total_pieces"),
+            F.sum(F.col("freq_l") * F.col("n")).alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "total_pieces",
+            F.round(F.col("total_pieces") / F.col("n_words"), 6).alias(
+                "pieces_per_word"
+            ),
+            F.round(F.col("total_chars") / F.col("total_pieces"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def unigram_compression_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """What each EM round buys: corpus Viterbi piece count under the
+    round-r model (r = 0..2), pieces per 100 chars, and chars per
+    piece — the unigram twin of ``bpe_compression_curve``."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    _, vits = _uni_chain(docs)
+    out = None
+    for r, v in enumerate(vits):
+        row = v.agg(
+            F.sum(F.col("freq") * F.col("k_pieces")).alias("total_pieces"),
+            F.sum(F.col("freq") * F.col("n")).alias("total_chars"),
+        ).select(
+            F.lit(r).alias("round"),
+            "total_pieces",
+            "total_chars",
+            F.round(
+                F.lit(100) * F.col("total_pieces") / F.col("total_chars"), 6
+            ).alias("pieces_per_100_chars"),
+            F.round(
+                F.col("total_chars") / F.col("total_pieces"), 6
+            ).alias("chars_per_piece"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+def _uni_sql_ctes(src: str = "documents") -> str:
+    """DuckDB twin of ``_uni_chain``: CTE chain uw / us / uc0 and, per
+    round r, usc{r} (integer milli-nat costs), udp{r} (the Viterbi DP
+    as a recursive CTE carrying the last four dp states — the exact
+    mirror of the Spark fold, incl. the (ns, seg) struct tie-break via
+    ``list_min``), uv{r} (final segmentations) and ucnt{r+1} (usage +
+    single-char smoothing).  Must be used under ``WITH RECURSIVE``."""
+    inv = _UNI_INV
+    ctes = [
+        f"""uw AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, length(w) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {src})
+            WHERE w <> '' GROUP BY w
+        )""",
+        f"""us AS (
+            SELECT w[p : p + l - 1] AS piece, freq
+            FROM (
+                SELECT w, freq, n, p,
+                       unnest(generate_series(1, least({UNI_MAX_PIECE}, n - p + 1))) AS l
+                FROM (SELECT w, freq, n, unnest(generate_series(1, n)) AS p
+                      FROM uw)
+            )
+        )""",
+        """uc0 AS (
+            SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM us GROUP BY piece
+        )""",
+    ]
+    for r in range(UNI_EM_ROUNDS + 1):
+        cnt_src = "uc0" if r == 0 else f"ucnt{r}"
+        ctes.append(
+            f"""usc{r} AS (
+            SELECT piece,
+                   (SELECT CAST(ROUND(1000 * ln(SUM(cnt)), 0) AS BIGINT)
+                    FROM {cnt_src})
+                   - CAST(ROUND(1000 * ln(cnt), 0) AS BIGINT) AS cost
+            FROM {cnt_src}
+        )"""
+        )
+        # candidate piece costs come in via four hash LEFT JOINs (one
+        # per piece length) — a correlated scalar subquery here would
+        # rescan the piece table per row per iteration
+        cands, joins = [], []
+        for piece_len in range(1, UNI_MAX_PIECE + 1):
+            lo = f"j + {2 - piece_len}"
+            joins.append(
+                f"LEFT JOIN usc{r} s{piece_len}"
+                f" ON s{piece_len}.piece = w[{lo} : j + 1]"
+            )
+            cands.append(
+                f"""CASE WHEN j + 1 >= {piece_len} THEN
+                {{'ns': d{piece_len - 1}.ns + COALESCE(
+                     s{piece_len}.cost, CAST({inv} AS BIGINT)),
+                 'seg': d{piece_len - 1}.seg || '|' || w[{lo} : j + 1]}}
+                ELSE {{'ns': CAST({4 * inv} AS BIGINT), 'seg': ''}} END"""
+            )
+        cand_list = ",\n               ".join(cands)
+        join_list = "\n            ".join(joins)
+        ctes.append(
+            f"""udp{r} AS (
+            SELECT w, freq, n, 0 AS j,
+                   {{'ns': CAST(0 AS BIGINT), 'seg': ''}} AS d0,
+                   {{'ns': CAST({inv} AS BIGINT), 'seg': ''}} AS d1,
+                   {{'ns': CAST({inv} AS BIGINT), 'seg': ''}} AS d2,
+                   {{'ns': CAST({inv} AS BIGINT), 'seg': ''}} AS d3
+            FROM uw
+            UNION ALL
+            SELECT w, freq, n, j + 1,
+                   list_min([{cand_list}]) AS d0,
+                   d0 AS d1, d1 AS d2, d2 AS d3
+            FROM udp{r}
+            {join_list}
+            WHERE j < n
+        )"""
+        )
+        ctes.append(
+            f"""uv{r} AS (
+            SELECT w, freq, n, d0.ns AS ns, d0.seg AS seg,
+                   CAST(length(d0.seg)
+                        - length(replace(d0.seg, '|', '')) AS BIGINT)
+                       AS k_pieces
+            FROM udp{r} WHERE j = n
+        )"""
+        )
+        if r < UNI_EM_ROUNDS:
+            ctes.append(
+                f"""ucnt{r + 1} AS (
+            SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+                SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, unnest(string_split(seg, '|')) AS piece
+                      FROM uv{r})
+                WHERE piece <> '' GROUP BY piece
+                UNION ALL
+                SELECT piece, CAST(1 AS BIGINT) AS cnt
+                FROM uc0 WHERE length(piece) = 1
+            ) GROUP BY piece
+        )"""
+            )
+    return ",\n".join(ctes)
+
+
+def _uni_count_cte(r: int) -> str:
+    return "uc0" if r == 0 else f"ucnt{r}"
+
+
+ORACLE["unigram_lm_train"] = (
+    "WITH RECURSIVE " + _uni_sql_ctes() + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS INT) AS round,
+               COUNT(*) AS n_pieces,
+               CAST(SUM(CASE WHEN length(piece) > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_multi_pieces,
+               CAST(SUM(cnt) AS BIGINT) AS total_count,
+               struct_extract(MIN({{'nc': -cnt, 'p': piece}}), 'p')
+                   AS top_piece,
+               -struct_extract(MIN({{'nc': -cnt, 'p': piece}}), 'nc')
+                   AS top_count
+        FROM {_uni_count_cte(r)}"""
+        for r in range(UNI_EM_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+QUERIES["unigram_lm_train"] = unigram_lm_train
+
+
+ORACLE["unigram_viterbi_fertility"] = (
+    "WITH RECURSIVE " + _uni_sql_ctes() + f""",
+    ubl AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq_l
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(freq_l) AS BIGINT) AS n_words,
+           CAST(SUM(freq_l * k_pieces) AS BIGINT) AS total_pieces,
+           ROUND(CAST(SUM(freq_l * k_pieces) AS DOUBLE)
+                 / CAST(SUM(freq_l) AS DOUBLE), 6) AS pieces_per_word,
+           ROUND(CAST(SUM(freq_l * n) AS DOUBLE)
+                 / CAST(SUM(freq_l * k_pieces) AS DOUBLE), 6)
+               AS chars_per_piece
+    FROM ubl JOIN uv{UNI_EM_ROUNDS} USING (w)
+    GROUP BY lang ORDER BY lang"""
+)
+QUERIES["unigram_viterbi_fertility"] = unigram_viterbi_fertility
+
+
+ORACLE["unigram_compression_curve"] = (
+    "WITH RECURSIVE " + _uni_sql_ctes() + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS INT) AS round,
+               CAST(SUM(freq * k_pieces) AS BIGINT) AS total_pieces,
+               CAST(SUM(freq * n) AS BIGINT) AS total_chars,
+               ROUND(100.0 * CAST(SUM(freq * k_pieces) AS DOUBLE)
+                     / CAST(SUM(freq * n) AS DOUBLE), 6)
+                   AS pieces_per_100_chars,
+               ROUND(CAST(SUM(freq * n) AS DOUBLE)
+                     / CAST(SUM(freq * k_pieces) AS DOUBLE), 6)
+                   AS chars_per_piece
+        FROM uv{r}"""
+        for r in range(UNI_EM_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+QUERIES["unigram_compression_curve"] = unigram_compression_curve

@@ -503,6 +503,9 @@ INTENTIONAL_BNLJ = {
     "quality_classifier_lang_bias",  # 1-row corpus pass-rate broadcast
     "ivf_rebalance_audit",        # 1-row global new-share broadcast
     "hll_union_merge_audit",      # 1-row exact + naive-sum broadcasts
+    "unigram_lm_train",           # 1-row milli-nat total broadcast per EM round
+    "unigram_viterbi_fertility",  # 1-row milli-nat total broadcast per EM round
+    "unigram_compression_curve",  # 1-row milli-nat total broadcast per EM round
 }
 
 

@@ -3505,3 +3505,233 @@ def test_hll_w_uses_exact_integer_division(spark):
         src = inspect.getsource(fn)
         assert "shiftright(h, 6)" in src, fn.__name__
         assert "floor(h / HLL_M)" not in src, fn.__name__
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=10),
+            min_size=1,
+            max_size=25,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_unigram_lm_matches_python_em_reference(
+    spark, texts, tmp_path_factory
+):
+    """The unigram-LM trainer, fertility and compression curve must
+    match a plain-Python Viterbi-EM reference: seed counts = weighted
+    substrings <= 4 chars; costs = round(1000*ln(total)) -
+    round(1000*ln(cnt)) in integer milli-nats (round = half-up);
+    Viterbi = min total cost, ties to the lexicographically smallest
+    segmentation; M-step = Viterbi usage + add-one on single-char seed
+    pieces.  Words up to 10 chars exercise DP lengths past the
+    fixtures' max of 8."""
+    import math
+    from collections import Counter
+
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        UNI_EM_ROUNDS,
+        UNI_MAX_PIECE,
+        unigram_compression_curve,
+        unigram_lm_train,
+        unigram_viterbi_fertility,
+    )
+
+    INV = 10**12
+
+    def _r(v):
+        return math.floor(v + 0.5)
+
+    words: Counter = Counter()
+    langs = ["de", "en", "fr"]
+    by_lang: dict[str, Counter] = {}
+    for i, t in enumerate(texts):
+        lang = langs[i % 3]
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+                by_lang.setdefault(lang, Counter())[w] += 1
+
+    seed: Counter = Counter()
+    for w, f in words.items():
+        n = len(w)
+        for p in range(n):
+            for ln in range(1, min(UNI_MAX_PIECE, n - p) + 1):
+                seed[w[p : p + ln]] += f
+
+    def costs(cnt):
+        t = _r(1000 * math.log(sum(cnt.values())))
+        return {p: t - _r(1000 * math.log(v)) for p, v in cnt.items()}
+
+    def viterbi(w, cost):
+        n = len(w)
+        dp = [(0, "")] + [None] * n
+        for j in range(1, n + 1):
+            best = None
+            for ln in range(1, min(UNI_MAX_PIECE, j) + 1):
+                prev = dp[j - ln]
+                piece = w[j - ln : j]
+                cand = (prev[0] + cost.get(piece, INV), prev[1] + "|" + piece)
+                if best is None or cand < best:
+                    best = cand
+            dp[j] = best
+        return dp[n]
+
+    counts, vits = [seed], []
+    for _ in range(UNI_EM_ROUNDS):
+        cost = costs(counts[-1])
+        segs = {w: viterbi(w, cost)[1] for w in words}
+        vits.append(segs)
+        nxt: Counter = Counter()
+        for w, f in words.items():
+            for piece in segs[w].split("|"):
+                if piece:
+                    nxt[piece] += f
+        for p in seed:
+            if len(p) == 1:
+                nxt[p] += 1
+        counts.append(nxt)
+    cost = costs(counts[-1])
+    vits.append({w: viterbi(w, cost)[1] for w in words})
+
+    out = tmp_path_factory.mktemp("uni_prop")
+    rows = [
+        (i, t, langs[i % 3], "s0", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got_train = {
+        r["round"]: (
+            r["n_pieces"], r["n_multi_pieces"], r["total_count"],
+            r["top_piece"], r["top_count"],
+        )
+        for r in unigram_lm_train(spark, str(out)).collect()
+    }
+    for r, cnt in enumerate(counts):
+        top = min((-v, p) for p, v in cnt.items())
+        assert got_train[r] == (
+            len(cnt),
+            sum(1 for p in cnt if len(p) > 1),
+            sum(cnt.values()),
+            top[1],
+            -top[0],
+        ), r
+
+    npieces = {w: s.count("|") for w, s in vits[-1].items()}
+    got_fert = {
+        r["lang"]: (r["n_words"], r["total_pieces"])
+        for r in unigram_viterbi_fertility(spark, str(out)).collect()
+    }
+    for lang, wl in by_lang.items():
+        assert got_fert[lang] == (
+            sum(wl.values()),
+            sum(f * npieces[w] for w, f in wl.items()),
+        ), lang
+
+    got_curve = {
+        r["round"]: r["total_pieces"]
+        for r in unigram_compression_curve(spark, str(out)).collect()
+    }
+    for r, segs in enumerate(vits):
+        assert got_curve[r] == sum(
+            f * segs[w].count("|") for w, f in words.items()
+        ), r
+
+
+def test_data_decay_schedule_matches_closed_form():
+    """The repetition-discount literals must be the quantized geometric
+    schedule: W_MILLI[k] = round(1000 * DECAY^k), S_MILLI[k] the exact
+    prefix sum, and S_MILLI[k]/1000 within one quantization step per
+    term of the closed-form geometric sum (1 - d^k) / (1 - d)."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        DATA_DECAY,
+        EPOCH_CAP,
+        S_MILLI,
+        W_MILLI,
+    )
+
+    assert len(W_MILLI) == EPOCH_CAP + 1
+    assert len(S_MILLI) == EPOCH_CAP + 1
+    assert S_MILLI[0] == 0
+    for k in range(EPOCH_CAP + 1):
+        assert W_MILLI[k] == round(1000 * DATA_DECAY**k), k
+        if k:
+            assert S_MILLI[k] == S_MILLI[k - 1] + W_MILLI[k - 1], k
+        closed = (1 - DATA_DECAY**k) / (1 - DATA_DECAY)
+        assert abs(S_MILLI[k] / 1000 - closed) <= k * 0.0005 + 1e-9, k
+    # monotone value, diminishing marginals
+    assert all(a > b for a, b in zip(W_MILLI, W_MILLI[1:]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(1, 40),     # tokens per doc
+            st.integers(50, 500),   # n_chars
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_data_constrained_accounting_matches_python(
+    spark, docs, tmp_path_factory
+):
+    """Effective-token accounting must equal a Python computation:
+    decay curve eff(e) = U * S_MILLI[e] // 1000, and the trade-off's
+    budget split (full epochs at S, remainder at the next W) for each
+    n_chars threshold."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        BUDGET_MULT,
+        DECAY_CURVE_EPOCHS,
+        EPOCH_CAP,
+        S_MILLI,
+        TRADEOFF_MIN_CHARS,
+        W_MILLI,
+        data_constrained_tradeoff,
+        epoch_token_value_decay,
+    )
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(nt)), "en", "s0", nc)
+        for i, (nt, nc) in enumerate(docs)
+    ]
+    out = tmp_path_factory.mktemp("dc_prop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    u_full = sum(nt for nt, _ in docs)
+    got = {
+        r["epochs"]: (r["raw_tokens"], r["effective_tokens"], r["marginal_tokens"])
+        for r in epoch_token_value_decay(spark, str(out)).collect()
+    }
+    for e in range(1, DECAY_CURVE_EPOCHS + 1):
+        assert got[e] == (
+            u_full * e,
+            u_full * S_MILLI[e] // 1000,
+            u_full * W_MILLI[e - 1] // 1000,
+        ), e
+
+    budget = BUDGET_MULT * u_full
+    got_t = {
+        r["min_chars"]: (
+            r["n_docs"], r["unique_tokens"], r["epochs"], r["effective_tokens"]
+        )
+        for r in data_constrained_tradeoff(spark, str(out)).collect()
+    }
+    for t in TRADEOFF_MIN_CHARS:
+        kept = [(nt, nc) for nt, nc in docs if nc >= t]
+        u = sum(nt for nt, _ in kept)
+        if u == 0:
+            assert t not in got_t
+            continue
+        e = min(budget // u, EPOCH_CAP)
+        eff = (u * S_MILLI[e] + (budget - e * u) * W_MILLI[e]) // 1000
+        assert got_t[t] == (len(kept), u, e, eff), t
