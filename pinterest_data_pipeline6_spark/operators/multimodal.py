@@ -1507,3 +1507,417 @@ ORACLE["video_frame_dedup_stats"] = """
 """
 
 QUERIES["video_frame_dedup_stats"] = video_frame_dedup_stats
+
+
+# ---------------------------------------------------------------------------
+# Round 10: cross-modal pair operators — joining the r9 perceptual /
+# fingerprint machinery to the text side.  A media asset's caption is
+# the text of its source document (media_id == doc_id), so every
+# (media, caption) pair question becomes a JOIN OF CANDIDATE SETS:
+# the media near-dup candidates (aHash band pairs, Hamming-verified)
+# against the caption near-dup candidates (MinHash/LSH band pairs).
+#
+# 100 TB shape: both candidate sets are band-bucket equi-joins (never
+# all-pairs), each sub-O(n^2) by construction; the cross-modal step
+# is then an equi-join of two already-sparse pair sets on the pair
+# key — the cheapest join in the whole pipeline.  No new shuffle
+# pattern is introduced: this is candidate-set intersection, the same
+# shape as dual-hash agreement but across modalities.
+
+PHASH_ALL_BANDS_HAMMING = PHASH_HAMMING_MAX
+
+
+def _crossmodal_media_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """(kind, m_a, m_b): perceptual near-dup media pairs across ALL
+    kinds — the aHash band join keyed on (kind, band, value) so pairs
+    stay within a modality, verified at Hamming <= 3."""
+    ph = _perceptual_hashes(spark, sf)
+    bands = ph.select(
+        "media_id",
+        "kind",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band_idx"),
+    ).select(
+        "media_id",
+        "kind",
+        "ahash",
+        "band_idx",
+        F.expr("(ahash >> (band_idx * 8)) & 255").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.kind").alias("kind"),
+            F.col("a.media_id").alias("m_a"),
+            F.col("b.media_id").alias("m_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return pairs.filter(
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        <= PHASH_ALL_BANDS_HAMMING
+    ).select("kind", "m_a", "m_b")
+
+
+_MPAIRS_SQL = f"""
+    mbands AS (
+        SELECT media_id, kind, ahash, b AS band_idx,
+               (ahash >> (b * 8)) & 255 AS band_val
+        FROM ph, (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS b)
+    ),
+    mclose AS (
+        SELECT kind, m_a, m_b FROM (
+            SELECT DISTINCT a.kind AS kind, a.media_id AS m_a,
+                   b.media_id AS m_b, a.ahash AS h_a, b.ahash AS h_b
+            FROM mbands a JOIN mbands b
+              ON a.kind = b.kind AND a.band_idx = b.band_idx
+             AND a.band_val = b.band_val AND a.media_id < b.media_id
+        ) WHERE bit_count(xor(h_a, h_b)) <= {PHASH_ALL_BANDS_HAMMING}
+    )
+"""
+
+_TPAIRS_SQL = """
+    tpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+"""
+
+
+def crossmodal_pair_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-text PAIR dedup decision table: per media kind, how many
+    pairs each modality's candidate generator proposes and how many
+    survive the cross-modal rule — a (media, caption) pair is a
+    duplicate only if BOTH the payloads are perceptual near-dups AND
+    the captions are LSH candidates (band-set intersection).  The
+    both_rate column is the precision the caption signal adds on top
+    of the pixel signal — the knob a multimodal curation pipeline
+    tunes before collapsing pairs."""
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        minhash_band_pairs,
+    )
+
+    mpairs = _crossmodal_media_pairs(spark, sf)
+    tp = minhash_band_pairs(spark, sf)
+    # same-kind caption pairs (kind is doc_id % 3, the media synthesis
+    # rule) so the three sets are comparable per modality
+    kind_of = lambda c: (
+        F.when(F.col(c) % 3 == 0, F.lit("image"))
+        .when(F.col(c) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    tpk = tp.filter(
+        (F.col("doc_a") % 3) == (F.col("doc_b") % 3)
+    ).select(kind_of("doc_a").alias("kind"), "doc_a", "doc_b")
+    both = mpairs.join(
+        tpk.select(
+            F.col("kind").alias("kind"),
+            F.col("doc_a").alias("m_a"),
+            F.col("doc_b").alias("m_b"),
+        ),
+        ["kind", "m_a", "m_b"],
+    )
+    tagged = (
+        mpairs.select("kind", F.lit(1).alias("mc"), F.lit(0).alias("tc"), F.lit(0).alias("bc"))
+        .unionByName(
+            tpk.select("kind", F.lit(0).alias("mc"), F.lit(1).alias("tc"), F.lit(0).alias("bc"))
+        )
+        .unionByName(
+            both.select("kind", F.lit(0).alias("mc"), F.lit(0).alias("tc"), F.lit(1).alias("bc"))
+        )
+    )
+    return (
+        tagged.groupBy("kind")
+        .agg(
+            F.sum("mc").alias("n_media_close"),
+            F.sum("tc").alias("n_caption_pairs"),
+            F.sum("bc").alias("n_both"),
+            F.round(
+                F.sum("bc").cast("double")
+                / F.nullif(F.sum("mc"), F.lit(0)).cast("double"),
+                6,
+            ).alias("both_rate"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _kind_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} % 3 = 0 THEN 'image' "
+        f"WHEN {col} % 3 = 1 THEN 'audio' ELSE 'video' END"
+    )
+
+
+def _crossmodal_oracle_prefix() -> str:
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        _BAND_SQL,
+        _SIG_SQL,
+    )
+
+    return f"""
+    WITH ph AS ({_PHASH_SQL}),
+    {_MPAIRS_SQL.strip().rstrip()},
+    sig AS ({_SIG_SQL}),
+    banded AS ({_BAND_SQL}),
+    {_TPAIRS_SQL.strip()},
+    tpk AS (
+        SELECT {_kind_sql('doc_a')} AS kind, doc_a, doc_b
+        FROM tpairs WHERE doc_a % 3 = doc_b % 3
+    )
+"""
+
+
+ORACLE["crossmodal_pair_dedup"] = (
+    _crossmodal_oracle_prefix()
+    + """
+    , tagged AS (
+        SELECT kind, 1 AS mc, 0 AS tc, 0 AS bc FROM mclose
+        UNION ALL
+        SELECT kind, 0 AS mc, 1 AS tc, 0 AS bc FROM tpk
+        UNION ALL
+        SELECT m.kind, 0 AS mc, 0 AS tc, 1 AS bc
+        FROM mclose m JOIN tpk t
+          ON m.kind = t.kind AND m.m_a = t.doc_a AND m.m_b = t.doc_b
+    )
+    SELECT kind,
+           CAST(SUM(mc) AS BIGINT) AS n_media_close,
+           CAST(SUM(tc) AS BIGINT) AS n_caption_pairs,
+           CAST(SUM(bc) AS BIGINT) AS n_both,
+           ROUND(CAST(SUM(bc) AS DOUBLE)
+                 / CAST(NULLIF(SUM(mc), 0) AS DOUBLE), 6) AS both_rate
+    FROM tagged GROUP BY kind ORDER BY kind
+"""
+)
+
+QUERIES["crossmodal_pair_dedup"] = crossmodal_pair_dedup
+
+
+def caption_media_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Caption-media consistency audit: for every perceptual media
+    near-dup pair, do the captions agree?  Per kind: pairs, pairs
+    whose captions are byte-identical (md5), pairs whose captions are
+    at least LSH near-dup candidates, and the near-consistency rate.
+    Low consistency means the pixel-side near-dups carry different
+    text — exactly the pairs a contrastive image-text trainer must
+    NOT collapse (they are hard negatives, not duplicates)."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        minhash_band_pairs,
+    )
+
+    mpairs = _crossmodal_media_pairs(spark, sf)
+    dig = docs.select("doc_id", F.md5("text").alias("digest"))
+    tp = minhash_band_pairs(spark, sf).withColumn("near", F.lit(1))
+    joined = (
+        mpairs.join(
+            dig.select(
+                F.col("doc_id").alias("m_a"), F.col("digest").alias("dig_a")
+            ),
+            "m_a",
+        )
+        .join(
+            dig.select(
+                F.col("doc_id").alias("m_b"), F.col("digest").alias("dig_b")
+            ),
+            "m_b",
+        )
+        .join(
+            tp.select(
+                F.col("doc_a").alias("m_a"),
+                F.col("doc_b").alias("m_b"),
+                "near",
+            ),
+            ["m_a", "m_b"],
+            "left",
+        )
+    )
+    return (
+        joined.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                (F.col("dig_a") == F.col("dig_b")).cast("long")
+            ).alias("n_caption_exact"),
+            F.sum(F.coalesce(F.col("near"), F.lit(0)).cast("long")).alias(
+                "n_caption_near"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("near"), F.lit(0))).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("consistency_rate"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE["caption_media_consistency"] = (
+    _crossmodal_oracle_prefix()
+    + """
+    , joined AS (
+        SELECT m.kind,
+               da.digest AS dig_a, db.digest AS dig_b,
+               CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS near
+        FROM mclose m
+        JOIN (SELECT doc_id, md5(text) AS digest FROM documents) da
+          ON da.doc_id = m.m_a
+        JOIN (SELECT doc_id, md5(text) AS digest FROM documents) db
+          ON db.doc_id = m.m_b
+        LEFT JOIN tpairs t ON t.doc_a = m.m_a AND t.doc_b = m.m_b
+    )
+    SELECT kind,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN dig_a = dig_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_caption_exact,
+           CAST(SUM(near) AS BIGINT) AS n_caption_near,
+           ROUND(CAST(SUM(near) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS consistency_rate
+    FROM joined GROUP BY kind ORDER BY kind
+"""
+)
+
+QUERIES["caption_media_consistency"] = caption_media_consistency
+
+
+def crossmodal_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal benchmark contamination: training media whose
+    payload BYTES contain any 4-byte gram of a benchmark caption
+    (sources src0/src1 — the decontamination_overlap split applied
+    across modalities).  A benchmark caption leaking into a training
+    payload would defeat text-side decontamination because the leak
+    is on the wrong modality; this closes that hole.
+
+    Plan: benchmark caption gram hashes (small, deduped) BROADCAST
+    into a left-semi join against the training payloads'
+    window-minimum fingerprints (a fingerprint is itself a gram hash,
+    so any matching window proves a shared gram); payload bytes never
+    shuffle."""
+    from pinterest_data_pipeline6_spark.operators.privacy import (
+        BENCHMARK_SOURCES,
+    )
+    from pinterest_data_pipeline6_spark.operators.textops import _h64_spark
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    src = docs.select("doc_id", "source")
+    bench_hx = (
+        docs.filter(F.col("source").isin(*BENCHMARK_SOURCES))
+        .select(
+            F.hex(F.encode("text", "utf-8")).alias("hx"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= FP_GRAM_BYTES)
+    )
+    bench_grams = (
+        bench_hx.select(
+            "hx",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - FP_GRAM_BYTES)
+            ).alias("g"),
+        )
+        .select(
+            _h64_spark(
+                F.substring(
+                    "hx",
+                    (F.col("g") * 2 + 1).cast("int"),
+                    F.lit(2 * FP_GRAM_BYTES),
+                )
+            ).alias("fp")
+        )
+        .distinct()
+    )
+    train_fps = _media_fingerprints(spark, sf).join(
+        src.withColumnRenamed("doc_id", "media_id"), "media_id"
+    ).filter(~F.col("source").isin(*BENCHMARK_SOURCES))
+    hits = (
+        train_fps.join(F.broadcast(bench_grams), "fp", "left_semi")
+        .select("media_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_media = (
+        _media_hex(spark, sf)
+        .join(src.withColumnRenamed("doc_id", "media_id"), "media_id")
+        .filter(~F.col("source").isin(*BENCHMARK_SOURCES))
+        .select("media_id", "kind")
+    )
+    return (
+        train_media.join(hits, "media_id", "left")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_train_media"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _crossmodal_contam_oracle() -> str:
+    from pinterest_data_pipeline6_spark.operators.privacy import (
+        BENCHMARK_SOURCES,
+    )
+    from pinterest_data_pipeline6_spark.operators.textops import H64_SQL
+
+    bench_in = ", ".join(f"'{s}'" for s in BENCHMARK_SOURCES)
+    gram = f"substr(h, CAST(g * 2 + 1 AS INT), {2 * FP_GRAM_BYTES})"
+    return f"""
+    WITH fps AS ({_fp_sql()}),
+    src AS (SELECT doc_id, source FROM documents),
+    bench_grams AS (
+        SELECT DISTINCT {H64_SQL.format(expr=gram)} AS fp
+        FROM (
+            SELECT h, unnest(generate_series(0, n - {FP_GRAM_BYTES})) AS g
+            FROM (
+                SELECT hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents WHERE source IN ({bench_in})
+            ) WHERE n >= {FP_GRAM_BYTES}
+        )
+    ),
+    hits AS (
+        SELECT DISTINCT f.media_id
+        FROM fps f
+        JOIN src s ON s.doc_id = f.media_id
+            AND s.source NOT IN ({bench_in})
+        WHERE f.fp IN (SELECT fp FROM bench_grams)
+    ),
+    train_media AS (
+        SELECT m.media_id, m.kind
+        FROM ({_MEDIA_HX_SQL}) m
+        JOIN src s ON s.doc_id = m.media_id
+        WHERE s.source NOT IN ({bench_in})
+    )
+    SELECT kind,
+           COUNT(*) AS n_train_media,
+           CAST(SUM(CASE WHEN h.media_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN h.media_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS contamination_rate
+    FROM train_media t LEFT JOIN hits h ON h.media_id = t.media_id
+    GROUP BY kind ORDER BY kind
+"""
+
+
+ORACLE["crossmodal_contamination"] = _crossmodal_contam_oracle()
+QUERIES["crossmodal_contamination"] = crossmodal_contamination
