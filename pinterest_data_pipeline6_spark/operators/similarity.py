@@ -3074,3 +3074,261 @@ ORACLE["ivf_rebalance_audit"] = f"""
 """
 
 QUERIES["ivf_rebalance_audit"] = ivf_rebalance_audit
+
+
+# ---------------------------------------------------------------------------
+# Round 10: graph-traversal ANN (NSW/HNSW-class) — the third ANN
+# family next to LSH and IVF(+PQ).  A full HNSW build is inherently
+# sequential (insert-order dependent), so the registry-honest slice is
+# the part a distributed engine actually runs: BOUNDED-HOP BEAM SEARCH
+# over a precomputed k-NN neighborhood graph, audited for recall
+# against the exact top-k.  At production scale the graph comes from
+# NN-descent or the IVF family itself; here it is built exactly (one
+# bounded self-join over a capped node subset) so the traversal audit
+# has a ground-truth graph to walk.
+#
+# Every hop is set-based: frontier JOIN edges (equi-join on src) ->
+# candidate set -> score (broadcast query join) -> top-BEAM window per
+# query.  Hops are unrolled NSW_HOPS times with the frontier (a
+# <= N_QUERIES x NSW_BEAM row table) localCheckpoint-ed per hop —
+# the bradley_terry bounded-state convention, since each hop reads
+# the previous frontier twice (keep + expand).
+
+NSW_NODE_CAP = 256   # graph node subset: vec_id < cap (exact build)
+NSW_DEGREE = 8       # k-NN graph out-degree
+NSW_BEAM = 12        # beam width maintained per hop
+NSW_HOPS = 3         # unrolled traversal depth
+NSW_ENTRY = N_QUERIES  # fixed entry node (first non-query vec_id)
+
+
+def nsw_beam_search_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Beam-search ANN over the k-NN graph, per query: candidates
+    scored, exact-top-10 hits, recall@10, and best-found vs true-best
+    cosine.  Greedy-beam semantics: each hop expands the frontier by
+    its graph neighbors, dedups, rescores, and keeps the NSW_BEAM
+    best (cos desc, vec_id tiebreak, all cosines ROUND(6) — the
+    bit-identical cross-engine convention of knn_brute_force)."""
+    emb = widen_small_scan(table(spark, sf, "embeddings")).withColumn(
+        "nrm", _norm64(F.col("embedding"))
+    )
+    nodes = emb.filter(F.col("vec_id") < NSW_NODE_CAP).select(
+        F.col("vec_id").alias("node"), "embedding", "nrm"
+    )
+    a, b = nodes.alias("a"), nodes.alias("b")
+    cos_e = F.round(
+        _dot64(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    w_e = Window.partitionBy("src").orderBy(F.desc("cos_e"), F.asc("dst"))
+    edges = (
+        a.join(F.broadcast(b), F.col("a.node") != F.col("b.node"))
+        .select(
+            F.col("a.node").alias("src"),
+            F.col("b.node").alias("dst"),
+            cos_e.alias("cos_e"),
+        )
+        .withColumn("rk", F.row_number().over(w_e))
+        .filter(F.col("rk") <= NSW_DEGREE)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+    def _score(cand: DataFrame) -> DataFrame:
+        cos = F.round(
+            _dot64(F.col("qv"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm")),
+            6,
+        )
+        return (
+            cand.join(nodes, "node")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "node", cos.alias("cos"))
+        )
+
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("node")
+    )
+    frontier = q.select(
+        "query_id", F.lit(NSW_ENTRY).cast("long").alias("node")
+    )
+    visited = None
+    for _ in range(NSW_HOPS):
+        cand = (
+            frontier.select("query_id", "node")
+            .unionByName(
+                frontier.join(
+                    edges, frontier["node"] == edges["src"]
+                ).select("query_id", F.col("dst").alias("node"))
+            )
+            .filter(F.col("node") != F.col("query_id"))
+            .distinct()
+        )
+        visited = cand if visited is None else visited.unionByName(cand)
+        frontier = (
+            _score(cand)
+            .withColumn("rk", F.row_number().over(w_q))
+            .filter(F.col("rk") <= NSW_BEAM)
+            .select("query_id", "node", "cos")
+            .localCheckpoint(eager=True)
+        )
+    approx = frontier.withColumn("rk", F.row_number().over(w_q)).filter(
+        F.col("rk") <= TOP_K
+    )
+    cos_x = F.round(
+        _dot64(F.col("qv"), F.col("embedding"))
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    exact = (
+        F.broadcast(q)
+        .join(nodes, F.col("node") != F.col("query_id"))
+        .select("query_id", "node", cos_x.alias("cos"))
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    vis_cnt = (
+        visited.distinct()
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_scored"))
+    )
+    hits = (
+        approx.select("query_id", "node")
+        .join(exact.select("query_id", "node"), ["query_id", "node"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ap_best = approx.groupBy("query_id").agg(
+        F.max("cos").alias("approx_best_cos")
+    )
+    ex_best = exact.groupBy("query_id").agg(
+        F.max("cos").alias("exact_best_cos")
+    )
+    return (
+        vis_cnt.join(hits, "query_id", "left")
+        .join(ap_best, "query_id")
+        .join(ex_best, "query_id")
+        .select(
+            "query_id",
+            "n_scored",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(TOP_K)),
+                6,
+            ).alias("recall_at_k"),
+            "approx_best_cos",
+            "exact_best_cos",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _nsw_oracle() -> str:
+    hop_ctes = []
+    prev = "f0"
+    for h in range(1, NSW_HOPS + 1):
+        hop_ctes.append(f"""c{h} AS (
+        SELECT DISTINCT query_id, node FROM (
+            SELECT query_id, node FROM {prev}
+            UNION ALL
+            SELECT f.query_id, e.dst AS node
+            FROM {prev} f JOIN nedges e ON e.src = f.node
+        ) WHERE node != query_id
+    ),
+    s{h} AS (
+        SELECT c.query_id, c.node,
+               ROUND({_cos_sql("q.embedding", "n.embedding")}, 6) AS cos
+        FROM c{h} c
+        JOIN nnodes n ON n.node = c.node
+        JOIN nq q ON q.query_id = c.query_id
+    ),
+    f{h} AS (
+        SELECT query_id, node, cos FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, node) AS rk
+            FROM s{h}
+        ) WHERE rk <= {NSW_BEAM}
+    )""")
+        prev = f"f{h}"
+    vis_union = "\nUNION ALL\n            ".join(
+        f"SELECT query_id, node FROM c{h}" for h in range(1, NSW_HOPS + 1)
+    )
+    hops_joined = ",\n    ".join(hop_ctes)
+    return f"""
+    WITH nnodes AS (
+        SELECT vec_id AS node, embedding FROM embeddings
+        WHERE vec_id < {NSW_NODE_CAP}
+    ),
+    nedges AS (
+        SELECT src, dst FROM (
+            SELECT a.node AS src, b.node AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.node
+                       ORDER BY ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) DESC,
+                                b.node) AS rk
+            FROM nnodes a JOIN nnodes b ON a.node != b.node
+        ) WHERE rk <= {NSW_DEGREE}
+    ),
+    nq AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    f0 AS (
+        SELECT query_id, CAST({NSW_ENTRY} AS BIGINT) AS node FROM nq
+    ),
+    {hops_joined},
+    approx AS (
+        SELECT query_id, node, cos FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, node) AS rk
+            FROM f{NSW_HOPS}
+        ) WHERE rk <= {TOP_K}
+    ),
+    x AS (
+        SELECT query_id, node, cos FROM (
+            SELECT q.query_id, n.node,
+                   ROUND({_cos_sql("q.embedding", "n.embedding")}, 6) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND({_cos_sql("q.embedding", "n.embedding")}, 6) DESC,
+                                n.node) AS rk
+            FROM nq q JOIN nnodes n ON n.node != q.query_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    vis AS (
+        SELECT query_id, COUNT(*) AS n_scored FROM (
+            SELECT DISTINCT query_id, node FROM (
+            {vis_union}
+            )
+        ) GROUP BY query_id
+    ),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM approx a JOIN x USING (query_id, node)
+        GROUP BY a.query_id
+    ),
+    ab AS (SELECT query_id, MAX(cos) AS approx_best_cos
+           FROM approx GROUP BY query_id),
+    xb AS (SELECT query_id, MAX(cos) AS exact_best_cos
+           FROM x GROUP BY query_id)
+    SELECT v.query_id, v.n_scored,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(TOP_K)}, 6)
+               AS recall_at_k,
+           ab.approx_best_cos, xb.exact_best_cos
+    FROM vis v
+    LEFT JOIN hits h ON h.query_id = v.query_id
+    JOIN ab ON ab.query_id = v.query_id
+    JOIN xb ON xb.query_id = v.query_id
+    ORDER BY v.query_id
+"""
+
+
+ORACLE["nsw_beam_search_recall"] = _nsw_oracle()
+QUERIES["nsw_beam_search_recall"] = nsw_beam_search_recall

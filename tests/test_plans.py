@@ -506,6 +506,8 @@ INTENTIONAL_BNLJ = {
     "unigram_lm_train",           # 1-row milli-nat total broadcast per EM round
     "unigram_viterbi_fertility",  # 1-row milli-nat total broadcast per EM round
     "unigram_compression_curve",  # 1-row milli-nat total broadcast per EM round
+    "nsw_beam_search_recall",  # capped node subset self-crossed (exact graph
+    #                            build) + 5 broadcast queries x node scan
 }
 
 

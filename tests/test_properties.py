@@ -3735,3 +3735,22 @@ def test_data_constrained_accounting_matches_python(
         e = min(budget // u, EPOCH_CAP)
         eff = (u * S_MILLI[e] + (budget - e * u) * W_MILLI[e]) // 1000
         assert got_t[t] == (len(kept), u, e, eff), t
+
+
+def test_nsw_beam_search_invariants(spark):
+    """Beam search can never beat the exact scan: per query,
+    approx_best_cos <= exact_best_cos, 0 <= recall <= 1, hits <= 10,
+    and the visited set is at least the final beam's size."""
+    from pinterest_data_pipeline6_spark.operators.similarity import (
+        NSW_BEAM,
+        TOP_K,
+        nsw_beam_search_recall,
+    )
+
+    rows = nsw_beam_search_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["approx_best_cos"] <= r["exact_best_cos"], r
+        assert 0 <= r["n_hits"] <= TOP_K, r
+        assert abs(r["recall_at_k"] - r["n_hits"] / TOP_K) < 1e-9, r
+        assert r["n_scored"] >= NSW_BEAM, r
