@@ -577,3 +577,135 @@ ORACLE["quality_gate_agreement"] = f"""
 """
 
 QUERIES["quality_gate_agreement"] = quality_gate_agreement
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the classifier as a ROW-LOCAL gate expression, shared
+# verbatim by the streaming curation funnel (streaming/jobs.py) and
+# its batch twin below — the batch/stream parity pattern of the
+# cleaners.  The fold form is algebraically identical to the
+# explode + groupBy form in ``_doc_scores`` (a sum over the same
+# token-occurrence multiset) but needs no shuffle, so it runs in the
+# funnel's map-only gate stage ahead of any signature work.
+
+
+def classifier_total_milli(text_col) -> "F.Column":
+    """Exact integer milli-weight classifier total of ``text_col`` as
+    ONE fold expression: transform tokens -> hashed-bucket literal
+    weights, left-fold sum.  The literal weight array inside the
+    lambda is the ``_signature`` precedent (similarity.py): constant
+    arrays in HOF lambdas are constant-folded, not per-row work."""
+    warr = F.array(*[F.lit(w) for w in QC_WEIGHTS_MILLI])
+    weights = F.transform(
+        F.split(text_col, " "),
+        lambda t: F.element_at(
+            warr, (_h64_spark(t) % QC_BUCKETS).cast("int") + 1
+        ),
+    )
+    return F.aggregate(
+        weights, F.lit(0).cast("long"), lambda a, v: a + v
+    )
+
+
+def _clf_total_sql(text_expr: str) -> str:
+    """DuckDB twin of ``classifier_total_milli`` over ``text_expr``."""
+    h = H64_SQL.format(expr="t")
+    return (
+        f"CAST(list_sum(list_transform(string_split({text_expr}, ' '), "
+        f"t -> {_QCW_SQL}[CAST({h} % {QC_BUCKETS} AS INT) + 1])) AS BIGINT)"
+    )
+
+
+def classifier_gate_stream_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the classifier-gated streaming curation funnel's
+    GATE stage (streaming/jobs.py::run_streaming_curation): per
+    micro-batch (doc_id % NEARDUP_LEDGER_BATCHES, the
+    curation_funnel_batch_ledger arrival-order convention), how many
+    raw docs arrive, fail the heuristic gate, pass it but fail the
+    classifier (score <= 0 on the NORMALIZED text — the stream gates
+    after normalization), and clear both gates.  The classifier
+    expression here is the same ``classifier_total_milli`` fold the
+    stream runs, so this table is the external correctness contract
+    for the streaming gate."""
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        _quality_flags,
+    )
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        NEARDUP_LEDGER_BATCHES,
+    )
+
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    q = _quality_flags(docs).select(
+        F.pmod("doc_id", F.lit(NEARDUP_LEDGER_BATCHES)).alias("batch_id"),
+        F.coalesce("passed_quality", F.lit(False)).alias("heur_ok"),
+        (
+            F.coalesce(
+                classifier_total_milli(F.col("norm")), F.lit(0)
+            )
+            > 0
+        ).alias("clf_ok"),
+    )
+    return (
+        q.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum((~F.col("heur_ok")).cast("long")).alias(
+                "n_fail_heuristic"
+            ),
+            F.sum(
+                (F.col("heur_ok") & ~F.col("clf_ok")).cast("long")
+            ).alias("n_fail_classifier"),
+            F.sum(
+                (F.col("heur_ok") & F.col("clf_ok")).cast("long")
+            ).alias("n_gate_pass"),
+            F.round(
+                F.sum((F.col("heur_ok") & F.col("clf_ok")).cast("long"))
+                .cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("gate_pass_rate"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+def _clf_gate_ledger_sql() -> str:
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        MIN_DISTINCT_RATIO,
+        MIN_TOKENS,
+    )
+    from pinterest_data_pipeline6_spark.operators.dedup import (
+        NEARDUP_LEDGER_BATCHES,
+    )
+
+    heur = (
+        f"(len(string_split(lower(trim(text)), ' ')) >= {MIN_TOKENS} "
+        "AND CAST(len(list_distinct(string_split(lower(trim(text)), ' ')))"
+        " AS DOUBLE) / len(string_split(lower(trim(text)), ' '))"
+        f" >= {MIN_DISTINCT_RATIO})"
+    )
+    clf = _clf_total_sql("lower(trim(text))")
+    return f"""
+    WITH flags AS (
+        SELECT doc_id % {NEARDUP_LEDGER_BATCHES} AS batch_id,
+               COALESCE({heur}, FALSE) AS heur_ok,
+               COALESCE({clf}, 0) > 0 AS clf_ok
+        FROM documents
+    )
+    SELECT batch_id,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN NOT heur_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_heuristic,
+           CAST(SUM(CASE WHEN heur_ok AND NOT clf_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_classifier,
+           CAST(SUM(CASE WHEN heur_ok AND clf_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gate_pass,
+           ROUND(CAST(SUM(CASE WHEN heur_ok AND clf_ok THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS gate_pass_rate
+    FROM flags GROUP BY batch_id ORDER BY batch_id
+"""
+
+
+ORACLE["classifier_gate_stream_ledger"] = _clf_gate_ledger_sql()
+QUERIES["classifier_gate_stream_ledger"] = classifier_gate_stream_ledger

@@ -363,9 +363,23 @@ def write_foreach_batch_neardup(
     At 100 TB/day the band table is bucketed on band_key so step 1 is
     co-located; with Delta/Iceberg steps 1+3 become one MERGE. The
     exact-dedup counterpart is ``write_foreach_batch_dedup``."""
-    from pinterest_data_pipeline6_spark.operators.dedup import band_keys_for
+    neardup_batch = _make_neardup_batch_fn(df.sparkSession, path, bands_path)
+    writer = (
+        df.writeStream.foreachBatch(neardup_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
-    spark = df.sparkSession
+
+def _make_neardup_batch_fn(spark: SparkSession, path: str, bands_path: str):
+    """The per-micro-batch LSH suppression step of
+    ``write_foreach_batch_neardup``, extracted so composed sinks (the
+    classifier-gated curation funnel) can run it after their own
+    per-batch work inside ONE foreachBatch."""
+    from pinterest_data_pipeline6_spark.operators.dedup import band_keys_for
 
     def neardup_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.dropDuplicates(["doc_id"])
@@ -424,14 +438,7 @@ def write_foreach_batch_neardup(
         batch.join(keep_acc, "doc_id", "left_semi").write.mode("append").parquet(path)
         bands.join(keep, "doc_id", "left_semi").write.mode("append").parquet(bands_path)
 
-    writer = (
-        df.writeStream.foreachBatch(neardup_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return neardup_batch
 
 
 def run_streaming_curation(
@@ -447,29 +454,81 @@ def run_streaming_curation(
     suppression sink — which subsumes exact dedup, since identical
     normalized texts produce identical band keys. Output layout:
 
-        {sink_root}/accepted   accepted documents (parquet, append)
-        {sink_root}/bands      accumulated band state (the dedup memory)
+        {sink_root}/accepted     accepted documents (parquet, append)
+        {sink_root}/bands        accumulated band state (the dedup memory)
+        {sink_root}/gate_ledger  per-batch gate decision counts
+
+    The gate is TWO row-local stages: the heuristic quality flags,
+    then the hashed-feature classifier (``scoring.py`` — reused
+    verbatim as the same fold expression, the batch/stream parity
+    pattern of the cleaners) on the normalized text.  Gate decisions
+    are ledgered per micro-batch (batch_id, raw, per-gate failures,
+    passes) BEFORE filtering, so the funnel's own run produces its
+    audit trail; the batch twin of the ledger is
+    ``scoring.classifier_gate_stream_ledger``.
 
     The funnel ordering matches the batch lesson in docs/SCALE.md:
-    shrink the input of each stage before the next — the quality gate
-    runs before any signature work, and signatures are computed only
-    for docs that pass it."""
+    shrink the input of each stage before the next — both gates are
+    map-only projections ahead of any signature work, and signatures
+    are computed only for docs that pass."""
     from pinterest_data_pipeline6_spark.operators.curation import _quality_flags
+    from pinterest_data_pipeline6_spark.operators.scoring import (
+        classifier_total_milli,
+    )
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     stream = spark.readStream.schema(schema).json(source_dir)
-    gated = (
-        _quality_flags(stream)
-        .filter(F.col("passed_quality"))
-        .select("doc_id", F.col("norm").alias("text"), "lang", "source")
+    flagged = _quality_flags(stream).select(
+        "doc_id",
+        F.col("norm").alias("text"),
+        "lang",
+        "source",
+        F.coalesce("passed_quality", F.lit(False)).alias("heur_ok"),
+        (
+            F.coalesce(classifier_total_milli(F.col("norm")), F.lit(0)) > 0
+        ).alias("clf_ok"),
     )
-    return write_foreach_batch_neardup(
-        gated,
-        path=f"{sink_root}/accepted",
-        checkpoint=f"{sink_root}/_ck/curation",
-        bands_path=f"{sink_root}/bands",
-        available_now=available_now,
+    neardup_batch = _make_neardup_batch_fn(
+        spark, f"{sink_root}/accepted", f"{sink_root}/bands"
     )
+    ledger_path = f"{sink_root}/gate_ledger"
+
+    def gated_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # flags computed once
+        # batch_id lives in the partition directory name only — keeping
+        # it out of the file avoids a partition/file column clash on read
+        ledger = batch.agg(
+            F.count("*").alias("n_raw"),
+            F.sum((~F.col("heur_ok")).cast("long")).alias(
+                "n_fail_heuristic"
+            ),
+            F.sum(
+                (F.col("heur_ok") & ~F.col("clf_ok")).cast("long")
+            ).alias("n_fail_classifier"),
+            F.sum(
+                (F.col("heur_ok") & F.col("clf_ok")).cast("long")
+            ).alias("n_gate_pass"),
+        )
+        # replay-idempotent: a re-delivered batch_id overwrites its own
+        # partition instead of appending a duplicate ledger row
+        ledger.write.mode("overwrite").parquet(
+            f"{ledger_path}/batch_id={batch_id}"
+        )
+        neardup_batch(
+            batch.filter(F.col("heur_ok") & F.col("clf_ok")).select(
+                "doc_id", "text", "lang", "source"
+            ),
+            batch_id,
+        )
+
+    writer = (
+        flagged.writeStream.foreachBatch(gated_batch)
+        .outputMode("append")
+        .option("checkpointLocation", f"{sink_root}/_ck/curation")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def write_stream_shards(

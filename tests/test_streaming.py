@@ -394,10 +394,15 @@ def test_foreach_batch_neardup_suppression(spark, tmp_path):
 
 
 def test_run_streaming_curation(spark, tmp_path):
-    """Composed streaming curation: low-quality docs are gated out
-    map-side, exact duplicates and near-duplicates of accepted docs are
-    suppressed across micro-batch runs, fresh quality docs land."""
+    """Classifier-gated streaming curation: heuristic-fail docs and
+    classifier-fail docs are gated map-side (and ledgered per batch),
+    exact duplicates and near-duplicates of accepted docs are
+    suppressed across micro-batch runs, fresh passing docs land, and
+    the gate decision matches the batch ``classifier_total_milli``
+    expression exactly."""
     import json
+
+    from pyspark.sql import functions as F
 
     from pinterest_data_pipeline6_spark.streaming.jobs import run_streaming_curation
 
@@ -405,35 +410,81 @@ def test_run_streaming_curation(spark, tmp_path):
     src.mkdir()
     root = str(tmp_path / "curated")
 
-    good = (
+    # 17 distinct words, every one hashing to a POSITIVE classifier
+    # bucket weight (total +10983 milli) — passes both gates
+    pos = (
+        "gold desert crane valley falcon forest wolf river glacier "
+        "ocean heron stone tundra lynx canyon eagle yellow"
+    )
+    # 20 distinct words, classifier total -367 — passes the heuristic
+    # gate but FAILS the classifier gate
+    clf_fail = (
         "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
         "kilo lima mike november oscar papa quebec romeo sierra tango"
     )
     low_quality = "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"
     rows = [
-        {"doc_id": 1, "text": good, "lang": "en", "source": "s0", "n_chars": len(good)},
+        {"doc_id": 1, "text": pos, "lang": "en", "source": "s0", "n_chars": len(pos)},
         {"doc_id": 2, "text": low_quality, "lang": "en", "source": "s0", "n_chars": len(low_quality)},
+        {"doc_id": 6, "text": clf_fail, "lang": "en", "source": "s0", "n_chars": len(clf_fail)},
     ]
     with open(src / "b1.json", "w") as f:
         f.writelines(json.dumps(r) + "\n" for r in rows)
     run_streaming_curation(spark, str(src), root).awaitTermination()
     got1 = sorted(r[0] for r in spark.read.parquet(f"{root}/accepted").select("doc_id").collect())
-    assert got1 == [1], got1  # low-quality doc gated before any state
+    assert got1 == [1], got1  # both gate failures dropped before any state
 
-    other = (
-        "uniform victor whiskey xray yankee zulu one two three four five "
-        "six seven eight nine ten eleven twelve thirteen fourteen"
+    # gate decisions must equal the shared batch expression
+    from pinterest_data_pipeline6_spark.operators.scoring import (
+        classifier_total_milli,
     )
+
+    want_clf = {
+        r["doc_id"]: r["ok"]
+        for r in spark.createDataFrame(
+            [(r["doc_id"], r["text"].lower().strip()) for r in rows],
+            "doc_id long, norm string",
+        )
+        .select("doc_id", (classifier_total_milli(F.col("norm")) > 0).alias("ok"))
+        .collect()
+    }
+    assert want_clf == {1: True, 2: False, 6: False}
+
+    pos_reordered = " ".join(reversed(pos.split(" ")))  # fresh: no shared shingles
     rows2 = [
-        {"doc_id": 3, "text": good.upper(), "lang": "en", "source": "s1", "n_chars": len(good)},  # exact dup after normalize
-        {"doc_id": 4, "text": good.replace("tango", "uniform"), "lang": "en", "source": "s1", "n_chars": len(good)},  # near-dup
-        {"doc_id": 5, "text": other, "lang": "en", "source": "s1", "n_chars": len(other)},  # fresh
+        {"doc_id": 3, "text": pos.upper(), "lang": "en", "source": "s1", "n_chars": len(pos)},  # exact dup after normalize
+        {"doc_id": 4, "text": pos + " quartz", "lang": "en", "source": "s1", "n_chars": len(pos) + 7},  # near-dup (superset)
+        {"doc_id": 5, "text": pos_reordered, "lang": "en", "source": "s1", "n_chars": len(pos_reordered)},  # fresh
     ]
     with open(src / "b2.json", "w") as f:
         f.writelines(json.dumps(r) + "\n" for r in rows2)
     run_streaming_curation(spark, str(src), root).awaitTermination()
     got2 = sorted(r[0] for r in spark.read.parquet(f"{root}/accepted").select("doc_id").collect())
     assert got2 == [1, 5], got2
+
+    # the gate ledger has one row per micro-batch with exact counts
+    ledger = {
+        r["batch_id"]: (
+            r["n_raw"], r["n_fail_heuristic"],
+            r["n_fail_classifier"], r["n_gate_pass"],
+        )
+        for r in spark.read.parquet(f"{root}/gate_ledger").collect()
+    }
+    assert ledger[0] == (3, 1, 1, 1), ledger
+    assert ledger[1] == (3, 0, 0, 3), ledger
+
+    # replay idempotence: re-delivering an accepted doc (new file, same
+    # content) is suppressed by the band state, and the ledger stays
+    # one-row-per-batch
+    with open(src / "b3.json", "w") as f:
+        f.write(json.dumps({"doc_id": 7, "text": pos_reordered, "lang": "en",
+                            "source": "s2", "n_chars": len(pos_reordered)}) + "\n")
+    run_streaming_curation(spark, str(src), root).awaitTermination()
+    got3 = sorted(r[0] for r in spark.read.parquet(f"{root}/accepted").select("doc_id").collect())
+    assert got3 == [1, 5], got3
+    ledger3 = spark.read.parquet(f"{root}/gate_ledger")
+    assert ledger3.count() == 3
+    assert ledger3.groupBy("batch_id").count().filter("count > 1").count() == 0
 
 
 def test_stream_shard_router_matches_batch_layout(spark, tmp_path):
