@@ -1530,8 +1530,13 @@ PHASH_ALL_BANDS_HAMMING = PHASH_HAMMING_MAX
 def _crossmodal_media_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """(kind, m_a, m_b): perceptual near-dup media pairs across ALL
     kinds — the aHash band join keyed on (kind, band, value) so pairs
-    stay within a modality, verified at Hamming <= 3."""
-    ph = _perceptual_hashes(spark, sf)
+    stay within a modality, verified at Hamming <= 3.
+
+    The hash inventory is localCheckpoint-ed (lazily, the
+    minhash-signature sharing precedent in dedup.py) so the byte-cell
+    hash expressions run once, not once per self-join side — in
+    production the inventory is a persisted table anyway."""
+    ph = _perceptual_hashes(spark, sf).localCheckpoint(eager=False)
     bands = ph.select(
         "media_id",
         "kind",
@@ -1547,27 +1552,32 @@ def _crossmodal_media_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("(ahash >> (band_idx * 8)) & 255").alias("band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.kind") == F.col("b.kind"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.kind").alias("kind"),
-            F.col("a.media_id").alias("m_a"),
-            F.col("b.media_id").alias("m_b"),
-            F.col("a.ahash").alias("h_a"),
-            F.col("b.ahash").alias("h_b"),
-        )
-        .distinct()
+    # Hamming is verified BEHIND the pair aggregate, never as a bare
+    # filter over the distinct pairs: a filter on grouping columns
+    # pushes through the aggregate INTO the join condition (the
+    # inline-verification anti-pattern dedup.py's PPJoin documents as
+    # 8x worse — measured here as a pathological plan at sf0.1).
+    # min(ham) over band duplicates of one pair is the pair's hamming.
+    pairs = a.join(
+        b,
+        (F.col("a.kind") == F.col("b.kind"))
+        & (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.kind").alias("kind"),
+        F.col("a.media_id").alias("m_a"),
+        F.col("b.media_id").alias("m_b"),
+        F.bit_count(
+            F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+        ).alias("ham"),
     )
-    return pairs.filter(
-        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-        <= PHASH_ALL_BANDS_HAMMING
-    ).select("kind", "m_a", "m_b")
+    return (
+        pairs.groupBy("kind", "m_a", "m_b")
+        .agg(F.min("ham").alias("ham"))
+        .filter(F.col("ham") <= PHASH_ALL_BANDS_HAMMING)
+        .select("kind", "m_a", "m_b")
+    )
 
 
 _MPAIRS_SQL = f"""
@@ -1610,7 +1620,12 @@ def crossmodal_pair_dedup(spark: SparkSession, sf: str) -> DataFrame:
         minhash_band_pairs,
     )
 
-    mpairs = _crossmodal_media_pairs(spark, sf)
+    # both candidate-pair sets feed two consumers each (the tagged
+    # union and the intersection) — lazy localCheckpoints run each
+    # generator once (the dedup.py signature-sharing precedent)
+    mpairs = _crossmodal_media_pairs(spark, sf).localCheckpoint(
+        eager=False
+    )
     tp = minhash_band_pairs(spark, sf)
     # same-kind caption pairs (kind is doc_id % 3, the media synthesis
     # rule) so the three sets are comparable per modality
@@ -1619,9 +1634,11 @@ def crossmodal_pair_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col(c) % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
     )
-    tpk = tp.filter(
-        (F.col("doc_a") % 3) == (F.col("doc_b") % 3)
-    ).select(kind_of("doc_a").alias("kind"), "doc_a", "doc_b")
+    tpk = (
+        tp.filter((F.col("doc_a") % 3) == (F.col("doc_b") % 3))
+        .select(kind_of("doc_a").alias("kind"), "doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     both = mpairs.join(
         tpk.select(
             F.col("kind").alias("kind"),

@@ -581,6 +581,11 @@ TRAINER_UNIT_STEADY_US = {
     "bpe_iterative_merges": ("documents", 332.0),
     "bradley_terry_strengths": ("events", 21.5),
     "kcore_peeling_rounds": ("events", 8.1),
+    # r10: unigram Viterbi-EM (2 EM rounds + final E-step; each round
+    # is one broadcast join + one fold projection over the word vocab)
+    "unigram_lm_train": ("documents", 350.0),
+    "unigram_viterbi_fertility": ("documents", 480.0),
+    "unigram_compression_curve": ("documents", 414.0),
 }
 
 
