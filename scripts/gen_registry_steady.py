@@ -54,6 +54,9 @@ BUDGET_CLASSES = {
     "bpe_iterative_merges": "iterative-trainer",
     "bradley_terry_strengths": "iterative-trainer",
     "kcore_peeling_rounds": "iterative-trainer",
+    "unigram_lm_train": "iterative-trainer",
+    "unigram_viterbi_fertility": "iterative-trainer",
+    "unigram_compression_curve": "iterative-trainer",
 }
 
 
