@@ -1585,3 +1585,132 @@ ORACLE["data_constrained_tradeoff"] = f"""
 """
 
 QUERIES["data_constrained_tradeoff"] = data_constrained_tradeoff
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-class domain reweighting (Xie et al. 2023): one
+# multiplicative-weights update of the per-domain (source) mixture —
+# domains whose quality score trails the corpus mean get upweighted
+# proportionally to exp(eta * excess), the Group-DRO step DoReMi runs
+# with a proxy model's excess loss.  Here the excess signal is the
+# hashed-feature classifier's per-token score deficit (scoring.py) —
+# a real deployment swaps in proxy-model losses without touching the
+# dataflow, the documented swap-point pattern.
+#
+# Scale shape: ONE corpus scan (token explode -> literal-array weight
+# lookup) collapsing to a SOURCES-row aggregate; the mean/normalizer
+# terms are 1-row aggregates of that bounded table crossJoined back
+# (intentional BNLJ, constant probe).  Division/exp happen on the
+# bounded table only; outputs round to 6 decimals (the reid_risk
+# libm-margin convention — no argmax rides on the exp).
+
+DOREMI_ETA = 1.0  # multiplicative-weights step size
+
+
+def doremi_domain_reweighting(spark: SparkSession, sf: str) -> DataFrame:
+    """Per source: docs, tokens, token share (the reference mixture),
+    per-token classifier score vs the corpus mean, the clipped excess,
+    and the DoReMi-updated mixture weight
+    w'_s ∝ share_s * exp(eta * excess_s / 1000), normalized."""
+    from pinterest_data_pipeline6_spark.operators.scoring import (
+        _doc_scores,
+    )
+
+    per_src = (
+        _doc_scores(spark, sf)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("total_milli").alias("sum_milli"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("g_tokens"),
+        F.sum("sum_milli").alias("g_milli"),
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    mean_s = F.round(
+        F.col("sum_milli").cast("double") / F.col("n_tokens").cast("double"),
+        9,
+    )
+    mean_g = F.round(
+        F.col("g_milli").cast("double") / F.col("g_tokens").cast("double"),
+        9,
+    )
+    excess = F.greatest(mean_g - mean_s, F.lit(0.0))
+    share = F.col("n_tokens").cast("double") / F.col("g_tokens").cast(
+        "double"
+    )
+    raw = share * F.exp(F.lit(DOREMI_ETA) * excess / F.lit(1000.0))
+    scored = j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("share"),
+        mean_s.alias("mean_s"),
+        excess.alias("excess"),
+        raw.alias("raw_w"),
+    )
+    norm = scored.agg(F.sum("raw_w").alias("z"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("token_share"),
+            F.round("mean_s", 6).alias("mean_score_milli"),
+            F.round("excess", 6).alias("excess_milli"),
+            F.round(F.col("raw_w") / F.col("z"), 6).alias("new_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def _doremi_sql() -> str:
+    from pinterest_data_pipeline6_spark.operators.scoring import (
+        _DOC_SCORES_SQL,
+    )
+
+    return f"""
+    WITH ds AS ({_DOC_SCORES_SQL}),
+    per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(total_milli) AS BIGINT) AS sum_milli
+        FROM ds GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS g_tokens,
+               CAST(SUM(sum_milli) AS BIGINT) AS g_milli
+        FROM per_src
+    ),
+    scored AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(g_tokens AS DOUBLE) AS share,
+               ROUND(CAST(sum_milli AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE), 9) AS mean_s,
+               GREATEST(ROUND(CAST(g_milli AS DOUBLE)
+                              / CAST(g_tokens AS DOUBLE), 9)
+                        - ROUND(CAST(sum_milli AS DOUBLE)
+                                / CAST(n_tokens AS DOUBLE), 9),
+                        0.0) AS excess
+        FROM per_src CROSS JOIN tot
+    ),
+    w AS (
+        SELECT *,
+               share * exp({DOREMI_ETA} * excess / 1000.0) AS raw_w
+        FROM scored
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(mean_s, 6) AS mean_score_milli,
+           ROUND(excess, 6) AS excess_milli,
+           ROUND(raw_w / (SELECT SUM(raw_w) FROM w), 6) AS new_weight
+    FROM w ORDER BY source
+"""
+
+
+ORACLE["doremi_domain_reweighting"] = _doremi_sql()
+QUERIES["doremi_domain_reweighting"] = doremi_domain_reweighting

@@ -3501,3 +3501,194 @@ ORACLE["unigram_compression_curve"] = (
     + "\nORDER BY round"
 )
 QUERIES["unigram_compression_curve"] = unigram_compression_curve
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (slot 2): WordPiece tokenizer training — the third tokenizer
+# architecture next to BPE and unigram-LM (Schuster & Nakajima 2012 /
+# BERT's trainer).  Identical machinery to BPE (framed vocab, pair
+# counts, single-replace greedy apply) with ONE change: the merge each
+# round maximizes the LIKELIHOOD score count(l,r)/(count(l)*count(r))
+# instead of the raw pair count.  The score is one correctly-rounded
+# double division of exact BIGINT operands (pair and symbol counts),
+# so both engines compute the identical double and the argmax is
+# deterministic; ties break lexicographically on (left, right).
+
+
+def _wp_sym_counts(vocab: DataFrame) -> DataFrame:
+    """(sym, sym_count): weighted symbol occurrences over the framed
+    vocab — the denominator terms of the WordPiece score.  Same
+    even-position split convention as ``_bpe_pair_counts``."""
+    syms = F.split("s", "\\|")
+    return (
+        vocab.select("freq", syms.alias("sy"))
+        .select(
+            "freq",
+            "sy",
+            F.explode(
+                F.sequence(F.lit(2), F.size("sy") - 1, F.lit(2))
+            ).alias("i"),
+        )
+        .select(
+            F.element_at("sy", F.col("i").cast("int")).alias("sym"), "freq"
+        )
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("sym_count"))
+    )
+
+
+def _wp_top1(pairs: DataFrame, syms: DataFrame) -> DataFrame:
+    """The round's WordPiece merge: argmax of
+    pair_count/(left_count*right_count), ties to the smallest
+    (left, right).  Symbol counts broadcast (vocab-bounded)."""
+    j = pairs.join(
+        F.broadcast(
+            syms.withColumnRenamed("sym", "left_sym").withColumnRenamed(
+                "sym_count", "left_count"
+            )
+        ),
+        "left_sym",
+    ).join(
+        F.broadcast(
+            syms.withColumnRenamed("sym", "right_sym").withColumnRenamed(
+                "sym_count", "right_count"
+            )
+        ),
+        "right_sym",
+    )
+    score = F.col("pair_count").cast("double") / (
+        F.col("left_count") * F.col("right_count")
+    ).cast("double")
+    return j.agg(
+        F.min(
+            F.struct(
+                (-score).alias("ns"),
+                F.col("left_sym").alias("l"),
+                F.col("right_sym").alias("r"),
+                F.col("pair_count").alias("c"),
+                F.col("left_count").alias("lc"),
+                F.col("right_count").alias("rc"),
+            )
+        ).alias("m")
+    ).select(
+        F.col("m.l").alias("left_sym"),
+        F.col("m.r").alias("right_sym"),
+        F.col("m.c").alias("pair_count"),
+        F.col("m.lc").alias("left_count"),
+        F.col("m.rc").alias("right_count"),
+    )
+
+
+def wordpiece_iterative_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece training rounds 1..3: the likelihood-scored merge per
+    round with its pair and symbol counts and the score itself — the
+    head of a BERT-style vocab, trained on the same word-frequency
+    table as BPE (one corpus scan, all rounds vocabulary-sized; the
+    flat-scaling argument of the unigram family applies verbatim)."""
+    docs = widen_small_scan(table(spark, sf, "documents"))
+    # each round reads the previous vocab THREE times (pair counts,
+    # symbol counts, apply) — without the lineage cut the plan tree
+    # grows 3x per round (the r8 lazy-unroll pitfall; BPE's 2-ref
+    # chain tolerates laziness, this one measured ~2x slower lazy)
+    vocab = _bpe_word_vocab(docs).localCheckpoint(eager=True)
+    out = None
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        top1 = _wp_top1(_bpe_pair_counts(vocab), _wp_sym_counts(vocab))
+        vocab = _bpe_apply(vocab, top1).localCheckpoint(eager=True)
+        row = top1.select(
+            F.lit(k).alias("round"),
+            "left_sym",
+            "right_sym",
+            "pair_count",
+            "left_count",
+            "right_count",
+            F.round(
+                F.col("pair_count").cast("double")
+                / (F.col("left_count") * F.col("right_count")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("score"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+def _wp_sql_ctes(src: str = "documents") -> str:
+    """DuckDB twin of the WordPiece chain: wv0..wvK framed vocabs,
+    wsym/wp/wt per round (symbol counts, pair counts, the
+    likelihood-argmax merge)."""
+    ctes = [
+        f"""wv0 AS (
+            SELECT w, COUNT(*) AS freq,
+                   regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {src})
+            GROUP BY w
+        )"""
+    ]
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        ctes.append(
+            f"""wsym{k} AS (
+            SELECT sy[i] AS sym, CAST(SUM(freq) AS BIGINT) AS sym_count
+            FROM (
+                SELECT freq, sy,
+                       unnest(generate_series(2, len(sy) - 1, 2)) AS i
+                FROM (SELECT freq, string_split(s, '|') AS sy
+                      FROM wv{k - 1})
+            )
+            GROUP BY 1
+        )"""
+        )
+        ctes.append(
+            f"""wp{k} AS (
+            SELECT sy[i] AS left_sym, sy[i + 2] AS right_sym,
+                   CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM (
+                SELECT freq, sy,
+                       unnest(generate_series(2, len(sy) - 3, 2)) AS i
+                FROM (SELECT freq, string_split(s, '|') AS sy
+                      FROM wv{k - 1})
+                WHERE len(sy) >= 5
+            )
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""wt{k} AS (
+            SELECT p.left_sym, p.right_sym, p.pair_count,
+                   l.sym_count AS left_count, r.sym_count AS right_count
+            FROM wp{k} p
+            JOIN wsym{k} l ON l.sym = p.left_sym
+            JOIN wsym{k} r ON r.sym = p.right_sym
+            ORDER BY CAST(p.pair_count AS DOUBLE)
+                     / CAST(l.sym_count * r.sym_count AS DOUBLE) DESC,
+                     p.left_sym, p.right_sym
+            LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""wv{k} AS (
+            SELECT w, freq,
+                   replace(s,
+                       '|' || left_sym || '||' || right_sym || '|',
+                       '|' || left_sym || right_sym || '|') AS s
+            FROM wv{k - 1} CROSS JOIN wt{k}
+        )"""
+        )
+    return ",\n".join(ctes)
+
+
+ORACLE["wordpiece_iterative_merges"] = (
+    "WITH " + _wp_sql_ctes() + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT {k} AS round, left_sym, right_sym, pair_count,
+               left_count, right_count,
+               ROUND(CAST(pair_count AS DOUBLE)
+                     / CAST(left_count * right_count AS DOUBLE), 9)
+                   AS score
+        FROM wt{k}"""
+        for k in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+QUERIES["wordpiece_iterative_merges"] = wordpiece_iterative_merges

@@ -57,6 +57,7 @@ BUDGET_CLASSES = {
     "unigram_lm_train": "iterative-trainer",
     "unigram_viterbi_fertility": "iterative-trainer",
     "unigram_compression_curve": "iterative-trainer",
+    "wordpiece_iterative_merges": "iterative-trainer",
 }
 
 

@@ -586,6 +586,7 @@ TRAINER_UNIT_STEADY_US = {
     "unigram_lm_train": ("documents", 350.0),
     "unigram_viterbi_fertility": ("documents", 480.0),
     "unigram_compression_curve": ("documents", 414.0),
+    "wordpiece_iterative_merges": ("documents", 383.0),
 }
 
 

@@ -508,6 +508,8 @@ INTENTIONAL_BNLJ = {
     "unigram_compression_curve",  # 1-row milli-nat total broadcast per EM round
     "nsw_beam_search_recall",  # capped node subset self-crossed (exact graph
     #                            build) + 5 broadcast queries x node scan
+    "wordpiece_iterative_merges",  # 1-row argmax merge broadcast per round
+    "doremi_domain_reweighting",   # 1-row corpus-mean + normalizer broadcasts
 }
 
 

@@ -3754,3 +3754,165 @@ def test_nsw_beam_search_invariants(spark):
         assert 0 <= r["n_hits"] <= TOP_K, r
         assert abs(r["recall_at_k"] - r["n_hits"] / TOP_K) < 1e-9, r
         assert r["n_scored"] >= NSW_BEAM, r
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=7),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@example(docs=[["aaaaa", "aaaaaa", "ab"], ["abab", "aabb", "bb"]])
+def test_wordpiece_merges_match_likelihood_reference(
+    spark, docs, tmp_path_factory
+):
+    """The 3-round WordPiece chain must match a Python reference with
+    the likelihood score count(l,r)/(count(l)*count(r)): weighted pair
+    AND symbol counts, argmax with (score desc, pair asc) tie-break
+    (score compared as the exact Fraction — the engines' single
+    correctly-rounded double division must never flip an order the
+    rational comparison decides), greedy single-scan apply."""
+    from fractions import Fraction
+
+    from pinterest_data_pipeline6_spark.operators.textops import (
+        BPE_MERGE_ROUNDS,
+        wordpiece_iterative_merges,
+    )
+
+    rows = [
+        (i, " ".join(words), "en", "s0", 0) for i, words in enumerate(docs)
+    ]
+    out = tmp_path_factory.mktemp("wp_prop")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = [
+        (
+            r["round"], r["left_sym"], r["right_sym"],
+            r["pair_count"], r["left_count"], r["right_count"],
+        )
+        for r in wordpiece_iterative_merges(spark, str(out)).collect()
+    ]
+
+    from collections import Counter
+
+    vocab = Counter()
+    for words in docs:
+        for w in words:
+            vocab[tuple(w)] += 1
+
+    want = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        pair_counts: Counter = Counter()
+        sym_counts: Counter = Counter()
+        for syms, freq in vocab.items():
+            for s in syms:
+                sym_counts[s] += freq
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += freq
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts.items(),
+            key=lambda kv: (
+                -Fraction(kv[1], sym_counts[kv[0][0]] * sym_counts[kv[0][1]]),
+                kv[0],
+            ),
+        )
+        (l, r), cnt = best
+        want.append((rnd, l, r, cnt, sym_counts[l], sym_counts[r]))
+        new_vocab: Counter = Counter()
+        for syms, freq in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] += freq
+        vocab = new_vocab
+
+    assert got[: len(want)] == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(1, 25),   # tokens
+            st.integers(0, 3),    # source index
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_doremi_reweighting_matches_python(spark, docs, tmp_path_factory):
+    """The DoReMi update must equal a Python computation: per-source
+    token share, per-token classifier score vs corpus mean (both
+    rounded to 9 before the clipped excess), weights share*exp(excess/
+    1000) normalized — all to the 6-decimal output tolerance."""
+    import math
+
+    from pinterest_data_pipeline6_spark.operators.scoring import (
+        QC_BUCKETS,
+        QC_WEIGHTS_MILLI,
+    )
+    from pinterest_data_pipeline6_spark.operators.curation import (
+        DOREMI_ETA,
+        doremi_domain_reweighting,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(nt)), "en", f"src{s}", 0)
+        for i, (nt, s) in enumerate(docs)
+    ]
+    out = tmp_path_factory.mktemp("doremi_prop")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    per_src: dict[str, list[int]] = {}
+    for i, (nt, s) in enumerate(docs):
+        toks = [f"w{i}t{j}" for j in range(nt)]
+        milli = sum(
+            QC_WEIGHTS_MILLI[_h64_py(t) % QC_BUCKETS] for t in toks
+        )
+        d = per_src.setdefault(f"src{s}", [0, 0, 0])
+        d[0] += 1
+        d[1] += nt
+        d[2] += milli
+    g_tok = sum(v[1] for v in per_src.values())
+    g_milli = sum(v[2] for v in per_src.values())
+    mean_g = round(g_milli / g_tok, 9)
+    raw = {
+        s: (v[1] / g_tok)
+        * math.exp(
+            DOREMI_ETA * max(mean_g - round(v[2] / v[1], 9), 0.0) / 1000.0
+        )
+        for s, v in per_src.items()
+    }
+    z = sum(raw.values())
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_tokens"], r["token_share"], r["new_weight"]
+        )
+        for r in doremi_domain_reweighting(spark, str(out)).collect()
+    }
+    assert set(got) == set(per_src)
+    for s, v in per_src.items():
+        nd, ntk, share, w = got[s]
+        assert (nd, ntk) == (v[0], v[1]), s
+        assert abs(share - round(v[1] / g_tok, 6)) < 1e-9, s
+        assert abs(w - raw[s] / z) < 2e-6, s
