@@ -588,18 +588,26 @@ def _media_hex(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("n") > 0)
 
 
-def _byte_cells(n_cells: int):
-    """Array column of ``n_cells`` strided byte samples: cell j reads
-    the byte at offset floor(j * n / n_cells) — the same coverage a
-    thumbnail resize gives a real perceptual hash."""
+def _byte_cells(n_cells: int) -> str:
+    """SQL text for an array of ``n_cells`` strided byte samples: cell
+    j reads the byte at offset floor(j * n / n_cells) — the same
+    coverage a thumbnail resize gives a real perceptual hash.
 
-    def cell(j: int):
-        pos = (2 * F.floor(F.lit(j) * F.col("n") / n_cells) + 1).cast("int")
-        return F.conv(F.substring(F.col("hx"), pos, F.lit(2)), 16, 10).cast(
-            "int"
-        )
-
-    return F.array(*[cell(j) for j in range(n_cells)])
+    Built as ONE ``expr()`` string rather than per-cell Column objects:
+    r10 measured the Column-object form costing ~2 s PER QUERY
+    CONSTRUCTION at the driver — 68 cells × ~6 py4j round-trips each,
+    paid again on every bench rep (construction is part of the timed
+    query, by the bench contract).  The SQL parser ingests the same
+    tree in one call.  Semantics unchanged: {j}*n is BIGINT, /
+    {n_cells} is double division, FLOOR → BIGINT, the position cast
+    and CONV(…, 16, 10) → INT match the old Column chain node for
+    node (pinned by test_perceptual_hashes_match_python_reference)."""
+    cells = ", ".join(
+        f"CAST(CONV(SUBSTRING(hx, CAST(2*FLOOR({j}*n/{n_cells})+1 AS INT),"
+        " 2), 16, 10) AS INT)"
+        for j in range(n_cells)
+    )
+    return f"array({cells})"
 
 
 def _perceptual_hashes(spark: SparkSession, sf: str) -> DataFrame:
@@ -608,48 +616,41 @@ def _perceptual_hashes(spark: SparkSession, sf: str) -> DataFrame:
     Evaluation-order contract (the winnowing_fingerprints lesson,
     textops.py:2190): the cell arrays are materialized as their own
     projected columns — each is consumed many times downstream, so the
-    projection survives CollapseProject and every lambda reads a plain
-    attribute.  The cell total is written as PHASH_CELLS element_at
-    reads on that attribute, NOT an aggregate() fold, so no lambda
-    body ever contains an array producer (the nested-HOF plan sweep
-    rejects the fold form: inlined into the zip_with lambda it would
-    re-fold the whole array once per element)."""
-    base = _media_hex(spark, sf).select(
+    projection survives CollapseProject and every consumer reads a
+    plain attribute.  The cell TOTAL is likewise its own projected
+    column, referenced 32 times by the ahash terms, so CollapseProject
+    cannot re-inline its 31-add chain into each term.
+
+    r10 rewrite (guide §1.2 step 2 / §7.3 "planning time itself"):
+    the hashes were previously ~100 Column objects built in Python
+    loops plus zip_with/aggregate lambdas.  Measured at sf0.1, that
+    cost ~2 s of pure DRIVER time per query construction (py4j
+    round-trips), paid on every bench rep, and the lambda bodies
+    evaluated interpreted (HOFs do not join whole-stage codegen).
+    Everything is now a handful of ``selectExpr`` strings — one parser
+    call each — and both hashes are static IF/sum chains that stay
+    inside WholeStageCodegen.  Bit-identical to the fold form: the
+    same integer comparisons and the same power-of-two summands
+    (pinned by test_perceptual_hashes_match_python_reference)."""
+    base = _media_hex(spark, sf).selectExpr(
         "media_id",
         "kind",
-        _byte_cells(PHASH_CELLS).alias("ca"),
-        _byte_cells(DHASH_GRID).alias("cd"),
+        f"{_byte_cells(PHASH_CELLS)} AS ca",
+        f"{_byte_cells(DHASH_GRID)} AS cd",
     )
-    ca, cd = F.col("ca"), F.col("cd")
-    total = sum(
-        [F.element_at(ca, k + 1) for k in range(1, PHASH_CELLS)],
-        start=F.element_at(ca, 1),
+    tot = "(" + " + ".join(f"ca[{k}]" for k in range(PHASH_CELLS)) + ")"
+    with_tot = base.selectExpr("media_id", "kind", "ca", "cd", f"{tot} AS tot")
+    ahash = " + ".join(
+        f"IF(ca[{j}]*{PHASH_CELLS} > tot, {1 << j}L, 0L)"
+        for j in range(PHASH_CELLS)
     )
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(PHASH_CELLS)])
-    ahash = F.aggregate(
-        F.zip_with(
-            ca,
-            pow2,
-            lambda c, p: F.when(c * PHASH_CELLS > total, p).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, b: a + b,
+    dhash = " + ".join(
+        f"IF(cd[{i}] > cd[{i + 1}], {w}L, 0L)"
+        for i, w in enumerate(_DHASH_WEIGHTS)
+        if w
     )
-    warr = F.array(*[F.lit(w).cast("long") for w in _DHASH_WEIGHTS])
-    bits = F.zip_with(
-        F.slice(cd, 1, DHASH_GRID - 1),
-        F.slice(cd, 2, DHASH_GRID - 1),
-        lambda a, b: (a > b).cast("long"),
-    )
-    dhash = F.aggregate(
-        F.zip_with(bits, warr, lambda b, p: b * p),
-        F.lit(0).cast("long"),
-        lambda a, b: a + b,
-    )
-    return base.select(
-        "media_id", "kind", ahash.alias("ahash"), dhash.alias("dhash")
+    return with_tot.selectExpr(
+        "media_id", "kind", f"({ahash}) AS ahash", f"({dhash}) AS dhash"
     )
 
 
