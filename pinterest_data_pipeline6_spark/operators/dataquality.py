@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pinterest_data_pipeline6_spark.sources.readers import table
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
 # Set-membership rule: 'P' is deliberately OUTSIDE the allowed set so
 # the violation path is exercised on real testdata (orders contains
@@ -604,7 +604,7 @@ def quality_trend_theilsen(spark: SparkSession, sf: str) -> DataFrame:
     per type regardless of corpus size."""
     from pinterest_data_pipeline6_spark.operators.textops import _distributed_rank
 
-    ev = table(spark, sf, "events")
+    ev = widen_small_scan(table(spark, sf, "events"))
     scored = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.to_date("ts").alias("d"),
@@ -1602,7 +1602,9 @@ def mad_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
         _distributed_rank,
     )
 
-    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    ev = widen_small_scan(
+        table(spark, sf, "events").filter(F.col("value").isNotNull())
+    )
     scored = ev.select(
         "event_type",
         F.col("value").alias("score"),

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pinterest_data_pipeline6_spark.sources.readers import table
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
 # Q18-shaped: orders whose total quantity exceeds this (p99 of the
 # per-order sum-of-quantity distribution sits near 260 in the testdata
@@ -214,6 +214,7 @@ def sole_return_supplier(spark: SparkSession, sf: str) -> DataFrame:
     two for the EXISTS pair.
     """
     li, supplier = (table(spark, sf, t) for t in ("lineitem", "supplier"))
+    li = widen_small_scan(li)
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(
@@ -1396,7 +1397,7 @@ def lineitem_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
     notnull = F.lit(True)
     for c in cols.values():
         notnull = notnull & F.col(c).isNotNull()
-    scaled = li.filter(notnull).select(
+    scaled = widen_small_scan(li.filter(notnull)).select(
         *[
             F.round(F.col(c) * 100).cast("decimal(10,0)").alias(k)
             for k, c in cols.items()

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pinterest_data_pipeline6_spark.sources.readers import table
+from pinterest_data_pipeline6_spark.sources.readers import table, widen_small_scan
 
 
 def _bucket(col: Column) -> Column:
@@ -1991,7 +1991,7 @@ def exact_price_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pinterest_data_pipeline6_spark.operators.textops import _distributed_rank
 
-    li = table(spark, sf, "lineitem")
+    li = widen_small_scan(table(spark, sf, "lineitem"))
     scored = li.select(
         F.col("l_extendedprice").cast("decimal(18,2)").alias("score"),
         # unique tie-break id: linenumber is 1..7 in TPC-H-shaped data
