@@ -41,8 +41,34 @@ def get_spark(
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing targets max(shuffleBytes /
+        # defaultParallelism, minPartitionSize). The 1m default floor
+        # serializes small-but-CPU-heavy post-shuffle stages (candidate
+        # verification, codebook assignment, fold projections) onto 1-2
+        # tasks whenever a shuffle carries < ~32 MB — measured 2-2.5x
+        # on the pair-verify and ANN queries at sf0.1. At cluster scale
+        # shuffleBytes/parallelism >> 1m, so the floor never binds and
+        # this is a no-op; it is env-tunable for operators who want the
+        # stock floor back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # guide §9/§3.1: let the planner pick shuffled-hash join when its
+        # build-side size conditions hold instead of always sort-merge —
+        # drops the two per-partition sorts from every equi-join whose
+        # build side fits (measured 1.5-2x on the join-heavy event/fact
+        # queries; the planner's own size checks still gate the choice,
+        # so a build side that cannot fit falls back to sort-merge).
+        # AQE additionally rewrites an already-planned SMJ to SHJ when
+        # every post-shuffle partition is under the local-map threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
