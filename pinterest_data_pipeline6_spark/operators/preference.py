@@ -156,9 +156,24 @@ def _bt_chain(comp: DataFrame):
         raw_i = (W_i + BT_PSEUDO) / Σ_{{j≠i}} n_ij / (p_i + p_j)
         p_i   = raw_i / Σ_k raw_k
     with every division rounded to 9 decimals and cross-term sums in
-    DECIMAL — order-free, hence unrollable into a DuckDB CTE twin."""
+    DECIMAL — order-free, hence unrollable into a DuckDB CTE twin.
+
+    Shape (r11): the evolving strength vector lives in a ONE-ROW MAP
+    column (#event_types is a bounded domain, so the map is scale-safe
+    — unlike, say, the unigram piece table).  Each MM round is then
+    one 25-row groupBy + one 1-row map rebuild, and — because a round
+    reads the previous p exactly ONCE (the map) instead of twice (the
+    old pi/pj broadcast builds) — the lazy plan no longer doubles per
+    round, so the per-round ``localCheckpoint`` cuts disappear with
+    it.  5 Spark jobs became 2 (the wins/n_ij materializations, which
+    carry the only events scan).  Measured same-session interleaved
+    A/B at sf0.1: 2.51 s → 1.57 s best-of-4, output rows identical
+    (exact tuple equality; the map lookup evaluates the same rounded
+    divisions on the same values, so the trajectory is bit-identical
+    and the DuckDB CTE twin is unchanged)."""
     dec = comp.filter(F.col("cents_a") != F.col("cents_b"))
-    # directed win counts over ordered pairs (i beats j)
+    # directed win counts over ordered pairs (i beats j) — the ONE
+    # events-scan job; everything downstream is #types²-bounded
     wins = (
         dec.select(
             F.when(F.col("cents_a") > F.col("cents_b"), F.col("type_a"))
@@ -168,8 +183,11 @@ def _bt_chain(comp: DataFrame):
         )
         .groupBy("i", "j")
         .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
     )
-    # symmetric comparison counts n_ij (i != j, both directions)
+    # symmetric comparison counts n_ij (i != j, both directions) —
+    # read once per MM round, so materialize it (from the checkpointed
+    # wins, this job is trivial; measured faster kept than dropped)
     n_ij = (
         wins.select("i", "j", "w")
         .unionByName(
@@ -179,14 +197,8 @@ def _bt_chain(comp: DataFrame):
         )
         .groupBy("i", "j")
         .agg(F.sum("w").alias("n"))
+        .localCheckpoint(eager=True)
     )
-    # The MM rounds below reference n_ij/stats many times each; left
-    # lazy, every reference re-derives the comparison self-join from
-    # raw events (measured 14 s at sf0.1 — ~10 redundant fact scans).
-    # Both tables are bounded by #types² rows, so materializing them
-    # with localCheckpoint costs nothing and turns each MM round into
-    # arithmetic over a tiny cached table — the ledger-twin pattern.
-    n_ij = n_ij.localCheckpoint(eager=True)
     stats = (
         n_ij.groupBy("i")
         .agg(F.sum("n").alias("n_comparisons"))
@@ -198,52 +210,68 @@ def _bt_chain(comp: DataFrame):
             F.coalesce("n_wins", F.lit(0)).alias("n_wins"),
             "n_comparisons",
         )
-        .localCheckpoint(eager=True)
     )
-    p = stats.select("event_type", F.lit(1.0).alias("p"))
+    # 1-row map tables: n_wins per type (static) and the evolving p
+    wm = stats.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct("event_type", F.col("n_wins").cast("double"))
+            )
+        ).alias("wm")
+    )
+    pm = stats.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", F.lit(1.0).alias("p")))
+        ).alias("pm")
+    )
     for _ in range(BT_ROUNDS):
-        pi = p.select(F.col("event_type").alias("i"), F.col("p").alias("p_i"))
-        pj = p.select(F.col("event_type").alias("j"), F.col("p").alias("p_j"))
         denom = (
-            n_ij.join(F.broadcast(pi), "i")
-            .join(F.broadcast(pj), "j")
+            n_ij.crossJoin(F.broadcast(pm))
             .groupBy("i")
             .agg(
                 F.sum(
                     F.round(
                         F.col("n").cast("double")
-                        / (F.col("p_i") + F.col("p_j")),
+                        / (
+                            F.element_at("pm", F.col("i"))
+                            + F.element_at("pm", F.col("j"))
+                        ),
                         9,
                     ).cast("decimal(28,9)")
                 ).alias("denom")
             )
         )
-        raw = (
-            stats.select(F.col("event_type").alias("i"), "n_wins")
-            .join(denom, "i")
-            .select(
-                "i",
-                F.round(
-                    (F.col("n_wins") + F.lit(BT_PSEUDO))
-                    / F.col("denom").cast("double"),
-                    9,
-                ).alias("raw"),
-            )
+        raw = denom.crossJoin(F.broadcast(wm)).select(
+            "i",
+            F.round(
+                (F.element_at("wm", F.col("i")) + F.lit(BT_PSEUDO))
+                / F.col("denom").cast("double"),
+                9,
+            ).alias("raw"),
         )
-        tot = raw.agg(
-            F.sum(F.col("raw").cast("decimal(28,9)")).alias("t")
+        # raw → (normalize by Σ raw) → next p map, in ONE 1-row agg:
+        # the round's only consumer of raw, so nothing re-executes
+        pm = raw.agg(
+            F.map_from_entries(F.collect_list(F.struct("i", "raw"))).alias(
+                "rm"
+            ),
+            F.sum(F.col("raw").cast("decimal(28,9)")).alias("t"),
+        ).select(
+            F.map_from_entries(
+                F.transform(
+                    F.map_entries("rm"),
+                    lambda e: F.struct(
+                        e["key"].alias("event_type"),
+                        F.round(
+                            e["value"] / F.col("t").cast("double"), 9
+                        ).alias("p"),
+                    ),
+                )
+            ).alias("pm")
         )
-        # each round reads p TWICE (pi, pj) — left lazy the plan tree
-        # doubles per round; checkpointing the #types-row table keeps
-        # every round a constant-size job
-        p = (
-            raw.crossJoin(F.broadcast(tot))
-            .select(
-                F.col("i").alias("event_type"),
-                F.round(F.col("raw") / F.col("t").cast("double"), 9).alias("p"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    p = stats.crossJoin(F.broadcast(pm)).select(
+        "event_type", F.element_at("pm", F.col("event_type")).alias("p")
+    )
     return stats, p
 
 
@@ -309,11 +337,11 @@ def bradley_terry_strengths(spark: SparkSession, sf: str) -> DataFrame:
     random opponent drawn by comparison mass."""
     comp = _comparisons(spark, sf)
     stats, p = _bt_chain(comp)
-    # p is a #types-row checkpointed table: broadcast it — a sort-merge
-    # exchange on the ~5-value event_type key would funnel into a
-    # handful of reducers (and trips the registry low-card-shuffle
-    # sweep, which cannot see that the checkpointed source is already
-    # an aggregate)
+    # p is a #types-row table derived from the checkpointed win counts:
+    # broadcast it — a sort-merge exchange on the ~5-value event_type
+    # key would funnel into a handful of reducers (and trips the
+    # registry low-card-shuffle sweep, which cannot see that the
+    # source is already an aggregate)
     return (
         stats.join(F.broadcast(p), "event_type")
         .select(

@@ -1,18 +1,19 @@
-"""Round-10 optimization measurement harness.
+"""Optimization measurement harness (rounds 10/11).
 
 Times individual registry queries with the SAME methodology as bench.py
 (warm session, best-of-N ``count()`` per the frozen bench contract) and
 captures ``explain("formatted")`` per query so plan-shape claims in
-OPTIMIZATION_r10.md are backed by committed artifacts.
+OPTIMIZATION_r*.md are backed by committed artifacts.
 
 Usage:
     python scripts/opt_measure.py q1_category_per_country dedup_clusters
     python scripts/opt_measure.py --top 25            # 25 slowest per BENCH_DETAIL.json
     python scripts/opt_measure.py --all               # every registry entry
     python scripts/opt_measure.py --plans-tag before --top 25   # also dump plans
+    python scripts/opt_measure.py --split q1_...      # construction vs execution
 
-Plans go to plans/r10/<query>_<tag>.txt. Timings print as one JSON line
-and append to /tmp/opt_measure_history.jsonl.
+Plans go to plans/$OPT_PLANS_DIR/<query>_<tag>.txt (default r11).
+Timings print as one JSON line and append to /tmp/opt_measure_history.jsonl.
 """
 
 from __future__ import annotations
@@ -38,6 +39,9 @@ def main() -> None:
     noop = "--noop" in args
     if noop:
         args.remove("--noop")
+    split = "--split" in args
+    if split:
+        args.remove("--split")
 
     from pinterest_data_pipeline6_spark.session import get_spark
 
@@ -51,7 +55,9 @@ def main() -> None:
         n = int(args[i + 1])
         detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
         ranked = sorted(detail["queries"].items(), key=lambda kv: -kv[1])
-        names = [k for k, _ in ranked[:n] if k in qs]
+        # filter to live registry entries FIRST, then slice, so stale
+        # BENCH_DETAIL rows cannot shrink the measured set below N
+        names = [k for k, _ in ranked if k in qs][:n]
     else:
         names = args
     missing = [n for n in names if n not in qs]
@@ -67,38 +73,46 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
+    plans_dir = os.environ.get("OPT_PLANS_DIR", "r11")
     results: dict[str, float] = {}
+    construct: dict[str, float] = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"opt_measure: {name}")
         best = float("inf")
+        best_c = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
+            t1 = time.perf_counter()
             if noop:
                 df.write.format("noop").mode("overwrite").save()
             else:
                 df.count()
             best = min(best, time.perf_counter() - t0)
+            best_c = min(best_c, t1 - t0)
         results[name] = round(best, 4)
+        if split:
+            construct[name] = round(best_c, 4)
         if plans_tag:
             import contextlib
             import io
 
-            os.makedirs(os.path.join(REPO, "plans", "r10"), exist_ok=True)
+            os.makedirs(os.path.join(REPO, "plans", plans_dir), exist_ok=True)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 qs[name](spark, SF_DIR).explain("formatted")
             with open(
-                os.path.join(REPO, "plans", "r10", f"{name}_{plans_tag}.txt"), "w"
+                os.path.join(REPO, "plans", plans_dir, f"{name}_{plans_tag}.txt"), "w"
             ) as f:
                 f.write(buf.getvalue())
-        print(f"{results[name]:8.3f}  {name}", file=sys.stderr, flush=True)
+        extra = f"  (construct {construct[name]:6.3f})" if split else ""
+        print(f"{results[name]:8.3f}  {name}{extra}", file=sys.stderr, flush=True)
     spark.sparkContext.setJobDescription(None)
 
-    line = json.dumps(
-        {"sf_dir": SF_DIR, "reps": REPS, "noop": noop, "queries": results},
-        separators=(",", ":"),
-    )
+    payload = {"sf_dir": SF_DIR, "reps": REPS, "noop": noop, "queries": results}
+    if split:
+        payload["construct"] = construct
+    line = json.dumps(payload, separators=(",", ":"))
     print(line)
     with open("/tmp/opt_measure_history.jsonl", "a") as f:
         f.write(line + "\n")
