@@ -2422,17 +2422,32 @@ def _neardup_batch_states(batched: DataFrame) -> DataFrame:
     like the k-means/LPA entries — each round adds one band-keyed
     semi/anti join pass, never a pairwise step.
 
-    The band table and each round's post-history bands materialize via
-    ``localCheckpoint`` — the same lineage cut the streaming sink
+    The band table and each batch's per-doc status table materialize
+    via ``localCheckpoint`` — the same lineage cut the streaming sink
     itself performs per micro-batch (streaming/jobs.py:407).  Without
     it the round-k branches each re-derive the full minhash/banding
     subtree and the recurrence lineage compounds quadratically
-    (measured 20-25 s at sf0.01 lazy vs ~2 s checkpointed)."""
-    bands_all = band_keys_for(batched).join(
-        batched.select("doc_id", "batch_id"), "doc_id"
+    (measured 20-25 s at sf0.01 lazy vs ~2 s checkpointed).
+
+    Shape (r11, guide §2.4): within-batch domination is ONE window-min
+    over the band bucket plus one per-doc aggregate — a doc is
+    ``within``-suppressed iff any of its buckets holds a smaller
+    doc_id, so ``min(doc_id) over (bucket) < doc_id`` aggregated
+    per doc replaces the bucket self-semi-join + two distincts + one
+    anti-join of the previous shape.  That also fuses the within/kept
+    split into a single checkpointed status table per batch (2
+    checkpoint jobs per batch became 1).  Contract: callers build
+    ``batch_id = pmod(doc_id, NEARDUP_LEDGER_BATCHES)`` (both ledger
+    twins do), so the band table re-derives it as a projection instead
+    of re-joining the doc table.  Same-session interleaved A/B at
+    sf0.1: neardup 3.25 → 2.61 s, funnel 3.61 → 2.77 s, ledger rows
+    identical."""
+    bands_all = band_keys_for(batched).withColumn(
+        "batch_id", F.pmod("doc_id", F.lit(NEARDUP_LEDGER_BATCHES))
     ).localCheckpoint(eager=True)
     parts: list[DataFrame] = []
     seen: DataFrame | None = None
+    w = Window.partitionBy("band_idx", "band_key")
     for k in range(NEARDUP_LEDGER_BATCHES):
         bk = batched.filter(F.col("batch_id") == k).select("doc_id")
         bands_k = bands_all.filter(F.col("batch_id") == k).select(
@@ -2444,58 +2459,40 @@ def _neardup_batch_states(batched: DataFrame) -> DataFrame:
                 .select("doc_id")
                 .distinct()
             )
-            bands_kp = bands_k.join(
-                collided, "doc_id", "left_anti"
-            ).localCheckpoint(eager=True)
-            parts.append(
-                collided.select(
-                    F.lit(k).alias("batch_id"), "doc_id",
-                    F.lit("hist").alias("status"),
-                )
-            )
+            bands_kp = bands_k.join(collided, "doc_id", "left_anti")
+            hist = collided.select("doc_id", F.lit("hist").alias("status"))
         else:
             bands_kp = bands_k
-        dominated = (
-            bands_kp.alias("a")
-            .join(
-                bands_kp.alias("b"),
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("b.doc_id") < F.col("a.doc_id")),
-                "left_semi",
+            hist = None
+        per_doc = (
+            bands_kp.withColumn("mn", F.min("doc_id").over(w))
+            .groupBy("doc_id")
+            .agg(
+                F.max((F.col("mn") < F.col("doc_id")).cast("int")).alias("dom")
             )
-            .select("doc_id")
-            .distinct()
         )
-        survivors = (
-            bands_kp.select("doc_id").distinct()
-            .join(dominated, "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
+        banded_status = per_doc.select(
+            "doc_id",
+            F.when(F.col("dom") == 1, F.lit("within"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
         )
+        # anti-join dedups its right side itself — no distinct needed
         bandless = bk.join(
-            bands_k.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
+            bands_k.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id", F.lit("bandless").alias("status"))
+        st_k = banded_status.unionByName(bandless)
+        if hist is not None:
+            st_k = st_k.unionByName(hist)
+        # ONE materialization per batch: the status table is what both
+        # the ledger rollup and every later batch's history state read
+        st_k = st_k.localCheckpoint(eager=True)
         parts.append(
-            dominated.select(
-                F.lit(k).alias("batch_id"), "doc_id",
-                F.lit("within").alias("status"),
-            )
+            st_k.select(F.lit(k).alias("batch_id"), "doc_id", "status")
         )
-        parts.append(
-            bandless.select(
-                F.lit(k).alias("batch_id"), "doc_id",
-                F.lit("bandless").alias("status"),
-            )
-        )
-        parts.append(
-            survivors.select(
-                F.lit(k).alias("batch_id"), "doc_id",
-                F.lit("kept").alias("status"),
-            )
-        )
-        new_seen = bands_kp.join(survivors, "doc_id", "left_semi").select(
-            "band_idx", "band_key"
-        )
+        new_seen = bands_k.join(
+            st_k.filter(F.col("status") == "kept"), "doc_id", "left_semi"
+        ).select("band_idx", "band_key")
         seen = new_seen if seen is None else seen.unionByName(new_seen)
     out = parts[0]
     for p in parts[1:]:
