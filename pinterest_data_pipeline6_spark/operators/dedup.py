@@ -550,7 +550,20 @@ def _connected_components(
     minima. Per round: three shuffles on node ids (neighborhood build +
     two min-aggregates), each carrying two bigints per edge;
     ``localCheckpoint`` truncates lineage and the convergence probe
-    reads two scalars (count + edge-hash sum), never data.
+    reads a handful of scalars, never data.
+
+    Convergence (r11) is detected by a STRUCTURAL star predicate, not
+    by comparing against the previous round: an oriented edge set is a
+    large/small-star fixpoint exactly when it is a union of stars —
+    every ``hi`` occurs once and no node is both a ``hi`` and a ``lo``
+    (stars are provably fixed points of both star operations, and the
+    algorithm's fixpoints are star unions, Kiveris et al. §3).  The
+    predicate rides the SAME probe job that materializes the round, so
+    the old shape's two extra jobs disappear: the initial signature
+    pass and the full confirming no-op round (measured 0.62 s/round at
+    sf0.1 — pure overhead once converged; at scale the saved confirm
+    round is three shuffles of the full edge set).  It is also exact
+    where the (count, hash-sum) signature had a collision corner.
 
     ``oriented=True`` asserts the caller already guarantees u > v with
     no self-loops or duplicate pairs (e.g. ``minhash_band_pairs``, whose
@@ -568,29 +581,43 @@ def _connected_components(
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
         )
-    # lazy: the initial signature probe below is the action that
-    # materializes the orientation — one job instead of two
+    # lazy: the first round's convergence probe is the action that
+    # materializes the orientation — no standalone initial job
     e = e.localCheckpoint(eager=False)
 
-    def _sig(df: DataFrame):
-        # decimal(38) accumulator: a bigint SUM of 64-bit hashes
-        # overflows (and THROWS under ANSI mode) on a few dozen edges
-        return df.agg(
-            F.count("*"),
-            F.sum(F.xxhash64(F.col("hi"), F.col("lo")).cast("decimal(38,0)")),
-        ).first()
+    def _is_star_union(df: DataFrame) -> bool:
+        # per node: occurrences as hi (nh) and total occurrences (nt);
+        # a star union has nh == 1 and nt == nh for every hi-node.
+        # Empty edge sets are trivially star unions (max over empty is
+        # NULL -> coalesce 0).
+        occ = (
+            df.select(F.col("hi").alias("x"), F.lit(1).alias("h"))
+            .union(df.select(F.col("lo").alias("x"), F.lit(0).alias("h")))
+            .groupBy("x")
+            .agg(F.sum("h").alias("nh"), F.count("*").alias("nt"))
+        )
+        viol = occ.agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("nh") > 1)
+                        | ((F.col("nh") >= 1) & (F.col("nt") > F.col("nh"))),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+        ).first()[0]
+        return viol == 0
 
-    prev = _sig(e)
     rounds = 0
     for _ in range(max_rounds):
-        # LAZY checkpoint: the signature probe is the one action that
-        # materializes the round — one Spark job per round, not two
+        # LAZY checkpoint: the star-predicate probe is the one action
+        # that materializes the round — one Spark job per round
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
-        cur = _sig(e)
-        if cur == prev:  # star fixpoint: small/large stars are no-ops
+        if _is_star_union(e):  # star fixpoint reached
             break
-        prev = cur
     labels = (
         e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
         .union(e.select(F.col("lo").alias("node"), F.col("lo").alias("label")))
