@@ -115,13 +115,21 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     (partial+final min aggregate). Shared by the banding path below and
     the estimate-vs-exact error audit."""
     exploded = _exploded_shingles(docs, "doc_id")
-    base = (_h64_spark(F.col("shingle")) % MINHASH_P).alias("hb")
+    # emitted as expr text — one parser call per aggregate instead of
+    # ~6 py4j Column builds each (construction-tax remedy, same trees)
     return (
-        exploded.select("doc_id", base)
+        exploded.selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+            f" % {MINHASH_P} AS hb",
+        )
         .groupBy("doc_id")
         .agg(
             *[
-                F.min((F.col("hb") * _MINHASH_A[i] + _MINHASH_B[i]) % MINHASH_P).alias(f"m_{i}")
+                F.expr(
+                    f"min((hb * {_MINHASH_A[i]} + {_MINHASH_B[i]})"
+                    f" % {MINHASH_P}) AS m_{i}"
+                )
                 for i in range(N_MINHASH)
             ]
         )
@@ -142,18 +150,17 @@ def band_keys_for(docs: DataFrame) -> DataFrame:
     interpreted-lambda pass disappears. Band keys are md5 digests over
     each band's 4-minhash row."""
     sig = minhash_signatures(docs)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"m_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                )
-            )
-            for b in range(N_BANDS)
-        ]
+    band_keys = "array(" + ", ".join(
+        "md5(concat_ws(','"
+        + "".join(
+            f", m_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        + "))"
+        for b in range(N_BANDS)
+    ) + ")"
+    return sig.select(
+        "doc_id", F.posexplode(F.expr(band_keys)).alias("band_idx", "band_key")
     )
-    return sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
 
 
 def minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -222,28 +229,33 @@ def neardup_edit_verify(spark: SparkSession, sf: str) -> DataFrame:
 
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash per document: per-token hash, signed bit votes
-    (token multiplicity counts), sign of each vote sets the bit."""
+    (token multiplicity counts), sign of each vote sets the bit.
+
+    The 32 vote aggregates and the 32-term bit sum are emitted as expr
+    text — same parsed trees, one parser call per expression instead
+    of ~8 py4j Column builds each (construction-tax remedy; A/B 0.94 →
+    0.48 s at sf0.1, identical fingerprints). The bit-sum literals are
+    ``L``-suffixed so the whole fold is bigint from the first term —
+    the Column form relied on the j=31 term's long literal promoting
+    the (by then int32-max) partial sum just in time."""
     docs = widen_small_scan(table(spark, sf, "documents"))
     exploded = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    hashed = exploded.select("doc_id", _h64_spark(F.col("tok")).alias("h"))
+    hashed = exploded.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h",
+    )
     votes = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"v_{j}")
+            F.expr(f"sum(IF((shiftright(h, {j}) & 1) = 1, 1, -1)) AS v_{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
-    simhash = sum(
-        [
-            F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-            for j in range(SIMHASH_BITS)
-        ],
-        start=F.lit(0),
-    )
-    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    simhash = "CAST(" + " + ".join(
+        f"IF(v_{j} > 0, {2 ** j}L, 0L)" for j in range(SIMHASH_BITS)
+    ) + " AS BIGINT)"
+    return votes.selectExpr("doc_id", f"{simhash} AS simhash")
 
 
 SIMHASH_BANDS = 4  # 32-bit fingerprint → 4 bands of 8 bits

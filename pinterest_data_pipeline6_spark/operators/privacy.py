@@ -183,7 +183,7 @@ def semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        _signature(F.col("embedding")).alias("bucket"),
+        _signature("embedding").alias("bucket"),
         _norm64(F.col("embedding")).alias("nrm"),
     )
     bench = signed.filter(F.col("vec_id") % SEM_BENCH_MOD == 0).select(

@@ -85,28 +85,33 @@ _HYPERPLANES: list[list[float]] = [
 ]
 
 
-def _hyperplane(i: int) -> Column:
-    """Hyperplane i as a literal array column (constant-folded)."""
-    return F.array(*[F.lit(c) for c in _HYPERPLANES[i]])
-
-
-def _signature(v: Column) -> Column:
-    """b-bit sign signature of v against the LSH_BITS hyperplanes.
+def _signature(v: str = "embedding") -> Column:
+    """b-bit sign signature of column ``v`` against the LSH_BITS
+    hyperplanes.
 
     zip_with + left-fold aggregate over the literal hyperplane arrays:
     the fold's term order equals the oracle's explicit left-assoc sum
     (0.0 + p1 ≡ p1). An unrolled 512-term expression tree was measured
     ~4x SLOWER end-to-end here — codegen compilation of the giant tree
-    dominates — so the compact lambda form wins at both ends."""
-    sig = F.lit(0)
+    dominates — so the compact lambda form wins at both ends.
+
+    Emitted as ONE ``F.expr`` string (r11): the Column-object form
+    built 512 literal Columns + 8 lambda callbacks per construction —
+    ~0.4 s of py4j round-trips per bench rep (the perceptual-hash
+    construction-tax finding, OPTIMIZATION_r10.md §1). The parsed
+    expression tree is identical, so values are unchanged (pinned by
+    lsh_bucket_histogram's oracle row and the same-session A/B:
+    knn_lsh_bucketed 1.18 → 0.51 s, embedding_neardup_lsh 1.29 →
+    0.61 s, identical results)."""
+    terms = []
     for i in range(LSH_BITS):
-        dot = F.aggregate(
-            F.zip_with(v, _hyperplane(i), lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda acc, p: acc + p,
+        arr = "array(" + ", ".join(f"{c!r}D" for c in _HYPERPLANES[i]) + ")"
+        dot = (
+            f"aggregate(zip_with({v}, {arr}, "
+            f"(x, h) -> CAST(x AS DOUBLE) * h), 0.0D, (acc, p) -> acc + p)"
         )
-        sig = sig + F.when(dot > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return sig.cast("int")
+        terms.append(f"IF({dot} > 0, {2 ** i}, 0)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS INT)")
 
 
 def lsh_bucket_histogram(spark: SparkSession, sf: str) -> DataFrame:
@@ -115,7 +120,7 @@ def lsh_bucket_histogram(spark: SparkSession, sf: str) -> DataFrame:
     engines derive identical signatures for every vector)."""
     emb = widen_small_scan(table(spark, sf, "embeddings"))
     return (
-        emb.select(_signature(F.col("embedding")).alias("bucket"))
+        emb.select(_signature("embedding").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("bucket")
@@ -131,7 +136,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     signed = emb.select(
         "vec_id",
         "embedding",
-        _signature(F.col("embedding")).alias("bucket"),
+        _signature("embedding").alias("bucket"),
         _norm64(F.col("embedding")).alias("nrm"),
     )
     q = signed.filter(F.col("vec_id") < N_QUERIES).select(
@@ -239,7 +244,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     signed = emb.select(
         "vec_id",
         "embedding",
-        _signature(F.col("embedding")).alias("bucket"),
+        _signature("embedding").alias("bucket"),
         _norm64(F.col("embedding")).alias("nrm"),
     )
     a, b = signed.alias("a"), signed.alias("b")
@@ -1700,7 +1705,7 @@ def knn_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     signed = emb.select(
         "vec_id",
         "embedding",
-        _signature(F.col("embedding")).alias("bucket"),
+        _signature("embedding").alias("bucket"),
         _norm64(F.col("embedding")).alias("nrm"),
     )
     probes = F.array(
