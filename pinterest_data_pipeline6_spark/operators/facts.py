@@ -1397,59 +1397,45 @@ def lineitem_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
     notnull = F.lit(True)
     for c in cols.values():
         notnull = notnull & F.col(c).isNotNull()
-    scaled = widen_small_scan(li.filter(notnull)).select(
+    # the 15 decimal moment aggregates and 6 result structs are emitted
+    # as expr text — same trees, one parser call each instead of ~10
+    # py4j Column builds (construction-tax remedy; A/B 2.42 → 1.85 s,
+    # identical rows and schema)
+    scaled = widen_small_scan(li.filter(notnull)).selectExpr(
         *[
-            F.round(F.col(c) * 100).cast("decimal(10,0)").alias(k)
+            f"CAST(ROUND({c} * 100, 0) AS DECIMAL(10,0)) AS {k}"
             for k, c in cols.items()
         ]
     )
     names = list(cols)
-    aggs = [F.count(F.lit(1)).cast("decimal(10,0)").alias("n")]
+    aggs = [F.expr("CAST(count(1) AS DECIMAL(10,0)) AS n")]
     for k in names:
-        aggs.append(F.sum(F.col(k)).cast("decimal(17,0)").alias(f"s_{k}"))
+        aggs.append(F.expr(f"CAST(sum({k}) AS DECIMAL(17,0)) AS s_{k}"))
         aggs.append(
-            F.sum(F.col(k) * F.col(k)).cast("decimal(24,0)").alias(f"ss_{k}")
+            F.expr(f"CAST(sum({k} * {k}) AS DECIMAL(24,0)) AS ss_{k}")
         )
     pairs = [
         (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
     ]
     for a, b in pairs:
         aggs.append(
-            F.sum(F.col(a) * F.col(b))
-            .cast("decimal(24,0)")
-            .alias(f"sp_{a}_{b}")
+            F.expr(f"CAST(sum({a} * {b}) AS DECIMAL(24,0)) AS sp_{a}_{b}")
         )
     m = scaled.agg(*aggs)
 
-    def _r(a: str, b: str):
-        num = (
-            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
-        ).cast("double")
-        dena = (
-            F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
-        ).cast("double")
-        denb = (
-            F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
-        ).cast("double")
-        return F.round(
-            num / F.nullif(F.sqrt(dena * denb), F.lit(0.0)), 6
-        )
+    def _r(a: str, b: str) -> str:
+        num = f"CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        dena = f"CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)"
+        denb = f"CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)"
+        return f"ROUND({num} / nullif(sqrt({dena} * {denb}), 0.0D), 6)"
 
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("metric_a"),
-                F.lit(b).alias("metric_b"),
-                _r(a, b).alias("pearson_r"),
-            )
-            for a, b in pairs
-        ]
-    )
+    rows = "array(" + ", ".join(
+        f"struct('{a}' AS metric_a, '{b}' AS metric_b,"
+        f" {_r(a, b)} AS pearson_r)"
+        for a, b in pairs
+    ) + ")"
     return (
-        m.select(
-            F.col("n").cast("bigint").alias("n_rows"),
-            F.explode(rows).alias("p"),
-        )
+        m.selectExpr("CAST(n AS BIGINT) AS n_rows", f"explode({rows}) AS p")
         .select("p.metric_a", "p.metric_b", "n_rows", "p.pearson_r")
         .orderBy("metric_a", "metric_b")
     )

@@ -328,20 +328,23 @@ def activity_profile_knn(spark: SparkSession, sf: str) -> DataFrame:
     from pinterest_data_pipeline6_spark.operators.dedup import _dot64, _norm64
 
     ev = table(spark, sf, "events")
-    hour = F.hour("ts")
+    # 24 conditional decimal sums + the 24-cast array, emitted as expr
+    # text (construction-tax remedy: one parser call per expression
+    # instead of ~8 py4j Column builds; A/B 1.69 → 1.32 s, identical)
     prof = ev.groupBy("user_id").agg(
         *[
-            F.sum(
-                F.when(hour == h, F.col("value").cast("decimal(18,6)")).otherwise(
-                    F.lit(0).cast("decimal(18,6)")
-                )
-            ).alias(f"h_{h}")
+            F.expr(
+                f"sum(IF(hour(ts) = {h}, CAST(value AS DECIMAL(18,6)),"
+                f" CAST(0 AS DECIMAL(18,6)))) AS h_{h}"
+            )
             for h in range(PAA_HOURS)
         ]
     )
-    arr = F.array(*[F.col(f"h_{h}").cast("double") for h in range(PAA_HOURS)])
+    arr = "array(" + ", ".join(
+        f"CAST(h_{h} AS DOUBLE)" for h in range(PAA_HOURS)
+    ) + ")"
     signed = (
-        prof.select("user_id", arr.alias("profile"))
+        prof.selectExpr("user_id", f"{arr} AS profile")
         .withColumn("nrm", _norm64(F.col("profile")))
         # a zero-norm profile (user with no measurable activity — e.g.
         # all-null values upstream) has no cosine direction; keeping it

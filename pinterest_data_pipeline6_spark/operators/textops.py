@@ -3589,12 +3589,20 @@ def wordpiece_iterative_merges(spark: SparkSession, sf: str) -> DataFrame:
     # each round reads the previous vocab THREE times (pair counts,
     # symbol counts, apply) — without the lineage cut the plan tree
     # grows 3x per round (the r8 lazy-unroll pitfall; BPE's 2-ref
-    # chain tolerates laziness, this one measured ~2x slower lazy)
+    # chain tolerates laziness, this one measured ~2x slower lazy).
+    # The 1-row merge is ALSO checkpointed (r11): it feeds both the
+    # apply and the output row, so left lazy its pair+symbol
+    # aggregations re-ran in the final union — and the LAST round's
+    # vocab is never read, so its apply job is skipped outright
+    # (same-session A/B 2.19 → 1.82 s, identical rows).
     vocab = _bpe_word_vocab(docs).localCheckpoint(eager=True)
     out = None
     for k in range(1, BPE_MERGE_ROUNDS + 1):
-        top1 = _wp_top1(_bpe_pair_counts(vocab), _wp_sym_counts(vocab))
-        vocab = _bpe_apply(vocab, top1).localCheckpoint(eager=True)
+        top1 = _wp_top1(
+            _bpe_pair_counts(vocab), _wp_sym_counts(vocab)
+        ).localCheckpoint(eager=True)
+        if k < BPE_MERGE_ROUNDS:
+            vocab = _bpe_apply(vocab, top1).localCheckpoint(eager=True)
         row = top1.select(
             F.lit(k).alias("round"),
             "left_sym",
