@@ -233,6 +233,30 @@ def test_cc_matches_union_find(spark):
     assert all(got[x] == min(comp[find(x)]) for x in nodes)
 
 
+def test_cc_star_fixpoint_stops_after_one_round(spark):
+    """r11 convergence probe pin: the structural star predicate stops
+    as soon as a round's OUTPUT is a union of stars, without the old
+    signature-compare's full confirming no-op round. A triangle needs
+    exactly one large/small-star round to collapse onto node 0; an
+    already-starred input is likewise done after one round. (The old
+    probe reported 2 rounds on the triangle — the second being the
+    confirm round whose three shuffles the predicate eliminates.)"""
+    from pinterest_data_pipeline6_spark.operators.dedup import _connected_components
+
+    tri = spark.createDataFrame([(0, 1), (0, 2), (1, 2)], "u long, v long")
+    labels, rounds = _connected_components(tri)
+    assert rounds == 1
+    assert sorted(tuple(r) for r in labels.collect()) == [
+        (0, 0), (1, 0), (2, 0),
+    ]
+
+    star = spark.createDataFrame([(i, 0) for i in range(1, 8)], "u long, v long")
+    labels2, rounds2 = _connected_components(star)
+    assert rounds2 == 1
+    got = {r["node"]: r["label"] for r in labels2.collect()}
+    assert got == {i: 0 for i in range(8)}
+
+
 def test_training_shard_export_roundtrip(spark, tmp_path):
     """write_training_shards: hive layout with one dir per hash shard,
     row-lossless, and the on-disk counts equal export_shard_histogram
